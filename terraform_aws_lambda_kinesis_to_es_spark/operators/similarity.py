@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+* **brute-force cosine top-k** — the exactness baseline. Query vectors are
+  a small relation: broadcast them, fold the dot product JVM-side with
+  higher-order functions (zip_with/aggregate — no Python, no Arrow hop),
+  rank per query. At 100 TB the corpus side streams through executors
+  once; cost is O(|corpus| * |queries|) FLOPs with zero shuffle of the
+  corpus (broadcast join + TakeOrdered-style per-query top-k).
+* **LSH-bucketed ANN (random hyperplanes)** — the scale path. Bucket id =
+  sign bits of dot products against seeded hyperplanes, computed
+  row-locally; candidates meet in a bucket-keyed join instead of a cross
+  product. Deterministic (hyperplanes are fixed constants) so the oracle
+  can mirror it exactly.
+
+All float math is promoted to double *before* any accumulation, and the
+fold is left-to-right in array order on both engines, so results are
+bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_HYPERPLANES = 8
+
+_rng = random.Random(7)
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(EMBED_DIM)] for _ in range(N_HYPERPLANES)
+]
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product (JVM-side HOFs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_const(a: Column, vec: list[float]) -> Column:
+    """Dot product against a constant vector, as an explicit left-assoc sum
+    (mirrors the generated oracle SQL term-for-term)."""
+    expr = a[0] * F.lit(vec[0])
+    for i in range(1, len(vec)):
+        expr = expr + a[i] * F.lit(vec[i])
+    return expr
+
+
+def with_bucket(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^N_HYPERPLANES-1), row-local."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(HYPERPLANES):
+        bucket = bucket + F.when(dot_const(F.col(vec_col), plane) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k per query vector. `queries` must be small — it is
+    broadcast; ties broken by neighbor id for determinism."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 4).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def near_dup_pairs_exact(
+    df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """All-pairs cosine >= threshold, exact. Self-join with id_a < id_b;
+    the smaller side is broadcast at test scale, AQE decides at cluster
+    scale. This is the exactness baseline the LSH path approximates."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ANN: candidates restricted to the query's hyperplane bucket, then
+    exact cosine rank within candidates. The bucket equi-join replaces the
+    cross product — at 100 TB this is the difference between a keyed
+    shuffle and an infeasible cartesian."""
+    from pyspark.sql import Window
+
+    cb = with_bucket(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    qb = with_bucket(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 4).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

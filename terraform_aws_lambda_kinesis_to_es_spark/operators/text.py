@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is JVM-side (split / higher-order functions / regex);
+no Python UDFs anywhere in this module. Each operator is a narrow per-row
+projection — map-only, shuffle-free, linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60
+
+# Marker stopwords per language for the n-gram/marker langid heuristic.
+# Tie-break: alphabetical (de < en < es < fr); no marker hit => 'und'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "das", "ein", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "de", "que", "los", "en", "una"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# Kept to a regex subset Java (Spark) and RE2 (DuckDB) treat identically.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed (split+filter, JVM-side)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """Word n-gram strings; empty array when the doc has < n tokens.
+    Built with sequence/transform/slice — pure Catalyst expressions."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_scores(tokens_col: Column) -> dict[str, Column]:
+    """Marker-overlap score per language (count with multiplicity)."""
+    return {
+        lang: F.size(F.filter(tokens_col, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(tokens_col: Column) -> Column:
+    """Argmax language with deterministic alphabetical tie-break, 'und'
+    when no marker matches. Expressed as a when-chain so the DuckDB oracle
+    can mirror it word-for-word."""
+    s = lang_scores(tokens_col)
+    return (
+        F.when(F.greatest(*s.values()) <= 0, F.lit("und"))
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: length, token count, stopword ratio, punct
+    ratio, and a composite score. Everything rounds to 4 decimals so the
+    cross-engine value hash is stable."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct_cnt = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
+    stop_ratio = F.when(n_tokens > 0, F.round(stop_cnt / n_tokens, 4)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(punct_cnt / n_chars, 4)).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.2,
+        4,
+    )
+    return df.select(
+        F.col("doc_id"),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+    * ``fp_md5`` — OpenRefine-style key-collision fingerprint: md5 of the
+      sorted distinct lowercase token set (exact near-dup clustering key);
+    * ``fp_shingle_min`` — min permuted hash over word-5-gram shingles
+      (rolling-hash / winnowing-style content fingerprint).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    sorted_uniq = F.array_sort(F.array_distinct(toks))
+    shingles = word_ngrams(toks, 5)
+    return df.select(
+        F.col("doc_id"),
+        F.md5(F.array_join(sorted_uniq, " ")).alias("fp_md5"),
+        F.array_min(F.transform(shingles, lambda s: hash60(s))).alias("fp_shingle_min"),
+    )

@@ -1,0 +1,183 @@
+"""Deduplication query surface over ``documents``.
+
+Oracle strategy:
+* exact / fingerprint / simhash: mirrored term-for-term in DuckDB (all
+  hashing goes through the md5-based portable ``hash60``).
+* minhash+LSH (``q_minhash_dedup``): the Spark side is the real
+  LSH pipeline (banded candidates, then exact-Jaccard verification); the
+  oracle computes ground truth by *exhaustive* O(n^2) exact Jaccard. They
+  match whenever LSH recall at the threshold is 1 — with 32 bands x 2 rows
+  and the planted near-dups at jaccard >= 0.87, miss probability is
+  ~(1 - 0.87^2)^32 ~ 1e-20. The driver-visible equality therefore also
+  *proves* the LSH recall claim on this data.
+* n-gram Jaccard (``q_ngram_jaccard``): candidates = pairs sharing any
+  shingle — exactly expressible on both sides, no probability involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+    MERSENNE61,
+    MOD31,
+    N_PERM,
+    PERM_A,
+    PERM_B,
+    hash60_sql,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _ngrams_sql, _TOKS
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+JACCARD_THRESHOLD_BP = 5000  # 0.5 in basis points
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, exact-Jaccard verified (bp)."""
+    docs = load(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs)
+    sig = D.with_minhash_signature(shingled)
+    cands = D.lsh_candidate_pairs(sig)
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jaccard_bp") >= JACCARD_THRESHOLD_BP)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup: candidates share >= 1 word-5-gram
+    (explode + self-equi-join on the shingle — one keyed shuffle, never a
+    cross product), similarity verified on the full distinct-shingle sets."""
+    docs = load(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs)
+    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+            ),
+        )
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local 60-bit SimHash signature per document."""
+    docs = load(spark, sf_dir, "documents")
+    return D.with_simhash(docs).select("doc_id", "simhash")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 15-bit block banding (pigeonhole exact
+    for hamming <= 3), verified with exact bit_count."""
+    docs = load(spark, sf_dir, "documents")
+    sim = D.with_simhash(docs).select("doc_id", "simhash")
+    return D.simhash_near_pairs(sim).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+QUERIES = {
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash_dedup": q_minhash_dedup,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLES = f"list_distinct({_ngrams_sql(_TOKS, 5)})"
+
+_PAIR_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         (10000 * len(list_intersect(a.s, b.s)))
+           // len(list_distinct(a.s || b.s)) AS jaccard_bp
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0
+)
+"""
+
+
+def _simhash_sql() -> str:
+    h = hash60_sql("t.tok")
+    bit_sums = ",\n               ".join(
+        f"SUM(2 * ((h >> {i}) & 1) - 1) AS w{i}" for i in range(D.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN w{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(D.SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), hashed AS (
+          SELECT doc_id, {h.replace('t.tok', 'tok')} AS h FROM toks
+        ), bits AS (
+          SELECT doc_id,
+               {bit_sums}
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def _minhash_oracle_sql() -> str:
+    """Ground truth for q_minhash_dedup: exhaustive exact Jaccard."""
+    return (
+        _PAIR_JACCARD
+        + f"SELECT doc_a, doc_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp FROM pairs "
+        f"WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}"
+    )
+
+
+ORACLES = {
+    "q_exact_dedup": """
+        SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_minhash_dedup": _minhash_oracle_sql(),
+    "q_ngram_jaccard": _PAIR_JACCARD
+    + "SELECT doc_a, doc_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp FROM pairs",
+    "q_simhash": _simhash_sql(),
+    # q_simhash_pairs intentionally has no SQL oracle: the banded-join
+    # candidate generation is exact for hamming<=3 by pigeonhole, and the
+    # hamming verification is tested in pytest; the driver records a
+    # rows-only check. (An O(n^2) oracle would need 60-bit popcount SQL,
+    # done for q_simhash already via the signature equality.)
+}

@@ -1,0 +1,165 @@
+"""Analytics over the event stream's batch stand-in.
+
+Extensions past the reference's own surface (SURVEY.md §2.7 lists these as
+explicit nulls there): dedup on the idempotency key, top-k, per-key stats,
+gap-based sessionization. All deterministic (window ties broken on stable
+keys) so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+SESSION_GAP_MIN = 30
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency dedup on the log-id key (reference carries ``log_id``
+    exactly so downstream can dedup, variables.tf:67-70; the reference
+    itself never does — SURVEY.md T3). Deterministic first-record-wins:
+    earliest (ts, then event_type) per event_id.
+
+    Scale: one shuffle on the dedup key; at 100 TB this is the canonical
+    hash-partitioned dedup — no state collects anywhere.
+    """
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy(F.col("ts").asc(), F.col("event_type").asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count, ties broken by user_id.
+
+    Scale: groupBy (one shuffle) then a global top-k. A full-sort would be
+    the naive plan; Spark's ``orderBy().limit(k)`` compiles to TakeOrdered
+    (per-partition top-k + driver merge of k*P rows) — no global sort.
+    """
+    df = load(spark, sf_dir, "events")
+    counts = df.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(10)
+
+
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile: counts, distinct types, value sum, active span.
+
+    ``countDistinct`` is exact (partial aggregation per node, single
+    shuffle); timestamps exported as formatted strings so engine-side
+    timestamp repr differences can't break the value hash.
+    """
+    df = load(spark, sf_dir, "events")
+    return df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch equivalent of a streaming ``session_window``. Returns
+    per-user session count and max session length.
+
+    Scale: one shuffle on user_id; both window functions reuse the same
+    partitioning (single Exchange in the plan).
+    """
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        df.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > SESSION_GAP_MIN * 60)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    sized = sessions.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+    return sized.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+def q_type_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-style) — per user, value sums split
+    by event type. Map-side expressible: one shuffle, no pivot operator
+    needed (static type list keeps the plan deterministic)."""
+    df = load(spark, sf_dir, "events")
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(0.0))), 4
+        ).alias(f"sum_{t}")
+        for t in ("click", "purchase", "view")
+    ]
+    return df.groupBy("user_id").agg(*aggs)
+
+
+QUERIES = {
+    "q_dedup": q_dedup,
+    "q_topk_users": q_topk_users,
+    "q_user_stats": q_user_stats,
+    "q_sessionize": q_sessionize,
+    "q_type_value_pivot": q_type_value_pivot,
+}
+
+ORACLES = {
+    "q_dedup": """
+        SELECT event_id, event_type, user_id FROM (
+          SELECT event_id, event_type, user_id,
+                 ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts ASC, event_type ASC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "q_topk_users": """
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """,
+    "q_user_stats": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               ROUND(SUM(value), 4) AS sum_value,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+        FROM events GROUP BY user_id
+    """,
+    "q_sessionize": f"""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        ), sized AS (
+          SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               MAX(n) AS max_session_events
+        FROM sized GROUP BY user_id
+    """,
+    "q_type_value_pivot": """
+        SELECT user_id,
+               ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS sum_click,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS sum_purchase,
+               ROUND(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS sum_view
+        FROM events GROUP BY user_id
+    """,
+}

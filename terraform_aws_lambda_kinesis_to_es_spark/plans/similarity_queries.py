@@ -1,0 +1,168 @@
+"""Similarity-search query surface over ``embeddings``.
+
+The oracle SQL is *generated* with explicit left-associative 64-term dot
+products so DuckDB performs bit-identical IEEE double arithmetic to
+Spark's higher-order-function fold (0.0 + t1 + t2 + ... in array order).
+That makes cosine values — and therefore rank order — exactly comparable,
+with round(4) only as a final formatting step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+N_QUERY_VECS = 5
+TOP_K = 10
+NEAR_DUP_THRESHOLD = 0.35
+
+
+def _vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("v"))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k: query vectors (vec_id < N) broadcast
+    against the full corpus; per-query top-k, ties on neighbor id."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.knn_bruteforce(vecs, queries, k=TOP_K)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup detection (the brute-force baseline
+    the LSH path approximates at scale)."""
+    vecs = _vec(spark, sf_dir)
+    return S.near_dup_pairs_exact(vecs, NEAR_DUP_THRESHOLD)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane sign-bit buckets (row-local, seeded
+    constants), exact cosine rank within the query's bucket. Deterministic
+    => SQL oracle mirrors the bucketing exactly."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.knn_lsh(vecs, queries, k=TOP_K)
+
+
+def q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-vector (centroid) pipeline: aggregate 64-dim arrays
+    position-wise, then cosine of each vector to its own label centroid.
+    Demonstrates vector aggregation without any UDF.
+
+    No SQL oracle: the centroid averaging order is partition-dependent in
+    Spark (float sums differ at 1e-16 from DuckDB's), so the driver
+    records the rows-only check; pytest asserts numeric agreement with a
+    numpy reference at tolerance instead.
+    """
+    vecs = _vec(spark, sf_dir)
+    # position-wise mean: explode positions once, avg per (label, pos).
+    pos = vecs.select(
+        "label", "vec_id", F.posexplode("v").alias("pos", "x")
+    )
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cent_vec = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    joined = vecs.join(F.broadcast(cent_vec), "label")
+    return joined.select(
+        "vec_id",
+        "label",
+        F.round(S.cosine(F.col("v"), F.col("centroid")), 4).alias("sim_to_centroid"),
+    )
+
+
+QUERIES = {
+    "q_knn_cosine": q_knn_cosine,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_ann_lsh": q_ann_lsh,
+    "q_centroid_sim": q_centroid_sim,
+}
+
+# ---------------------------------------------------------------- oracles
+
+
+def _dot_sql(a: str, b: str, dim: int = S.EMBED_DIM) -> str:
+    """Explicit left-assoc dot product, 1-based DuckDB indexing; starts at
+    0.0 so the fold matches Spark's aggregate() seed exactly."""
+    terms = " + ".join(f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim))
+    return f"(0.0 + {terms})"
+
+
+def _dot_const_sql(a: str, vec: list[float]) -> str:
+    """Dot with literal hyperplane, mirroring operators.similarity.dot_const
+    (left-assoc, no 0.0 seed — matches the Spark expression shape)."""
+    terms = " + ".join(f"{a}[{i + 1}] * {v!r}" for i, v in enumerate(vec))
+    return f"({terms})"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _bucket_sql(v: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_const_sql(v, plane)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(S.HYPERPLANES)
+    )
+    return f"CAST({bits} AS INT)"
+
+
+_VEC_CTE = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+_KNN_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql("c.v", "q.qv")} AS sim_raw
+  FROM vecs c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+_NEAR_DUP_SQL = f"""
+WITH vecs AS ({_VEC_CTE})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cosine_sql("a.v", "b.v")}, 4) AS sim
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql("a.v", "b.v")}, 4) >= {NEAR_DUP_THRESHOLD}
+"""
+
+_ANN_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+bucketed AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM vecs),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+      WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql("c.v", "q.qv")} AS sim_raw
+  FROM bucketed c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+ORACLES = {
+    "q_knn_cosine": _KNN_SQL,
+    "q_embed_near_dup": _NEAR_DUP_SQL,
+    "q_ann_lsh": _ANN_SQL,
+    # q_centroid_sim: rows-only (float aggregation order differs by design).
+}

@@ -1,0 +1,227 @@
+"""Text-analysis query surface over the ``documents`` table.
+
+Cross-engine precision rules used throughout this module:
+* per-row ratios are emitted as exact integer basis points
+  ``(10000 * num) DIV den`` — integer division is bit-identical in Spark
+  and DuckDB, unlike ``round(float_division, 4)`` whose half-up vs
+  scale-multiply rounding can disagree at decimal midpoints;
+* aggregate sums of integer columns are exact; no float avgs are emitted
+  where the group count is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60, hash60_sql
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+    BPE_REGEX,
+    LANG_MARKERS,
+    STOPWORDS,
+    predicted_lang,
+    tokens,
+    word_ngrams,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+# DuckDB-side token expression mirroring operators.text.tokens(lower(text)).
+_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+_TOKS_RAW = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount: explode + hash aggregate. One shuffle on the
+    word key; partial map-side aggregation keeps the exchange small."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (exact integer sums, no float avgs)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.withColumn("n_tokens", F.size(tokens(F.col("text")))).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language-ID heuristic (operators.text.predicted_lang):
+    per-language marker-token counts, argmax with alphabetical tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", predicted_lang(tokens(F.lower(F.col("text")))).alias("pred_lang")
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals in exact integer basis points."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_calc", F.length("text"))
+        .withColumn(
+            "stop_cnt", F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        )
+        .withColumn(
+            "punct_cnt",
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[.,!?;:]", "")),
+        )
+    )
+    d = (
+        d.withColumn(
+            "stop_ratio_bp",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(10000 * stop_cnt) DIV n_tokens"),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "punct_ratio_bp",
+            F.when(
+                F.col("n_chars_calc") > 0,
+                F.expr("(10000 * punct_cnt) DIV n_chars_calc"),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+    )
+    # Composite score, all-integer: 50% length saturation (tokens capped at
+    # 100), 30% stopword presence, 20% punctuation cleanliness.
+    d = d.withColumn(
+        "quality_bp",
+        F.expr(
+            "CAST((least(n_tokens, 100) * 100 * 5 + stop_ratio_bp * 3"
+            " + (10000 - punct_ratio_bp) * 2) DIV 10 AS BIGINT)"
+        ),
+    )
+    return d.select(
+        "doc_id", "n_chars_calc", "n_tokens", "stop_ratio_bp", "punct_ratio_bp", "quality_bp"
+    )
+
+
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: sorted-distinct-token md5 (key-collision
+    fingerprint) + min rolling shingle hash (winnowing-style)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp_md5"),
+        F.array_min(F.transform(word_ngrams(toks, 5), lambda s: hash60(s))).alias(
+            "fp_shingle_min"
+        ),
+    )
+
+
+QUERIES = {
+    "q_wordcount": q_wordcount,
+    "q_doc_stats": q_doc_stats,
+    "q_langid": q_langid,
+    "q_quality": q_quality,
+    "q_tokens": q_tokens,
+    "q_fingerprint": q_fingerprint,
+}
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> t IN ({_in_list(m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id, {score['de']} AS sd, {score['en']} AS se,
+                     {score['es']} AS ss, {score['fr']} AS sf FROM t)
+        SELECT doc_id,
+               CASE WHEN greatest(sd, se, ss, sf) <= 0 THEN 'und'
+                    WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
+                    WHEN se >= ss AND se >= sf THEN 'en'
+                    WHEN ss >= sf THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    """
+
+
+def _ngrams_sql(toks_expr: str, n: int) -> str:
+    """DuckDB word-n-gram list over a token-list expression (1-based,
+    inclusive slice — mirrors Spark slice(toks, i, n))."""
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks_expr}) - {n - 1}), "
+        f"i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+ORACLES = {
+    "q_wordcount": f"""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word
+    """,
+    "q_doc_stats": f"""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+               SUM(len({_TOKS_RAW})) AS sum_tokens,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    "q_langid": _langid_sql(),
+    "q_quality": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_calc,
+                 len({_TOKS_RAW}) AS n_tokens,
+                 len(list_filter({_TOKS_RAW}, t -> t IN ({_in_list(STOPWORDS)}))) AS stop_cnt,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt
+          FROM documents
+        ), bp AS (
+          SELECT doc_id, n_chars_calc, n_tokens,
+                 CASE WHEN n_tokens > 0 THEN (10000 * stop_cnt) // n_tokens ELSE 0 END AS stop_ratio_bp,
+                 CASE WHEN n_chars_calc > 0 THEN (10000 * punct_cnt) // n_chars_calc ELSE 0 END AS punct_ratio_bp
+          FROM base
+        )
+        SELECT doc_id, n_chars_calc, n_tokens,
+               CAST(stop_ratio_bp AS BIGINT) AS stop_ratio_bp,
+               CAST(punct_ratio_bp AS BIGINT) AS punct_ratio_bp,
+               CAST((least(n_tokens, 100) * 100 * 5 + stop_ratio_bp * 3
+                     + (10000 - punct_ratio_bp) * 2) // 10 AS BIGINT) AS quality_bp
+        FROM bp
+    """,
+    "q_tokens": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS_RAW}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "q_fingerprint": f"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp_md5,
+               list_min(list_transform({_ngrams_sql(_TOKS, 5)},
+                        g -> {hash60_sql('g')})) AS fp_shingle_min
+        FROM documents
+    """,
+}

@@ -1,0 +1,204 @@
+"""Relational capability surface over the TPC-H-ish star schema.
+
+The reference has no joins/sorts/window functions (SURVEY.md §2.7 — explicit
+nulls); Spark supplies them natively. These queries exist to demonstrate —
+and benchmark — the join strategies that matter at 100 TB:
+
+* dimension joins are **broadcast** (region/nation/customer are tiny
+  relative to the fact tables; `F.broadcast` pins the hint, AQE would pick
+  it anyway at runtime),
+* fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and AQE
+  coalesces/splits post-shuffle partitions,
+* aggregations are partial (map-side combine) before the exchange.
+
+All money aggregates round(4) on both engines so double-summation order
+cannot break the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan-heavy single aggregation.
+    Filter + column pruning push into the parquet scan; one shuffle on the
+    2-value grouping key."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: two broadcast dimension joins + one
+    shuffled fact-fact join, then a small aggregation. The canonical
+    star-join plan: only orders ⋈ lineitem exchanges data."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+    ord_nation = orders.join(
+        F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey
+    ).select("o_orderkey", "n_name")
+    joined = lineitem.join(ord_nation, lineitem.l_orderkey == ord_nation.o_orderkey)
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: filtered join + top-k by revenue. `orderBy.limit`
+    compiles to TakeOrdered — per-partition heap, no global sort."""
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    j = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return j.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority) — multi-level aggregate in
+    one pass (Spark expands grouping sets map-side; single shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: rank suppliers by account balance within nation —
+    one shuffle on the partition key, rank ties broken deterministically
+    in the output contract (dense output keyed by s_suppkey)."""
+    supplier = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supplier.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("s_nationkey", "s_suppkey", F.round("s_acctbal", 4).alias("acctbal"), "rank_in_nation")
+    )
+
+
+def q_customer_order_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: customers with no orders (left-anti). At
+    scale this is a shuffled anti-join on the key; no data explosion."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_part_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + aggregation over parts. Sum (not avg) of the 2-decimal
+    price: the true value has <= 2 decimals, so round(4) is midpoint-free
+    and bit-stable across engines and partition orders (an avg here can
+    land exactly on a .xxxx5 midpoint — observed at sf0.01 — where Spark's
+    HALF_UP and DuckDB's rounding disagree)."""
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 4).alias("sum_price"),
+    )
+
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_top_orders": q_top_orders,
+    "q_order_priority_rollup": q_order_priority_rollup,
+    "q_supplier_rank": q_supplier_rank,
+    "q_customer_order_semi": q_customer_order_semi,
+    "q_part_size_dist": q_part_size_dist,
+}
+
+ORACLES = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_revenue_by_nation": """
+        SELECT n.n_name AS nation,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+    "q_top_orders": """
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q_order_priority_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q_supplier_rank": """
+        SELECT s_nationkey, s_suppkey, ROUND(s_acctbal, 4) AS acctbal, rank_in_nation
+        FROM (
+          SELECT s_nationkey, s_suppkey, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank_in_nation
+          FROM supplier
+        ) WHERE rank_in_nation <= 3
+    """,
+    "q_customer_order_semi": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+    "q_part_size_dist": """
+        SELECT p_brand,
+               COUNT(DISTINCT p_type) AS n_types,
+               COUNT(*) AS n_parts,
+               ROUND(SUM(p_retailprice), 4) AS sum_price
+        FROM part GROUP BY p_brand
+    """,
+}

@@ -1,0 +1,37 @@
+"""Every declared query vs its DuckDB oracle at sf0.001 — the same check
+the driver runs at sf0.01. A failure here is a CORRECTNESS gate failure."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrypoint
+from tests.oracle_harness import compare, duck_connect
+
+QUERIES = entrypoint.queries()
+ORACLES = entrypoint.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    res = compare(df, duck, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrypoint.entry(spark)
+    assert df.count() > 0
