@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
+the noop sink (full computation, no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    # reference hot path
+    "q_validate_route",
+    "q_index_name",
+    "q_daily_counts",
+    "q_chunk_count",
+    "q_es_actions",
+    # relational / analytics
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_top_orders",
+    "q_user_stats",
+    "q_sessionize",
+    "q_topk_users",
+    # training-data ops
+    "q_wordcount",
+    "q_minhash_dedup",
+    "q_simhash",
+    "q_knn_cosine",
+    "q_ann_lsh",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    import __spark_entry__ as entrypoint
+
+    queries = entrypoint.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

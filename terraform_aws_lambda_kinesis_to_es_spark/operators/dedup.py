@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     N_PERM,
+    PERM_A,
+    PERM_B,
     hash60,
-    perm_hash,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens, word_ngrams
 
@@ -51,29 +52,63 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFram
 
 
 def with_minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
-    """64-permutation MinHash signature, computed row-locally: one pass to
-    hash each shingle, then an array_min per permutation. No shuffle."""
+    """64-permutation MinHash signature, computed row-locally with a SINGLE
+    fold: each shingle is md5-hashed exactly once, and all 64 permutation
+    mins update in one zip_with per element. (The naive form — one
+    array_min(transform(...)) per permutation — looks fine but Catalyst's
+    CollapseProject inlines the shared hashed-array projection into all 64
+    branches, recomputing md5 64x per shingle; measured 14s for 500 docs
+    at sf0.1, ~1s with the fold.) No shuffle; empty shingle sets keep the
+    MERSENNE61 sentinel as their signature."""
+    from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import MERSENNE61, MOD31
+
     hashed = F.transform(F.col(shingle_col), lambda s: hash60(s))
-    df = df.withColumn("shingle_hashes", hashed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in PERM_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in PERM_B])
+    init = F.array_repeat(F.lit(MERSENNE61).cast("long"), N_PERM)
 
-    def _perm(i: int):
-        # factory closure: HOF lambdas must have exactly the lambda-variable
-        # arity (a default arg would become a spurious lambda variable)
-        return lambda h: perm_hash(h, i)
+    def merge(acc: Column, h: Column) -> Column:
+        perms = F.zip_with(
+            a_arr, b_arr, lambda a, b: (a * (h % F.lit(MOD31)) + b) % F.lit(MERSENNE61)
+        )
+        return F.zip_with(acc, perms, lambda m, p: F.least(m, p))
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingle_hashes"), _perm(i)))
-            for i in range(N_PERM)
-        ]
+    return df.withColumn("mh", F.aggregate(hashed, init, merge)).drop("shingle_hashes")
+
+
+def pairs_within_buckets(bucketed: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket key.
+
+    Shape matters at scale: a self-equi-join on the bucket key would
+    recompute the (expensive) bucketing subtree twice and shuffle it twice.
+    Instead: ONE shuffle (groupBy bucket key), collect the bucket's ids,
+    and expand pairs with a higher-order expression — cost proportional to
+    the candidate pairs, never to the corpus squared. Hot buckets are the
+    skew risk; with banded signatures buckets stay tiny by construction.
+    """
+    grouped = bucketed.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
     )
-    return df.withColumn("mh", sig).drop("shingle_hashes")
+    pairs = (
+        grouped.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+    return pairs.distinct()
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (LSH_BANDS bands x LSH_ROWS rows) and self-join on
-    (band, band_key): the only shuffle of the pipeline, keyed so that only
-    probable near-duplicates meet. Returns distinct (id_a < id_b) pairs."""
+    """Band the signature (LSH_BANDS bands x LSH_ROWS rows); candidates are
+    ids sharing any (band, band_key) bucket. Single signature pass, single
+    keyed shuffle (see pairs_within_buckets)."""
     bands = F.array(
         *[
             F.struct(
@@ -89,53 +124,50 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         sig_df.select(F.col(id_col), F.explode(bands).alias("b"))
         .select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-
-
-def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays (JVM set ops)."""
-    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    return pairs_within_buckets(exploded, ["band", "bkey"], id_col)
 
 
 def verify_pairs_jaccard(
-    pairs: DataFrame, shingle_df: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    pairs: DataFrame,
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold_bp: int = 5000,
 ) -> DataFrame:
     """Join shingle sets back onto candidate pairs and keep exact Jaccard
-    >= threshold. Two hash joins on ids; at scale the shingle side is the
-    big relation and the pair side is small — Spark broadcasts the pairs."""
+    >= threshold (basis points). Two hash joins on ids; at scale the
+    shingle side is the big relation and the pair side is small — Spark
+    broadcasts the pairs."""
     sa = shingle_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingle_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), F.col("jaccard")
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+            ),
         )
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
     )
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold_bp: int = 5000
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: shingle -> signature (row-local)
-    -> band self-join (one keyed shuffle) -> exact-Jaccard verification."""
-    shingled = with_shingles(df, text_col)
+    """Full MinHash+LSH near-dup pipeline: shingle -> signature (row-local
+    fold) -> band bucketing (one keyed shuffle) -> exact-Jaccard verify.
+
+    The shingle stage is persisted: it feeds both the signature path and
+    the verification join, and recomputing it dominates runtime otherwise.
+    At cluster scale this is the standard staged-materialization point
+    (signatures would be written to a table)."""
+    shingled = with_shingles(df, text_col).select(id_col, text_col, "shingles").persist()
     sig = with_minhash_signature(shingled)
     cands = lsh_candidate_pairs(sig, id_col)
-    return verify_pairs_jaccard(cands, shingled.select(id_col, "shingles"), id_col, threshold)
+    return verify_pairs_jaccard(cands, shingled.select(id_col, "shingles"), id_col, threshold_bp)
 
 
 SIMHASH_BITS = 60
@@ -146,19 +178,26 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokens are hashed once into an array, then each bit's +/-1 weight sum
     folds over that array. Zero shuffle — the scan is the only stage."""
     hashed = F.transform(tokens(F.lower(F.col(text_col))), lambda t: hash60(t))
-    df = df.withColumn("_th", hashed)
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
 
-    def _bit_weight(i: int):
-        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+    # Single fold over the hashed tokens (one md5 per token): each element
+    # updates all 60 bit weights via one zip_with — same CollapseProject
+    # rationale as with_minhash_signature.
+    def merge(acc: Column, h: Column) -> Column:
+        return F.zip_with(
+            acc,
+            pow2,
+            lambda w, p: w + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
 
-    bit_terms = []
-    for i in range(SIMHASH_BITS):
-        weight = F.aggregate(F.col("_th"), F.lit(0).cast("bigint"), _bit_weight(i))
-        bit_terms.append(F.when(weight > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    simhash = bit_terms[0]
-    for t in bit_terms[1:]:
-        simhash = simhash + t
-    return df.withColumn("simhash", simhash.cast("bigint")).drop("_th")
+    weights = F.aggregate(hashed, init, merge)
+    simhash = F.aggregate(
+        F.zip_with(weights, pow2, lambda w, p: F.when(w > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn("simhash", simhash)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -188,19 +227,29 @@ def simhash_near_pairs(
     exploded = sim_df.select(id_col, "simhash", F.explode(blocks).alias("b")).select(
         id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # Carry the signature through the bucket groupBy so the (expensive)
+    # simhash subtree is computed exactly once; pairs expand in-bucket.
+    grouped = exploded.groupBy("blk", "bval").agg(
+        F.array_sort(F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))).alias(
+            "xs"
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        grouped.filter(F.size("xs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (x, i) ->"
+                    " transform(slice(xs, i + 2, size(xs)), y ->"
+                    " struct(x.id AS id_a, y.id AS id_b,"
+                    " x.simhash AS sh_a, y.simhash AS sh_b))))"
+                )
+            ).alias("p")
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            hamming64(F.col("p.sh_a"), F.col("p.sh_b")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_distance)

@@ -42,24 +42,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, exact-Jaccard verified (bp)."""
     docs = load(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs)
-    sig = D.with_minhash_signature(shingled)
-    cands = D.lsh_candidate_pairs(sig)
-    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard_bp",
-            F.expr(
-                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
-                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
-            ),
-        )
-        .filter(F.col("jaccard_bp") >= JACCARD_THRESHOLD_BP)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
-    )
+    return D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,12 +52,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     shingled = D.with_shingles(docs)
     ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    pairs = D.pairs_within_buckets(ex, ["g"], "doc_id")
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
