@@ -53,7 +53,6 @@ def parse_timestamp(col: Column) -> Column:
         F.try_to_timestamp(s),  # ISO-8601 / Spark default
         F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
         F.try_to_timestamp(s, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),  # CLF
-        F.try_to_timestamp(s, F.lit("EEE MMM dd HH:mm:ss yyyy")),  # asctime
         F.try_to_timestamp(s, F.lit("yyyyMMdd'T'HHmmssX")),
         F.try_to_timestamp(s, F.lit("MM/dd/yyyy HH:mm:ss")),
     )

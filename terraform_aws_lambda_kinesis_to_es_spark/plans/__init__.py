@@ -19,6 +19,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (
         dedup_queries,
         events_analytics,
+        multimodal_queries,
         reference_queries,
         similarity_queries,
         text_queries,
@@ -34,6 +35,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         text_queries,
         dedup_queries,
         similarity_queries,
+        multimodal_queries,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

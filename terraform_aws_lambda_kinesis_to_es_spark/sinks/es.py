@@ -1,0 +1,164 @@
+"""Elasticsearch bulk sink with per-action reject capture.
+
+Reference semantics (lambda/main.py:126-153): actions are chunked 500 per
+bulk HTTP request (main.py:30, exactly one internal chunk per request —
+main.py:146-147); per-action rejects are collected, not raised, and routed
+to the dead-letter channel (main.py:149-153,163-172).
+
+Spark shape: the es-hadoop connector can't capture per-document rejects,
+so the sink runs inside ``foreachBatch``/``foreachPartition`` with a
+pluggable client (SURVEY.md §7.4). Each executor partition opens one
+client, sends its rows in fixed chunks, and RETURNS rejects as data — so
+the reject stream is a DataFrame like any other, and the whole thing
+scales horizontally with partitions (the reference was capped at one
+single-threaded Lambda per shard).
+
+The in-memory client exists for tests and local runs; a real HTTPS+SigV4
+client drops into the same protocol without touching the operator.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Iterator
+from typing import Protocol
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
+
+
+class BulkClient(Protocol):
+    """One bulk call = one HTTP request (reference main.py:146-147).
+    Returns the rejected actions (empty list = all indexed)."""
+
+    def bulk(self, actions: list[dict]) -> list[dict]: ...
+
+
+class InMemoryElasticsearch:
+    """Process-local test double for direct (non-Spark) unit calls."""
+
+    def __init__(self, reject_if=None) -> None:
+        self.indexed: dict[str, list[dict]] = {}
+        self.calls: list[int] = []
+        self._reject_if = reject_if
+
+    def bulk(self, actions: list[dict]) -> list[dict]:
+        self.calls.append(len(actions))
+        rejects = []
+        for a in actions:
+            if self._reject_if is not None and self._reject_if(a):
+                rejects.append(a)
+            else:
+                self.indexed.setdefault(a["_index"], []).append(a["_source"])
+        return rejects
+
+
+class FileSystemElasticsearch:
+    """Distributed test double: each bulk call writes one NDJSON file.
+
+    Spark Python closures execute in separate worker PROCESSES even in
+    local[N], so an in-memory stub mutated on workers is invisible to the
+    driver; the filesystem is the shared medium (exactly how the real
+    client's side effects — HTTP calls — escape the worker). One file per
+    bulk call also lets tests assert the chunk-per-request contract
+    (reference main.py:146-147)."""
+
+    def __init__(self, base_dir: str, reject_if=None) -> None:
+        self.base_dir = base_dir
+        self._reject_if = reject_if
+
+    def bulk(self, actions: list[dict]) -> list[dict]:
+        import os
+        import uuid
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        rejects, indexed = [], []
+        for a in actions:
+            if self._reject_if is not None and self._reject_if(a):
+                rejects.append(a)
+            else:
+                indexed.append(a)
+        path = os.path.join(self.base_dir, f"call-{uuid.uuid4().hex}.ndjson")
+        with open(path, "w") as f:
+            f.write(json.dumps({"_call_size": len(actions)}) + "\n")
+            for a in indexed:
+                f.write(json.dumps({"_index": a["_index"], "_source": a["_source"]}) + "\n")
+        return rejects
+
+    @staticmethod
+    def read_indexed(base_dir: str) -> dict[str, list[dict]]:
+        import glob
+        import os
+
+        out: dict[str, list[dict]] = {}
+        for path in glob.glob(os.path.join(base_dir, "call-*.ndjson")):
+            with open(path) as f:
+                for line in f:
+                    obj = json.loads(line)
+                    if "_call_size" in obj:
+                        continue
+                    out.setdefault(obj["_index"], []).append(obj["_source"])
+        return out
+
+    @staticmethod
+    def read_call_sizes(base_dir: str) -> list[int]:
+        import glob
+        import os
+
+        sizes = []
+        for path in glob.glob(os.path.join(base_dir, "call-*.ndjson")):
+            with open(path) as f:
+                sizes.append(json.loads(f.readline())["_call_size"])
+        return sizes
+
+
+REJECT_SCHEMA = T.StructType(
+    [
+        T.StructField("_index", T.StringType()),
+        T.StructField("_source", T.StringType()),
+    ]
+)
+
+
+def _chunks(it: Iterable, n: int) -> Iterator[list]:
+    buf: list = []
+    for x in it:
+        buf.append(x)
+        if len(buf) == n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def bulk_index(
+    actions_df: DataFrame,
+    client_factory,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Index an actions DataFrame (columns ``_index``, ``_type``,
+    ``_source`` as JSON string — routing.build_es_actions shape) and
+    return the rejects as a DataFrame.
+
+    Executes via ``mapPartitions``-style Arrow-free iteration: each
+    partition opens ONE client (reference: one client per invocation,
+    main.py:76-84), sends ceil(n/500) bulk requests, yields rejects.
+    """
+    chunk_size = cfg.bulk_chunk_size
+    spark = actions_df.sparkSession
+
+    def _send(rows: Iterator[Row]) -> Iterator[Row]:
+        client = client_factory()
+        for chunk in _chunks(rows, chunk_size):
+            actions = [
+                {"_index": r["_index"], "_type": "_doc", "_source": json.loads(r["_source"])}
+                for r in chunk
+            ]
+            for rej in client.bulk(actions):
+                yield Row(_index=rej["_index"], _source=json.dumps(rej["_source"]))
+
+    rejects_rdd = actions_df.select("_index", "_source").rdd.mapPartitions(_send)
+    return spark.createDataFrame(rejects_rdd, REJECT_SCHEMA)

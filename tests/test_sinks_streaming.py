@@ -1,0 +1,191 @@
+"""Sink + end-to-end streaming tests: chunking, reject capture, dead-letter
+layouts, at-least-once smoke (SURVEY.md §5.4).
+
+The ES double is file-backed (sinks.es.FileSystemElasticsearch): Spark
+Python closures run in worker processes, so the filesystem is the shared
+medium. Client factories are lambdas (cloudpickle serializes them by
+value — a test-module top-level function would pickle by reference and
+fail to import on workers)."""
+
+from __future__ import annotations
+
+import base64
+import glob
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
+from terraform_aws_lambda_kinesis_to_es_spark.sinks import deadletter, es
+from terraform_aws_lambda_kinesis_to_es_spark.streaming import pipeline
+
+CFG = PipelineConfig(index_name_prefix="logs", bulk_chunk_size=500)
+FSES = es.FileSystemElasticsearch
+
+
+def rec(i: int, log_type: str = "app", **kw) -> dict:
+    r = {"log_type": log_type, "time": "2024-03-01T10:00:00Z", "log_id": f"id{i}"}
+    r.update(kw)
+    return r
+
+
+def b64(obj: dict) -> str:
+    return base64.b64encode(json.dumps(obj).encode()).decode()
+
+
+def test_inmemory_stub_unit():
+    client = es.InMemoryElasticsearch(reject_if=lambda a: a["_source"].get("bad"))
+    rejects = client.bulk(
+        [
+            {"_index": "i", "_type": "_doc", "_source": {"x": 1}},
+            {"_index": "i", "_type": "_doc", "_source": {"x": 2, "bad": True}},
+        ]
+    )
+    assert [r["_source"]["x"] for r in rejects] == [2]
+    assert client.indexed["i"] == [{"x": 1}] and client.calls == [2]
+
+
+def test_chunking_500_per_request(spark, tmp_path):
+    base = str(tmp_path / "es")
+    df = spark.range(1234).select(
+        F.lit("logs-app-20240301").alias("_index"),
+        F.lit("_doc").alias("_type"),
+        F.to_json(F.struct(F.col("id"))).alias("_source"),
+    ).coalesce(1)
+    rejects = es.bulk_index(df, lambda: FSES(base), CFG)
+    assert rejects.count() == 0
+    sizes = FSES.read_call_sizes(base)
+    # one partition => ceil(1234/500) == 3 requests (main.py:30,132)
+    assert sorted(sizes) == [234, 500, 500]
+    assert len(FSES.read_indexed(base)["logs-app-20240301"]) == 1234
+
+
+def test_reject_capture(spark, tmp_path):
+    base = str(tmp_path / "es")
+    df = spark.createDataFrame(
+        [("i1", json.dumps({"x": 1})), ("i1", json.dumps({"x": 2, "bad": True}))],
+        ["_index", "_source"],
+    )
+    rejects = es.bulk_index(
+        df.withColumn("_type", F.lit("_doc")),
+        lambda: FSES(base, reject_if=lambda a: a["_source"].get("bad", False)),
+        CFG,
+    )
+    rows = rejects.collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0]._source)["x"] == 2
+    assert [d["x"] for ds in FSES.read_indexed(base).values() for d in ds] == [1]
+
+
+def test_validation_dlq_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("unknown", '{"no_type": 1}')], "log_type string, payload string"
+    ).withColumn("log_ts", F.to_timestamp(F.lit("2024-03-05 01:02:03")))
+    base = str(tmp_path / "dlq")
+    deadletter.write_validation_failures(df, CFG, base)
+    files = glob.glob(f"{base}/log_type=unknown/y_m=2024-03/d=05/*.gz")
+    assert files
+    assert gzip.open(files[0]).read().decode().strip() == '{"no_type": 1}'
+
+
+def test_es_reject_blob_layout(spark, tmp_path):
+    from datetime import datetime
+
+    df = spark.createDataFrame([("i", '{"a":1}'), ("i", '{"b":2}')], ["_index", "_source"])
+    base = str(tmp_path / "rej")
+    path = deadletter.write_es_rejects(df, CFG, base, now=datetime(2024, 3, 5, 1, 2, 3))
+    assert path.endswith("failed/2024-03/05/2024-03-05-01:02:03")
+    lines = set()
+    for f in glob.glob(f"{path}/*.gz"):
+        lines |= set(gzip.open(f).read().decode().strip().splitlines())
+    assert lines == {'{"a":1}', '{"b":2}'}
+
+
+@pytest.fixture()
+def staged_stream(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    records = (
+        [{"data": b64(rec(i))} for i in range(20)]
+        + [{"data": b64({"time": "2024-03-01T10:00:00Z", "log_id": "no-type"})}]
+        + [{"data": b64({"log_type": "app", "log_id": "no-time"})}]
+        + [{"data": b64(rec(99, log_type="spam"))}]
+        + [{"data": base64.b64encode(b"not json").decode()}]
+        + [{"data": b64(rec(7, log_type="late", time="2020-01-01T00:00:00Z"))}]
+    )
+    with open(src / "batch1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in records))
+    return str(src)
+
+
+def test_streaming_end_to_end(spark, tmp_path, staged_stream):
+    esbase = str(tmp_path / "es")
+    cfg = PipelineConfig(
+        index_name_prefix="logs",
+        log_type_whitelist=frozenset({"app", "late", "unknown"}),
+    )
+    etl = pipeline.StreamingEtl(cfg, lambda: FSES(esbase), str(tmp_path / "dlq"))
+    q = pipeline.start_stream(
+        spark, staged_stream, "data string", etl, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    indexed = FSES.read_indexed(esbase)
+    # 20 valid 'app' records -> daily index from EVENT time
+    assert len(indexed["logs-app-20240301"]) == 20
+    # late record lands in its old daily index, never dropped (T5)
+    assert len(indexed["logs-late-20200101"]) == 1
+    # whitelist: 'spam' silently dropped; non-JSON silently dropped
+    assert not any("spam" in k for k in indexed)
+    # _source is the VERBATIM original record (main.py:116)
+    assert {"log_type": "app", "time": "2024-03-01T10:00:00Z", "log_id": "id0"} in [
+        json.loads(s) if isinstance(s, str) else s for s in indexed["logs-app-20240301"]
+    ]
+    # validation failures dead-lettered by type (README.md:13 layout)
+    assert glob.glob(str(tmp_path / "dlq/validation/log_type=unknown/**/*.gz"), recursive=True)
+    assert glob.glob(str(tmp_path / "dlq/validation/log_type=app/**/*.gz"), recursive=True)
+    done = [h for h in etl.history if h.n_valid or h.n_failed]
+    assert done and done[0].n_valid == 21 and done[0].n_failed == 2
+
+
+def test_streaming_reject_dead_letter(spark, tmp_path, staged_stream):
+    esbase = str(tmp_path / "es")
+    cfg = PipelineConfig(index_name_prefix="logs")
+    etl = pipeline.StreamingEtl(
+        cfg,
+        lambda: FSES(esbase, reject_if=lambda a: a["_source"]["log_id"] == "id3"),
+        str(tmp_path / "dlq"),
+    )
+    q = pipeline.start_stream(
+        spark, staged_stream, "data string", etl, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    rej = glob.glob(str(tmp_path / "dlq/rejects/**/*.gz"), recursive=True)
+    assert rej
+    contents = b"".join(gzip.open(f).read() for f in rej).decode()
+    assert '"id3"' in contents
+    assert any(h.n_rejected == 1 for h in etl.history)
+
+
+def test_streaming_resume_no_reprocess(spark, tmp_path, staged_stream):
+    """Checkpoint semantics: a second availableNow run over the same
+    source must not re-index already-processed files (T3 bookkeeping)."""
+    esbase = str(tmp_path / "es")
+    etl = pipeline.StreamingEtl(CFG, lambda: FSES(esbase), str(tmp_path / "dlq"))
+    ckpt = str(tmp_path / "ckpt3")
+    q = pipeline.start_stream(spark, staged_stream, "data string", etl, ckpt)
+    q.awaitTermination(120)
+    n_first = len(FSES.read_indexed(esbase).get("logs-app-20240301", []))
+    q2 = pipeline.start_stream(spark, staged_stream, "data string", etl, ckpt)
+    q2.awaitTermination(120)
+    n_second = len(FSES.read_indexed(esbase).get("logs-app-20240301", []))
+    assert n_first == n_second == 20
+
+
+def test_empty_batch_short_circuits(spark, tmp_path):
+    esbase = str(tmp_path / "es")
+    etl = pipeline.StreamingEtl(CFG, lambda: FSES(esbase), str(tmp_path / "dlq"))
+    empty = spark.createDataFrame([], "data string")
+    res = etl.process_batch(empty, 0)
+    assert res.n_valid == 0 and FSES.read_call_sizes(esbase) == []
