@@ -21,6 +21,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         events_analytics,
         multimodal_queries,
         reference_queries,
+        relational_ext,
         similarity_queries,
         text_queries,
         tpch_queries,
@@ -36,6 +37,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup_queries,
         similarity_queries,
         multimodal_queries,
+        relational_ext,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

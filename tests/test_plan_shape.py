@@ -1,0 +1,74 @@
+"""Plan-shape regression guards: the physical plans that make these
+queries scale must not silently degrade. These assert on the executed
+plan, not timings — partition-count-independent and cheap."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrypoint
+
+QUERIES = entrypoint.queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_whitelist_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_whitelist")
+    assert "PushedFilters: [In(event_type" in plan
+    # map-only: no exchange at all
+    assert "Exchange" not in plan
+
+
+def test_pricing_summary_single_shuffle_with_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_pricing_summary")
+    assert plan.count("Exchange") == 1
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    assert "TakeOrdered" in plan_of(spark, sf_dir, "q_topk_users")
+    assert "TakeOrdered" in plan_of(spark, sf_dir, "q_top_orders")
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # q_index_name touches only event_id/event_type/ts; props (the widest
+    # column) must not be read
+    plan = plan_of(spark, sf_dir, "q_index_name")
+    assert "props" not in plan
+
+
+def test_sessionize_reuses_one_exchange(spark, sf_dir):
+    # both windows + both aggregations share the user_id partitioning
+    plan = plan_of(spark, sf_dir, "q_sessionize")
+    assert plan.count("Exchange") <= 2
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    # the reference hot path and relational analytics must stay JVM-side;
+    # Python appears only in the isolated decode/multimodal stages
+    for name in (
+        "q_validate_route",
+        "q_daily_counts",
+        "q_pricing_summary",
+        "q_minhash_dedup",
+        "q_simhash",
+        "q_knn_cosine",
+        "q_wordcount",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_knn_cosine")
+    assert "Broadcast" in plan
