@@ -105,12 +105,25 @@ def q_type_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("user_id").agg(*aggs)
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct users per type — the scale path
+    for cardinality (fixed sketch memory vs exact distinct's shuffle of
+    every key). No SQL oracle: HLL estimates are engine-specific; pytest
+    asserts the estimate lands within rsd of the exact count."""
+    df = load(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES = {
     "q_dedup": q_dedup,
     "q_topk_users": q_topk_users,
     "q_user_stats": q_user_stats,
     "q_sessionize": q_sessionize,
     "q_type_value_pivot": q_type_value_pivot,
+    "q_approx_distinct": q_approx_distinct,
 }
 
 ORACLES = {

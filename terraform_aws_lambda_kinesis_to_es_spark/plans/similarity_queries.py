@@ -76,9 +76,35 @@ def q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: hyperplane-bucket candidates (one keyed
+    groupBy — never the O(n^2) cross product), exact cosine verification.
+    Vectors join back by id (hash join), so bucket groups carry only ids.
+    Recall vs the exact baseline is bucket-collision-bounded; the oracle
+    mirrors the bucketing exactly, so the check is exact, not
+    probabilistic."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
+        pairs_within_buckets,
+    )
+
+    vecs = _vec(spark, sf_dir)
+    bucketed = S.with_bucket(vecs).select("vec_id", "bucket")
+    pairs = pairs_within_buckets(bucketed, ["bucket"], "vec_id")
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= NEAR_DUP_THRESHOLD)
+        .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "sim")
+    )
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_embed_near_dup": q_embed_near_dup,
+    "q_embed_near_dup_lsh": q_embed_near_dup_lsh,
     "q_ann_lsh": q_ann_lsh,
     "q_centroid_sim": q_centroid_sim,
 }
@@ -160,9 +186,20 @@ SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS 
 FROM ranked WHERE rank <= {TOP_K}
 """
 
+_NEAR_DUP_LSH_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+bucketed AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM vecs)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cosine_sql("a.v", "b.v")}, 4) AS sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql("a.v", "b.v")}, 4) >= {NEAR_DUP_THRESHOLD}
+"""
+
 ORACLES = {
     "q_knn_cosine": _KNN_SQL,
     "q_embed_near_dup": _NEAR_DUP_SQL,
+    "q_embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
     "q_ann_lsh": _ANN_SQL,
     # q_centroid_sim: rows-only (float aggregation order differs by design).
 }

@@ -137,6 +137,33 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): tf exact, df exact, tfidf = tf * ln(N/df)
+    rounded. Two hash aggregations + one broadcast join (df table and the
+    single-row N both broadcast); at scale only the term-key shuffle is
+    wide. ln values are continuous so round(4) is midpoint-safe."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_tbl = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_tbl), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
     "q_doc_stats": q_doc_stats,
@@ -144,6 +171,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_tokens": q_tokens,
     "q_fingerprint": q_fingerprint,
+    "q_tfidf": q_tfidf,
 }
 
 
@@ -223,5 +251,17 @@ ORACLES = {
                list_min(list_transform({_ngrams_sql(_TOKS, 5)},
                         g -> {hash60_sql('g')})) AS fp_shingle_min
         FROM documents
+    """,
+    "q_tfidf": f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        ), dfx AS (
+          SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 4) AS tfidf
+        FROM tf JOIN dfx USING (word) CROSS JOIN n
     """,
 }

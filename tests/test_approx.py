@@ -1,0 +1,60 @@
+"""Sanity bounds for the estimate-typed (rows-only) queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrypoint
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users
+        for r in entrypoint.queries()["q_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.1 * n), (t, approx[t], n)
+
+
+def test_centroid_sim_agrees_with_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = entrypoint.queries()["q_centroid_sim"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    vecs = {}
+    for r in emb:
+        v = np.array(r.embedding, dtype=np.float64)
+        vecs[r.vec_id] = (r.label, v)
+        by_label.setdefault(r.label, []).append(v)
+    cents = {l: np.mean(np.stack(vs), axis=0) for l, vs in by_label.items()}
+    for r in rows[:50]:
+        label, v = vecs[r.vec_id]
+        c = cents[label]
+        expect = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        assert abs(r.sim_to_centroid - expect) < 1e-3, r.vec_id
+
+
+def test_simhash_pairs_verified_by_bruteforce(spark, sf_dir):
+    """The banded simhash join must find exactly the pairs a brute-force
+    hamming scan finds (pigeonhole guarantees recall for distance<=3)."""
+    sig = {r.doc_id: r.simhash for r in entrypoint.queries()["q_simhash"](spark, sf_dir).collect()}
+    expected = set()
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sig[a] ^ sig[b]).count("1") <= 3:
+                expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in entrypoint.queries()["q_simhash_pairs"](spark, sf_dir).collect()
+    }
+    assert got == expected
