@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python codecs and the
+operators whose semantics have a cheap brute-force reference."""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions import kpl
+from terraform_aws_lambda_kinesis_to_es_spark.sources.decode import _expand_one
+
+payloads = st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=20)
+
+
+@given(payloads)
+@settings(max_examples=200)
+def test_kpl_roundtrip_any_payloads(recs):
+    assert kpl.decode_aggregate(kpl.encode_aggregate(recs)) == recs
+
+
+@given(st.binary(min_size=0, max_size=100))
+@settings(max_examples=200)
+def test_expand_one_never_raises(blob):
+    out = _expand_one(blob)
+    assert isinstance(out, list)
+    assert all(isinstance(s, str) for s in out)
+
+
+@given(st.lists(st.text(alphabet="ab ", max_size=40), max_size=5))
+@settings(max_examples=100)
+def test_expand_one_gzip_roundtrip(texts):
+    blob = kpl.encode_aggregate([gzip.compress(t.encode()) for t in texts])
+    assert _expand_one(blob) == texts
+
+
+@st.composite
+def _event_stream(draw):
+    n_users = draw(st.integers(1, 3))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        times = draw(st.lists(st.integers(0, 10_000), min_size=1, max_size=12, unique=True))
+        for t in sorted(times):
+            kind = draw(st.sampled_from(["click", "purchase"]))
+            rows.append((eid, u, t, kind))
+            eid += 1
+    return rows
+
+
+@pytest.mark.usefixtures("spark")
+@given(_event_stream())
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_bruteforce(spark, rows):
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.temporal import asof_join
+
+    df = spark.createDataFrame(
+        [(e, u, t, k) for e, u, t, k in rows], "event_id long, user_id long, t long, kind string"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    purchases = df.filter(F.col("kind") == "purchase").select("event_id", "user_id", "ts")
+    clicks = df.filter(F.col("kind") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        r.event_id: r.asof_click_id
+        for r in asof_join(
+            purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["click_id"],
+        ).collect()
+    }
+    # brute force reference
+    clicks_by_user: dict[int, list[tuple[int, int]]] = {}
+    for e, u, t, k in rows:
+        if k == "click":
+            clicks_by_user.setdefault(u, []).append((t, e))
+    for e, u, t, k in rows:
+        if k != "purchase":
+            continue
+        cands = [(ct, ce) for ct, ce in clicks_by_user.get(u, []) if ct <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[e] == expect, (e, u, t)
+
+
+@pytest.mark.usefixtures("spark")
+@given(st.lists(st.tuples(st.sampled_from("abc"), st.integers(0, 100)), min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_agg_property(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(pairs, "k string, v long")
+    got = {
+        r.k: (r.total, r.lo)
+        for r in salted_agg(df, "k", {"total": ("v", "sum"), "lo": ("v", "min")}, n_salts=4).collect()
+    }
+    ref: dict[str, tuple[int, int]] = {}
+    for k, v in pairs:
+        t, lo = ref.get(k, (0, 10**9))
+        ref[k] = (t + v, min(lo, v))
+    assert got == ref
