@@ -105,6 +105,22 @@ def q_type_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("user_id").agg(*aggs)
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the BUILT-IN session_window operator (the
+    same one the streaming path uses with state) run in batch mode.
+    Semantics note vs q_sessionize: session_window closes at
+    last_ts + gap EXCLUSIVE (an event exactly gap-later starts a new
+    session), so the oracle uses >= for the boundary."""
+    df = load(spark, sf_dir, "events")
+    sessions = df.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    ).agg(F.count("*").alias("n"))
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per type — the scale path
     for cardinality (fixed sketch memory vs exact distinct's shuffle of
@@ -123,6 +139,7 @@ QUERIES = {
     "q_user_stats": q_user_stats,
     "q_sessionize": q_sessionize,
     "q_type_value_pivot": q_type_value_pivot,
+    "q_session_window": q_session_window,
     "q_approx_distinct": q_approx_distinct,
 }
 
@@ -166,6 +183,25 @@ ORACLES = {
         )
         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
                MAX(n) AS max_session_events
+        FROM sized GROUP BY user_id
+    """,
+    "q_session_window": f"""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w) >= {SESSION_GAP_MIN * 60}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        ), sized AS (
+          SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
         FROM sized GROUP BY user_id
     """,
     "q_type_value_pivot": """
