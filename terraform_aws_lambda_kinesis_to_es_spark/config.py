@@ -58,6 +58,12 @@ class PipelineConfig:
     # main.tf:48-49). Local paths or s3a:// URIs.
     failed_log_path: str = ""
     failed_log_prefix: str = "failed"
+    # EXTENSION (off by default = reference behavior): use log_id as the ES
+    # document _id, upgrading at-least-once delivery to effectively-once
+    # via sink-side upsert (the reference carries log_id exactly so
+    # downstream can do this — variables.tf:67-70 — but never sets _id,
+    # main.py:116).
+    use_log_id_as_doc_id: bool = False
 
     def __post_init__(self) -> None:
         if self.bulk_chunk_size <= 0:

@@ -53,12 +53,16 @@ class Pipeline:
 
     def to_es_actions(self, valid: DataFrame) -> DataFrame:
         """Bulk-action shape with the verbatim record as _source
-        (reference main.py:116)."""
-        return valid.select(
+        (reference main.py:116); with ``use_log_id_as_doc_id`` the log_id
+        becomes the document _id (effectively-once upsert extension)."""
+        cols = [
             F.col("index_name").alias("_index"),
             F.lit("_doc").alias("_type"),
             F.col("payload").alias("_source"),
-        )
+        ]
+        if self.cfg.use_log_id_as_doc_id:
+            cols.append(F.col("log_id").alias("_id"))
+        return valid.select(*cols)
 
     def bulk_index(self, actions: DataFrame, client_factory) -> DataFrame:
         return es.bulk_index(actions, client_factory, self.cfg)

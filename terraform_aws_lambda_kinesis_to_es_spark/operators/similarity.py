@@ -122,6 +122,94 @@ def near_dup_pairs_exact(
     )
 
 
+N_IVF_LISTS = 16
+N_IVF_PROBES = 4
+
+
+def with_ivf_list(df: DataFrame, centroids: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF list). Centroids
+    are a tiny relation — broadcast, score, argmax via a single max_by.
+    One broadcast join + one groupBy keyed by vector id."""
+    c = centroids.select(
+        F.col("list_id"), F.col(vec_col).alias("cv")
+    )
+    scored = df.crossJoin(F.broadcast(c)).withColumn(
+        "_csim", cosine(F.col(vec_col), F.col("cv"))
+    )
+    assign = scored.groupBy(*[F.col(x) for x in df.columns]).agg(
+        F.max_by("list_id", "_csim").alias("list_id")
+    )
+    return assign
+
+
+def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Deterministic IVF seeding: the N_IVF_LISTS lowest-id vectors act as
+    list centroids (k-means would be the production refinement; seeding
+    keeps the operator deterministic and dependency-free). At scale
+    centroids come from a sampled k-means run and are a broadcast table
+    either way."""
+    from pyspark.sql import Window
+
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(N_IVF_LISTS)
+        .select(F.col(id_col).alias("centroid_of"), F.col(vec_col))
+        .withColumn(
+            "list_id", F.row_number().over(Window.orderBy("centroid_of")) - 1
+        )
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_probes: int = N_IVF_PROBES,
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into inverted lists by nearest
+    centroid; each query probes its n_probes nearest lists and ranks
+    exactly within them. The candidate join is keyed on list_id — the
+    scan cost drops from |corpus| to ~(n_probes/n_lists)·|corpus| per
+    query, which is the IVF contract."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, id_col, vec_col)
+    corpus_l = with_ivf_list(corpus, cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    )
+    # query probe lists: top n_probes centroid sims per query
+    c = cents.select("list_id", F.col(vec_col).alias("cv"))
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(c))
+        .withColumn("_csim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probes)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        corpus_l.join(F.broadcast(probes), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 4).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

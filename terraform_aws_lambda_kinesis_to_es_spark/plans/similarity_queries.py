@@ -101,11 +101,22 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: inverted lists by nearest (deterministically seeded)
+    centroid, n_probes lists scanned per query. Rows-only at the driver
+    (the centroid argmax ties on float sims make a SQL mirror brittle);
+    pytest bounds recall@10 against the exact brute force instead."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.knn_ivf(vecs, queries, k=TOP_K)
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_embed_near_dup": q_embed_near_dup,
     "q_embed_near_dup_lsh": q_embed_near_dup_lsh,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_centroid_sim": q_centroid_sim,
 }
 

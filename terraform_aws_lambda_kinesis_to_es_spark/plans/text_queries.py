@@ -71,8 +71,8 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     d = (
-        docs.withColumn("n_tokens", F.size(toks))
-        .withColumn("n_chars_calc", F.length("text"))
+        docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_chars_calc", F.length("text").cast("bigint"))
         .withColumn(
             "stop_cnt", F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
         )
@@ -212,8 +212,8 @@ ORACLES = {
         GROUP BY word
     """,
     "q_doc_stats": f"""
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-               SUM(len({_TOKS_RAW})) AS sum_tokens,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(len({_TOKS_RAW})) AS BIGINT) AS sum_tokens,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         FROM documents GROUP BY lang
     """,

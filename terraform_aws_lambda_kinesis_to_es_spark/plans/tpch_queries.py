@@ -102,7 +102,7 @@ def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
     )
     return (
-        supplier.withColumn("rank_in_nation", F.row_number().over(w))
+        supplier.withColumn("rank_in_nation", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank_in_nation") <= 3)
         .select("s_nationkey", "s_suppkey", F.round("s_acctbal", 4).alias("acctbal"), "rank_in_nation")
     )

@@ -85,22 +85,33 @@ class FileSystemElasticsearch:
         with open(path, "w") as f:
             f.write(json.dumps({"_call_size": len(actions)}) + "\n")
             for a in indexed:
-                f.write(json.dumps({"_index": a["_index"], "_source": a["_source"]}) + "\n")
+                rec = {"_index": a["_index"], "_source": a["_source"]}
+                if "_id" in a:
+                    rec["_id"] = a["_id"]
+                f.write(json.dumps(rec) + "\n")
         return rejects
 
     @staticmethod
     def read_indexed(base_dir: str) -> dict[str, list[dict]]:
+        """Docs per index. Actions carrying ``_id`` upsert: the last write
+        per (index, _id) wins, mirroring real ES index-by-id semantics."""
         import glob
         import os
 
         out: dict[str, list[dict]] = {}
-        for path in glob.glob(os.path.join(base_dir, "call-*.ndjson")):
+        by_id: dict[tuple[str, str], dict] = {}
+        for path in sorted(glob.glob(os.path.join(base_dir, "call-*.ndjson"))):
             with open(path) as f:
                 for line in f:
                     obj = json.loads(line)
                     if "_call_size" in obj:
                         continue
-                    out.setdefault(obj["_index"], []).append(obj["_source"])
+                    if "_id" in obj:
+                        by_id[(obj["_index"], obj["_id"])] = obj["_source"]
+                    else:
+                        out.setdefault(obj["_index"], []).append(obj["_source"])
+        for (idx, _id), src in by_id.items():
+            out.setdefault(idx, []).append(src)
         return out
 
     @staticmethod
@@ -150,15 +161,20 @@ def bulk_index(
     chunk_size = cfg.bulk_chunk_size
     spark = actions_df.sparkSession
 
+    has_id = "_id" in actions_df.columns
+
     def _send(rows: Iterator[Row]) -> Iterator[Row]:
         client = client_factory()
         for chunk in _chunks(rows, chunk_size):
-            actions = [
-                {"_index": r["_index"], "_type": "_doc", "_source": json.loads(r["_source"])}
-                for r in chunk
-            ]
+            actions = []
+            for r in chunk:
+                a = {"_index": r["_index"], "_type": "_doc", "_source": json.loads(r["_source"])}
+                if has_id and r["_id"] is not None:
+                    a["_id"] = r["_id"]
+                actions.append(a)
             for rej in client.bulk(actions):
                 yield Row(_index=rej["_index"], _source=json.dumps(rej["_source"]))
 
-    rejects_rdd = actions_df.select("_index", "_source").rdd.mapPartitions(_send)
+    cols = ["_index", "_source"] + (["_id"] if has_id else [])
+    rejects_rdd = actions_df.select(*cols).rdd.mapPartitions(_send)
     return spark.createDataFrame(rejects_rdd, REJECT_SCHEMA)

@@ -111,7 +111,10 @@ class HttpElasticsearch:
     def bulk(self, actions: list[dict]) -> list[dict]:
         lines = []
         for a in actions:
-            lines.append(json.dumps({"index": {"_index": a["_index"], "_type": a.get("_type", "_doc")}}))
+            meta = {"_index": a["_index"], "_type": a.get("_type", "_doc")}
+            if a.get("_id") is not None:
+                meta["_id"] = a["_id"]
+            lines.append(json.dumps({"index": meta}))
             src = a["_source"]
             lines.append(src if isinstance(src, str) else json.dumps(src))
         body = ("\n".join(lines) + "\n").encode()

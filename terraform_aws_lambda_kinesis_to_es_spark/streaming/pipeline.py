@@ -85,11 +85,15 @@ class StreamingEtl:
 
         # _source is the whole original record, not a re-serialized
         # projection (reference main.py:116): pass the raw payload through.
-        actions = valid.select(
+        action_cols = [
             F.col("index_name").alias("_index"),
             F.lit("_doc").alias("_type"),
             F.col("payload").alias("_source"),
-        )
+        ]
+        if self.cfg.use_log_id_as_doc_id:
+            # effectively-once extension: retried batches upsert (T3)
+            action_cols.append(F.col("log_id").alias("_id"))
+        actions = valid.select(*action_cols)
         rejects = es.bulk_index(actions, self.client_factory, self.cfg).persist()
 
         res.n_valid = valid.count()

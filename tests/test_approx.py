@@ -43,6 +43,21 @@ def test_centroid_sim_agrees_with_numpy(spark, sf_dir):
         assert abs(r.sim_to_centroid - expect) < 1e-3, r.vec_id
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with 4/16 probes must recover a solid fraction of the true
+    top-10 (random 64-dim data is the hard case for IVF; the bound here
+    guards the plumbing, not state-of-the-art recall)."""
+    exact = {}
+    for r in entrypoint.queries()["q_knn_cosine"](spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in entrypoint.queries()["q_ann_ivf"](spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ivf) == set(exact)
+    recalls = [len(ivf[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
 def test_simhash_pairs_verified_by_bruteforce(spark, sf_dir):
     """The banded simhash join must find exactly the pairs a brute-force
     hamming scan finds (pigeonhole guarantees recall for distance<=3)."""

@@ -183,6 +183,31 @@ def test_streaming_resume_no_reprocess(spark, tmp_path, staged_stream):
     assert n_first == n_second == 20
 
 
+def test_doc_id_upsert_effectively_once(spark, tmp_path):
+    """Extension T3: with use_log_id_as_doc_id, a record re-delivered in a
+    retried/duplicated batch upserts instead of duplicating — delivery
+    upgrades from at-least-once to effectively-once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    dup = rec(1)
+    _rows = [dup, rec(2), dup]  # duplicate within the stream
+    with open(src / "a.json", "w") as f:
+        f.write("\n".join(json.dumps({"data": b64(r)}) for r in _rows))
+    esbase = str(tmp_path / "es")
+    cfg = PipelineConfig(index_name_prefix="logs", use_log_id_as_doc_id=True)
+    etl = pipeline.StreamingEtl(cfg, lambda: FSES(esbase), str(tmp_path / "dlq"))
+    q = pipeline.start_stream(spark, str(src), "data string", etl, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    # deliberately re-run with a FRESH checkpoint: an at-least-once replay
+    q2 = pipeline.start_stream(spark, str(src), "data string", etl, str(tmp_path / "ck_replay"))
+    q2.awaitTermination(120)
+    docs = FSES.read_indexed(esbase)["logs-app-20240301"]
+    ids = sorted(
+        (json.loads(d) if isinstance(d, str) else d)["log_id"] for d in docs
+    )
+    assert ids == ["id1", "id2"]  # upserted, not duplicated
+
+
 def test_empty_batch_short_circuits(spark, tmp_path):
     esbase = str(tmp_path / "es")
     etl = pipeline.StreamingEtl(CFG, lambda: FSES(esbase), str(tmp_path / "dlq"))
