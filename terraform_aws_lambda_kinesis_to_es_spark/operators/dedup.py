@@ -62,14 +62,21 @@ def with_minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> Data
     MERSENNE61 sentinel as their signature."""
     from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import MERSENNE61, MOD31
 
-    hashed = F.transform(F.col(shingle_col), lambda s: hash60(s))
+    # xxhash64 (JVM-native), not the portable md5-based hash60: the minhash
+    # oracle verifies the FINAL pairs via exhaustive Jaccard, so the
+    # signature hash only affects LSH recall, never output values — take
+    # the fast hash. (fingerprint/simhash keep hash60: their oracles check
+    # the hash values themselves.) pmod: xxhash64 is signed.
+    hashed = F.transform(
+        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MOD31))
+    )
     a_arr = F.array(*[F.lit(a).cast("long") for a in PERM_A])
     b_arr = F.array(*[F.lit(b).cast("long") for b in PERM_B])
     init = F.array_repeat(F.lit(MERSENNE61).cast("long"), N_PERM)
 
     def merge(acc: Column, h: Column) -> Column:
         perms = F.zip_with(
-            a_arr, b_arr, lambda a, b: (a * (h % F.lit(MOD31)) + b) % F.lit(MERSENNE61)
+            a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MERSENNE61)
         )
         return F.zip_with(acc, perms, lambda m, p: F.least(m, p))
 
@@ -163,8 +170,19 @@ def minhash_dedup_pairs(
     The shingle stage is persisted: it feeds both the signature path and
     the verification join, and recomputing it dominates runtime otherwise.
     At cluster scale this is the standard staged-materialization point
-    (signatures would be written to a table)."""
-    shingled = with_shingles(df, text_col).select(id_col, text_col, "shingles").persist()
+    (signatures would be written to a table).
+
+    Docs with < n tokens (empty shingle set) are excluded up front: they
+    cannot near-duplicate anything under set Jaccard, and excluding them
+    keeps the verification's integer division total (ANSI mode makes
+    DIV-by-zero an error, and the sentinel signatures of empty docs would
+    otherwise all collide into one hot bucket)."""
+    shingled = (
+        with_shingles(df, text_col)
+        .filter(F.size("shingles") > 0)
+        .select(id_col, text_col, "shingles")
+        .persist()
+    )
     sig = with_minhash_signature(shingled)
     cands = lsh_candidate_pairs(sig, id_col)
     return verify_pairs_jaccard(cands, shingled.select(id_col, "shingles"), id_col, threshold_bp)

@@ -73,3 +73,24 @@ def test_simhash_pairs_verified_by_bruteforce(spark, sf_dir):
         for r in entrypoint.queries()["q_simhash_pairs"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_minhash_short_docs_no_ansi_crash(spark):
+    """Docs with <5 tokens (empty shingle sets) must be excluded, not
+    crash the ANSI-mode integer division; exact dups must pair at 10000bp."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),
+            (2, "a b"),
+            (3, ""),
+            (4, "one two three four five six seven"),
+            (5, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_dedup_pairs(df).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard_bp) for r in rows] == [(4, 5, 10000)]
