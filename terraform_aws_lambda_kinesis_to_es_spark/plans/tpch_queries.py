@@ -133,7 +133,40 @@ def q_part_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (orders above their customer's average)
+    decorrelated as a window aggregate — one shuffle on the correlation
+    key instead of a per-row subquery execution."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("totalprice"))
+    )
+
+
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile stats over order prices (global sort + single pass).
+    A global window is the one legitimately sort-heavy op here; at scale
+    an approx-quantile cut would replace exact NTILE."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+    )
+
+
 QUERIES = {
+    "q_above_avg_orders": q_above_avg_orders,
+    "q_price_deciles": q_price_deciles,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_top_orders": q_top_orders,
@@ -144,6 +177,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_above_avg_orders": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
+        FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+          FROM orders
+        ) WHERE o_totalprice > cust_avg
+    """,
+    "q_price_deciles": """
+        SELECT decile, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 4) AS sum_price,
+               ROUND(MIN(o_totalprice), 4) AS min_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM (
+          SELECT o_totalprice,
+                 CAST(NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS decile
+          FROM orders
+        ) GROUP BY decile
+    """,
     "q_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
