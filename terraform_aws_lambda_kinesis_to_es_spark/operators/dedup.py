@@ -180,7 +180,7 @@ def minhash_dedup_pairs(
     shingled = (
         with_shingles(df, text_col)
         .filter(F.size("shingles") > 0)
-        .select(id_col, text_col, "shingles")
+        .select(id_col, "shingles")  # text dropped: cache only what reuses
         .persist()
     )
     sig = with_minhash_signature(shingled)

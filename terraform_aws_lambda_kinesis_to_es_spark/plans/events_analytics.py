@@ -121,6 +121,26 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1-day window, 12-hour slide) via the
+    built-in F.window — each event lands in exactly size/slide windows,
+    expanded map-side before one aggregation shuffle. The oracle derives
+    the two covering window starts with epoch arithmetic."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per type — the scale path
     for cardinality (fixed sketch memory vs exact distinct's shuffle of
@@ -140,6 +160,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_type_value_pivot": q_type_value_pivot,
     "q_session_window": q_session_window,
+    "q_sliding_window": q_sliding_window,
     "q_approx_distinct": q_approx_distinct,
 }
 
@@ -203,6 +224,19 @@ ORACLES = {
         )
         SELECT user_id, COUNT(*) AS n_sessions, MAX(n) AS max_session_events
         FROM sized GROUP BY user_id
+    """,
+    "q_sliding_window": """
+        WITH starts AS (
+          SELECT event_type,
+                 unnest([
+                   to_timestamp((epoch(ts)::BIGINT // 43200) * 43200),
+                   to_timestamp((epoch(ts)::BIGINT // 43200) * 43200 - 43200)
+                 ]) AS ws
+          FROM events
+        )
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               COUNT(*) AS n
+        FROM starts GROUP BY 1, 2
     """,
     "q_type_value_pivot": """
         SELECT user_id,
