@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EMBED_DIM = 64
@@ -158,6 +158,41 @@ def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "v")
             "list_id", F.row_number().over(Window.orderBy("centroid_of")) - 1
         )
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids, as an iterative
+    DataFrame algorithm: assign (broadcast centroids, max_by argmax) ->
+    position-wise mean per cluster -> next centroids. Each iteration is
+    one scan + one narrow agg; only the k x dim centroid table crosses to
+    the driver between iterations (the canonical Spark iterative shape —
+    the corpus itself never moves). Deterministic given the seeding."""
+    cents = init_centroids.select("list_id", F.col(vec_col).alias("cv"))
+    corpus = corpus.persist()
+    for _ in range(n_iter):
+        assigned = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn("_csim", cosine(F.col(vec_col), F.col("cv")))
+            .groupBy(id_col, vec_col)
+            .agg(F.max_by("list_id", "_csim").alias("list_id"))
+        )
+        pos = assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+        mean = pos.groupBy("list_id", "pos").agg(F.avg("x").alias("c"))
+        cents = (
+            mean.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("list_id", F.transform("pc", lambda s: s["c"]).alias("cv"))
+        )
+        # materialize the (tiny) centroid table so the next iteration's
+        # plan doesn't grow a nested-join lineage
+        cents = cents.sparkSession.createDataFrame(cents.collect(), cents.schema)
+    return cents.select("list_id", F.col("cv").alias(vec_col))
 
 
 def knn_ivf(

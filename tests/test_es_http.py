@@ -134,3 +134,15 @@ def test_kinesis_reader_builder(spark):
     assert r is not None  # configured reader; .load() needs the connector jar
     with pytest.raises(ValueError):
         kinesis_reader(spark, "s", "r", PipelineConfig(), starting_position="NOPE")
+
+
+def test_http_error_propagates(stub_server):
+    """Transport errors must RAISE (the micro-batch fails and is retried
+    by the streaming engine -> at-least-once), unlike per-item rejects
+    which are returned as data."""
+    import urllib.error
+
+    url, _ = stub_server
+    bad = HttpElasticsearch(url.replace("http://", "http://bad-host-"), timeout=1)
+    with pytest.raises(urllib.error.URLError):
+        bad.bulk(_actions(1))
