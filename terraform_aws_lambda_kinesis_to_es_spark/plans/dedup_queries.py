@@ -19,14 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
-    MERSENNE61,
-    MOD31,
-    N_PERM,
-    PERM_A,
-    PERM_B,
-    hash60_sql,
-)
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60_sql
 from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _ngrams_sql, _TOKS
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load

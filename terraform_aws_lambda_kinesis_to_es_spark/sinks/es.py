@@ -24,7 +24,6 @@ from collections.abc import Iterable, Iterator
 from typing import Protocol
 
 from pyspark.sql import DataFrame, Row
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig

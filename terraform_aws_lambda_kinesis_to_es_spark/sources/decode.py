@@ -22,8 +22,6 @@ downstream is Catalyst expressions with full codegen.
 
 from __future__ import annotations
 
-import base64
-import binascii
 import gzip
 
 import pandas as pd

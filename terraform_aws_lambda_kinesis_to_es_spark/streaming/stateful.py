@@ -55,6 +55,42 @@ def sessionize_stream(
     )
 
 
+def enrich_with_static(
+    stream_df: DataFrame, dim_df: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich streaming records with a dimension
+    table. The static side is re-read per micro-batch (picking up slowly
+    changing dims) and broadcast when small — the standard lookup-join
+    shape; no streaming state involved."""
+    return stream_df.join(F.broadcast(dim_df), on=key, how=how)
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time bound: right events join left
+    events of the same key that occurred within [left_ts, left_ts+within].
+    Both sides carry watermarks so the join state is bounded — without
+    the time bound + watermarks this state grows forever (the classic
+    stream-join OOM)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts}"
+            f" AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+        ),
+    )
+
+
 RUNNING_COUNT_SCHEMA = "log_type string, n_total long, n_batch long"
 _STATE_SCHEMA = "n long"
 

@@ -104,3 +104,60 @@ def test_running_counts_accumulate_across_batches(spark, tmp_path):
     assert (1, 3) in app and any(t == 2 for _, t in app)
     web = [(r.n_batch, r.n_total) for r in rows if r.log_type == "web"]
     assert (1, 1) in web
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1",
+        [
+            {"log_id": "1", "log_type": "app", "log_ts": "2024-03-01T10:00:00"},
+            {"log_id": "2", "log_type": "db", "log_ts": "2024-03-01T10:00:01"},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("app", "team-a"), ("db", "team-b")], "log_type string, owner string"
+    )
+    out = stateful.enrich_with_static(_stream(spark, src), dim, "log_type")
+    _run_to_memory(out, "enrich_t", str(tmp_path / "ck"))
+    owners = {r.log_id: r.owner for r in spark.table("enrich_t").collect()}
+    assert owners == {"1": "team-a", "2": "team-b"}
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """purchase joins clicks of the same key within 1 hour AFTER the
+    click; a click 2h earlier must not join."""
+    import json as _json
+
+    lsrc = tmp_path / "clicks"
+    rsrc = tmp_path / "purchases"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    clicks = [
+        {"log_id": "c1", "log_type": "u1", "log_ts": "2024-03-01T10:00:00"},
+        {"log_id": "c_old", "log_type": "u1", "log_ts": "2024-03-01T07:30:00"},
+    ]
+    purchases = [{"log_id": "p1", "log_type": "u1", "log_ts": "2024-03-01T10:30:00"}]
+    (lsrc / "a.json").write_text("\n".join(_json.dumps(r) for r in clicks))
+    (rsrc / "a.json").write_text("\n".join(_json.dumps(r) for r in purchases))
+
+    def stream_of(d):
+        return (
+            spark.readStream.schema("log_id string, log_type string, log_ts timestamp")
+            .json(str(d))
+        )
+
+    left = stream_of(lsrc).select(
+        "log_type", F.col("log_id").alias("click_id"), F.col("log_ts").alias("click_ts")
+    )
+    right = stream_of(rsrc).select(
+        "log_type", F.col("log_id").alias("purchase_id"), F.col("log_ts").alias("purchase_ts")
+    )
+    joined = stateful.join_streams_within(
+        left, right, key="log_type", left_ts="click_ts", right_ts="purchase_ts"
+    )
+    _run_to_memory(joined, "ssj_t", str(tmp_path / "ck"))
+    rows = spark.table("ssj_t").collect()
+    assert [(r.click_id, r.purchase_id) for r in rows] == [("c1", "p1")]
