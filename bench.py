@@ -49,6 +49,8 @@ def main() -> None:
     import __spark_entry__ as entrypoint
 
     queries = entrypoint.queries()
+    # warmup: absorb JVM/codegen/session start cost outside the timings
+    queries["q_daily_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
