@@ -51,7 +51,9 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFram
     )
 
 
-def with_minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+def with_minhash_signature(
+    df: DataFrame, shingle_col: str = "shingles", *, prehashed: bool = False
+) -> DataFrame:
     """64-permutation MinHash signature, computed row-locally with a SINGLE
     fold: each shingle is md5-hashed exactly once, and all 64 permutation
     mins update in one zip_with per element. (The naive form — one
@@ -66,10 +68,14 @@ def with_minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> Data
     # oracle verifies the FINAL pairs via exhaustive Jaccard, so the
     # signature hash only affects LSH recall, never output values — take
     # the fast hash. (fingerprint/simhash keep hash60: their oracles check
-    # the hash values themselves.) pmod: xxhash64 is signed.
-    hashed = F.transform(
-        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MOD31))
-    )
+    # the hash values themselves.) pmod: xxhash64 is signed. With
+    # ``prehashed`` the column already holds xxhash64 values.
+    if prehashed:
+        hashed = F.transform(F.col(shingle_col), lambda h: F.pmod(h, F.lit(MOD31)))
+    else:
+        hashed = F.transform(
+            F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MOD31))
+        )
     a_arr = F.array(*[F.lit(a).cast("long") for a in PERM_A])
     b_arr = F.array(*[F.lit(b).cast("long") for b in PERM_B])
     init = F.array_repeat(F.lit(MERSENNE61).cast("long"), N_PERM)
@@ -176,16 +182,40 @@ def minhash_dedup_pairs(
     cannot near-duplicate anything under set Jaccard, and excluding them
     keeps the verification's integer division total (ANSI mode makes
     DIV-by-zero an error, and the sentinel signatures of empty docs would
-    otherwise all collide into one hot bucket)."""
+    otherwise all collide into one hot bucket).
+
+    The persisted stage holds 64-bit shingle HASHES, not strings: ~3x
+    smaller cache, long-vs-string set intersection in the verify step,
+    and the signature folds straight over it. Set Jaccard over 64-bit
+    hashes equals Jaccard over the strings up to hash collisions
+    (~n^2/2^64 per doc pair — vanishing), and the oracle checks final
+    pairs, so this is output-invariant."""
     shingled = (
         with_shingles(df, text_col)
         .filter(F.size("shingles") > 0)
-        .select(id_col, "shingles")  # text dropped: cache only what reuses
+        .withColumn(
+            "sh_hashes", F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        )
+        .select(id_col, "sh_hashes")
         .persist()
     )
-    sig = with_minhash_signature(shingled)
+    sig = with_minhash_signature(shingled, shingle_col="sh_hashes", prehashed=True)
     cands = lsh_candidate_pairs(sig, id_col)
-    return verify_pairs_jaccard(cands, shingled.select(id_col, "shingles"), id_col, threshold_bp)
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col("sh_hashes").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"), F.col("sh_hashes").alias("sh_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jaccard_bp") >= threshold_bp)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
+    )
 
 
 SIMHASH_BITS = 60

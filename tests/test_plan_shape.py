@@ -72,3 +72,28 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
 def test_knn_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_knn_cosine")
     assert "Broadcast" in plan
+
+
+# Queries whose semantics REQUIRE an all-pairs product against a small
+# broadcast side (vector scoring); everything else must stay keyed.
+_INTENTIONAL_PRODUCT = {
+    "q_knn_cosine",      # corpus x broadcast(5 query vecs)
+    "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
+    "q_ann_ivf",         # corpus x broadcast(16 centroids)
+    "q_centroid_sim",    # corpus x broadcast(10 centroids)
+    "q_tfidf",           # x broadcast(single-row N)
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Sweep: no query may contain an unkeyed join product unless its
+    semantics require one against a broadcast side. Catches the classic
+    scale-killer (a join that silently degraded to NLJ)."""
+    for name in QUERIES:
+        plan = plan_of(spark, sf_dir, name)
+        if name in _INTENTIONAL_PRODUCT:
+            continue
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin is legitimate only for the tiny
+        # broadcast-side scoring patterns whitelisted above
+        assert "BroadcastNestedLoopJoin" not in plan, name
