@@ -80,7 +80,7 @@ class PipelineConfig:
             log_type_field=env.get("LOG_TYPE_FIELD", "log_type"),
             log_timestamp_field=env.get("LOG_TIMESTAMP_FIELD", "time"),
             log_id_field=env.get("LOG_ID_FIELD", "log_id"),
-            log_type_unknown_prefix=env.get("LOG_TYPE_FIELD_WHITELIST_UNKNOWN_PREFIX", "unknown"),
+            log_type_unknown_prefix=env.get("LOG_TYPE_UNKNOWN_PREFIX", "unknown"),
             log_type_whitelist=parse_whitelist(env.get("LOG_TYPE_WHITELIST")),
             index_name_prefix=env.get("INDEX_NAME_PREFIX", "logs"),
             timezone=env.get("TZ", "UTC"),

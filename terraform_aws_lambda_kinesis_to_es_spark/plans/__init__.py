@@ -25,6 +25,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity_queries,
         text_queries,
         tpch_queries,
+        training_queries,
     )
 
     queries: dict[str, QueryFn] = {}
@@ -38,6 +39,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity_queries,
         multimodal_queries,
         relational_ext,
+        training_queries,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

@@ -82,6 +82,7 @@ _INTENTIONAL_PRODUCT = {
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
     "q_centroid_sim",    # corpus x broadcast(10 centroids)
     "q_tfidf",           # x broadcast(single-row N)
+    "q_source_mix",      # x broadcast(single-row totals)
 }
 
 
