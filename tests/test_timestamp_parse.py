@@ -1,0 +1,57 @@
+"""Permissive timestamp-parse ladder (P1): the documented formats must
+parse; garbage must yield NULL (feeding the failed route, never raising)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.operators.routing import parse_timestamp
+
+CASES = [
+    ("2024-03-01T10:00:00Z", "2024-03-01 10:00:00"),
+    ("2024-03-01T10:00:00.123Z", "2024-03-01 10:00:00"),
+    ("2024-03-01 10:00:00", "2024-03-01 10:00:00"),
+    ("2024-03-01T10:00:00+09:00", "2024-03-01 01:00:00"),  # UTC session
+    ("2024/03/01 10:00:00", "2024-03-01 10:00:00"),
+    ("01/Mar/2024:10:00:00 +0000", "2024-03-01 10:00:00"),  # CLF
+    ("20240301T100000Z", "2024-03-01 10:00:00"),
+    ("03/01/2024 10:00:00", "2024-03-01 10:00:00"),  # US
+    ("not-a-timestamp", None),
+    ("", None),
+    ("2024-13-45", None),
+]
+
+
+def test_parse_ladder(spark):
+    df = spark.createDataFrame([(s,) for s, _ in CASES], "raw string")
+    out = df.select(
+        "raw", F.date_format(parse_timestamp(F.col("raw")), "yyyy-MM-dd HH:mm:ss").alias("p")
+    ).collect()
+    got = {r.raw: r.p for r in out}
+    for raw, expect in CASES:
+        assert got[raw] == expect, (raw, got[raw])
+
+
+def test_whitelist_does_not_swallow_invalid_records(spark, tmp_path):
+    """Records failing validation bypass the whitelist into the dead
+    letter (the whitelist silently drops only VALID records, README.md:76
+    + the documented DLQ contract README.md:11)."""
+    import base64
+    import json
+
+    from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
+    from terraform_aws_lambda_kinesis_to_es_spark.streaming.pipeline import transform_records
+
+    recs = [
+        {"log_type": "spam", "time": "2024-03-01T10:00:00Z", "log_id": "1"},  # valid, not whitelisted
+        {"time": "2024-03-01T10:00:00Z", "log_id": "2"},  # invalid: no type
+    ]
+    df = spark.createDataFrame(
+        [(base64.b64encode(json.dumps(r).encode()).decode(),) for r in recs],
+        "data string",
+    )
+    cfg = PipelineConfig(log_type_whitelist=frozenset({"app"}))
+    out = transform_records(df, cfg).collect()
+    assert len(out) == 1  # 'spam' silently dropped
+    assert out[0].is_valid is False and out[0].log_type == "unknown"
