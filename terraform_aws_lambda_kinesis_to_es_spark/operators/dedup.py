@@ -218,6 +218,68 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: each vertex's label converges to the minimum
+    vertex id in its component. Returns (u, label).
+
+    This is the cluster-assignment step of a near-dup pipeline: pair lists
+    (minhash/simhash verified) become "keep doc = cluster min" decisions.
+
+    Scale shape: one keyed shuffle per iteration (neighbor-label join +
+    groupBy-min), converging in O(component diameter) iterations. Near-dup
+    graphs are overwhelmingly small cliques (diameter 1-2), so 2-3
+    iterations close them; ``max_iter`` bounds pathological chains. Each
+    iteration's labels are persisted and the loop stops early via a
+    LIMIT-1 changed-label probe, so the fixpoint check reads at most one
+    row. At cluster scale the per-iteration frame would be checkpointed to
+    truncate lineage (alternating large-star/small-star would cut rounds
+    to O(log d) if diameters ever mattered)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("nbr"))
+        .select("u", F.least(F.col("u"), F.col("nbr")).alias("label"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "u")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 SIMHASH_BITS = 60
 
 

@@ -23,6 +23,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reference_queries,
         relational_ext,
         similarity_queries,
+        stats_queries,
         text_queries,
         tpch_queries,
         training_queries,
@@ -39,6 +40,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity_queries,
         multimodal_queries,
         relational_ext,
+        stats_queries,
         training_queries,
     ):
         queries.update(mod.QUERIES)

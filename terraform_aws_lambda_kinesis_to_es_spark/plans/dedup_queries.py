@@ -80,8 +80,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: minhash+LSH verified pairs -> connected
+    components (iterative min-label propagation) -> (doc_id, cluster_id =
+    min doc id in component). The decision step of a training-data dedup
+    pipeline: keep doc_id == cluster_id, drop the rest. Iterative
+    algorithm with a full SQL oracle (recursive-CTE transitive closure
+    over the exhaustive exact-Jaccard pair set)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
+    "q_dup_clusters": q_dup_clusters,
     "q_minhash_dedup": q_minhash_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -137,7 +153,33 @@ def _minhash_oracle_sql() -> str:
     )
 
 
+def _dup_clusters_oracle_sql() -> str:
+    """Transitive closure over the exhaustive near-dup pair set: cluster id
+    = min reachable doc id. WITH RECURSIVE fixpoint (UNION dedups, so the
+    reach set converges); components are tiny cliques, so the closure
+    stays linear in practice."""
+    body = _PAIR_JACCARD.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    return (
+        body
+        + f""",
+        filt AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM filt
+          UNION SELECT doc_b, doc_a FROM filt
+        ),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+        """
+    )
+
+
 ORACLES = {
+    "q_dup_clusters": _dup_clusters_oracle_sql(),
     "q_exact_dedup": """
         SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(text)

@@ -1,0 +1,119 @@
+"""Statistical / window-analytics surface: lag-window gaps, exact
+percentiles, correlation & dispersion aggregates.
+
+These fill the remaining "none in reference" rows of SURVEY.md §2.7
+(window lag/lead, statistical aggregates) with the same scale shapes as
+the rest of the relational surface: one keyed shuffle per window
+partition / grouping key, everything JVM-side.
+
+Oracle-parity notes (see also the rules in tests/oracle_harness.py):
+* q_order_gaps emits only INTEGER day counts (sum/max of datediffs) —
+  float-free, so the value hash cannot wobble.
+* q_percentiles: both engines sort the group's doubles exactly and
+  interpolate linearly at (n-1)*p, so inputs to round() are bit-identical.
+* q_corr_stats rounds corr/stddev at 4 decimals: these are quotient
+  values, never exact decimal midpoints (unlike round(avg) over 2-decimal
+  money, which is banned — see q_pricing_summary's sum/count split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer reorder gaps via LAG: days between consecutive orders,
+    aggregated per customer. One shuffle on o_custkey serves both the
+    window sort and the final groupBy (same key — Catalyst reuses the
+    partitioning, no second exchange)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    # coalesce(0): single-order customers have no gap — emit 0, not NULL
+    # (null-free output keeps the value hash total-orderable)
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.coalesce(F.sum("gap_days"), F.lit(0)).cast("bigint").alias("sum_gap_days"),
+        F.coalesce(F.max("gap_days"), F.lit(0)).cast("bigint").alias("max_gap_days"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (p25/p50/p75/p95) of order value per
+    priority class. F.percentile is the exact sort-based aggregate — the
+    scale cost is one shuffle keyed by the 5-value grouping column; the
+    approx_percentile sketch is the knob to reach for if a group ever
+    outgrows an executor (not needed at these cardinalities)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / dispersion aggregates per return flag: Pearson corr of
+    quantity vs extended price, sample stddev, min/max. Single partial-
+    aggregated shuffle (co-moments merge associatively map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "q_order_gaps": q_order_gaps,
+    "q_percentiles": q_percentiles,
+    "q_corr_stats": q_corr_stats,
+}
+
+ORACLES = {
+    "q_order_gaps": """
+        WITH g AS (
+          SELECT o_custkey,
+                 date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+          FROM orders
+        )
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(COALESCE(SUM(gap_days), 0) AS BIGINT) AS sum_gap_days,
+               CAST(COALESCE(MAX(gap_days), 0) AS BIGINT) AS max_gap_days
+        FROM g GROUP BY o_custkey
+    """,
+    "q_percentiles": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_corr_stats": """
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+               ROUND(MIN(l_extendedprice), 4) AS min_price,
+               ROUND(MAX(l_extendedprice), 4) AS max_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}
