@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
@@ -53,6 +53,48 @@ def write_validation_failures(
         .option("compression", "gzip")
         .text(base_path)
     )
+
+
+def read_dead_letters(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read the validation-failure layout back: (payload, log_type, y_m, d).
+
+    The reference leaves dead letters as opaque S3 objects; re-ingest is a
+    manual download. Here the hive layout written by
+    :func:`write_validation_failures` is directly a partitioned text
+    table, so partition pruning applies to any (log_type, y_m, d) filter —
+    replaying one bad day touches only that directory. The ``d`` partition
+    value is re-padded to two digits (partition-type inference reads "07"
+    as the int 7)."""
+    df = spark.read.text(base_path)
+    return df.select(
+        F.col("value").alias("payload"),
+        F.col("log_type").cast("string").alias("log_type"),
+        F.col("y_m").cast("string").alias("y_m"),
+        F.lpad(F.col("d").cast("string"), 2, "0").alias("d"),
+    )
+
+
+def replay_dead_letters(
+    spark: SparkSession, base_path: str, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Re-run dead-lettered payloads through the contract pipeline under a
+    (presumably fixed) config: returns (valid, still_failed). This closes
+    the reference's operational loop — its README leaves S3 re-ingest to
+    the operator; here the replay is the same parse/validate plan the live
+    stream runs, so a config fix (e.g. corrected field names) immediately
+    reclassifies old failures."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.routing import (
+        split_valid_failed,
+        with_validation,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.decode import (
+        parse_json_contract,
+    )
+
+    raw = read_dead_letters(spark, base_path).select("payload")
+    parsed = parse_json_contract(raw, cfg)
+    flagged = with_validation(parsed, cfg, type_col="log_type", ts_col="log_ts")
+    return split_valid_failed(flagged)
 
 
 def write_es_rejects(

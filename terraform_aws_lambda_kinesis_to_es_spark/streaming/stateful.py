@@ -17,6 +17,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
 
 
 def dedup_stream(
@@ -88,6 +93,95 @@ def join_streams_within(
             f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts}"
             f" AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
         ),
+    )
+
+
+class _QuotaProcessor(StatefulProcessor):
+    """Admit at most ``quota`` rows per key across the stream's lifetime.
+
+    The training-mix admission control: cap any one source/type's
+    contribution while the stream runs (the batch analogue is
+    q_token_budget's per-source cap). One ValueState long per key; rows
+    beyond the quota are dropped at the operator, so downstream state and
+    sinks never see them. Arrow-batched: admission slicing is
+    ``pdf.iloc[:take]``, never per-row Python.
+    """
+
+    def __init__(self, quota: int) -> None:
+        if quota < 0:
+            raise ValueError("quota must be >= 0")
+        self.quota = quota
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._taken = handle.getValueState("taken", "n long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        got = self._taken.get()
+        n = got[0] if got is not None else 0
+        for pdf in rows:
+            take = min(len(pdf), self.quota - n)
+            if take > 0:
+                n += take
+                yield pdf.iloc[:take]
+        self._taken.update((n,))
+
+    def close(self) -> None:
+        pass
+
+
+def _quota_fn_factory(quota: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (taken,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            take = min(len(pdf), quota - taken)
+            if take > 0:
+                taken += take
+                yield pdf.iloc[:take]
+        state.update((taken,))
+
+    return fn
+
+
+def quota_per_key(
+    df: DataFrame, key_col: str, quota: int, output_schema: str
+) -> DataFrame:
+    """Per-key lifetime admission quota: admit at most ``quota`` rows per
+    key across the stream, dropping the excess at the operator (so
+    downstream state/sinks never see it). The streaming form of the
+    training-mix per-source cap (batch analogue: q_token_budget).
+    One long of state per key, Arrow-batched slicing — never per-row
+    Python. ``output_schema`` must name the input columns passed through
+    (grouping column included)."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        _quota_fn_factory(quota),
+        outputStructType=output_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def quota_per_key_tws(
+    df: DataFrame, key_col: str, quota: int, output_schema: str
+) -> DataFrame:
+    """quota_per_key on transformWithStateInPandas
+    (the Spark 4 arbitrary-state API). Requires the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — which is also the right
+    provider at scale: state lives off-heap/on-disk per executor instead
+    of on the JVM heap. Also requires the ``protobuf`` Python package at
+    runtime (the state-server wire protocol; the test suite skips when
+    absent). ``output_schema`` is the pass-through row schema
+    (transformWithState emits exactly the columns you declare)."""
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _QuotaProcessor(quota),
+        outputStructType=output_schema,
+        outputMode="append",
+        timeMode="none",
     )
 
 

@@ -90,6 +90,41 @@ def test_validation_dlq_layout(spark, tmp_path):
     assert gzip.open(files[0]).read().decode().strip() == '{"no_type": 1}'
 
 
+def test_dead_letter_reingest_roundtrip(spark, tmp_path):
+    # three failures: one missing the type field, two missing/bad time —
+    # written with the real sink, then read back and replayed
+    df = spark.createDataFrame(
+        [
+            ("unknown", '{"time": "2024-03-05T01:02:03", "val": 1}', "2024-03-05 01:02:03"),
+            ("app", '{"log_type": "app", "val": 2}', None),
+            ("app", '{"log_type": "app", "time": "not a time", "val": 3}', None),
+        ],
+        "log_type string, payload string, raw_ts string",
+    ).withColumn("log_ts", F.to_timestamp("raw_ts")).drop("raw_ts")
+    base = str(tmp_path / "dlq")
+    deadletter.write_validation_failures(df, CFG, base)
+
+    back = deadletter.read_dead_letters(spark, base)
+    rows = {r.payload: r for r in back.collect()}
+    assert set(rows) == {
+        '{"time": "2024-03-05T01:02:03", "val": 1}',
+        '{"log_type": "app", "val": 2}',
+        '{"log_type": "app", "time": "not a time", "val": 3}',
+    }
+    r1 = rows['{"time": "2024-03-05T01:02:03", "val": 1}']
+    assert (r1.log_type, r1.y_m, r1.d) == ("unknown", "2024-03", "05")
+
+    # replay under the same config: all three still fail (nothing fixed)
+    valid, failed = deadletter.replay_dead_letters(spark, base, CFG)
+    assert valid.count() == 0 and failed.count() == 3
+
+    # replay under a FIXED config (the type lives in "val" now — simulates
+    # a corrected field mapping): the first record becomes valid
+    fixed = PipelineConfig(index_name_prefix="logs", log_type_field="val")
+    valid, failed = deadletter.replay_dead_letters(spark, base, fixed)
+    assert valid.count() == 1 and failed.count() == 2
+
+
 def test_es_reject_blob_layout(spark, tmp_path):
     from datetime import datetime
 

@@ -106,6 +106,79 @@ def test_running_counts_accumulate_across_batches(spark, tmp_path):
     assert (1, 1) in web
 
 
+def _stage_quota_batches(src) -> None:
+    # 'app' sends 2 then 2 rows (quota 3 -> 2 + 1 admitted); 'web' sends 1
+    _write_batch(
+        src,
+        "b1",
+        [
+            {"log_id": "1", "log_type": "app", "log_ts": "2024-03-01T10:00:00"},
+            {"log_id": "2", "log_type": "app", "log_ts": "2024-03-01T10:00:01"},
+            {"log_id": "3", "log_type": "web", "log_ts": "2024-03-01T10:00:02"},
+        ],
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"log_id": "4", "log_type": "app", "log_ts": "2024-03-01T10:00:03"},
+            {"log_id": "5", "log_type": "app", "log_ts": "2024-03-01T10:00:04"},
+        ],
+    )
+
+
+def _assert_quota_output(rows) -> None:
+    by_type: dict[str, list[str]] = {}
+    for r in rows:
+        by_type.setdefault(r.log_type, []).append(r.log_id)
+    assert len(by_type["app"]) == 3
+    assert sorted(by_type["web"]) == ["3"]
+    # admission is in arrival order: batch-1 rows always make it
+    assert {"1", "2"} <= set(by_type["app"])
+
+
+def test_quota_per_key_caps_rows_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _stage_quota_batches(src)
+    out = stateful.quota_per_key(
+        _stream(spark, src),
+        "log_type",
+        3,
+        "log_id string, log_type string, log_ts timestamp",
+    )
+    _run_to_memory(out, "quota_t", str(tmp_path / "ck"))
+    _assert_quota_output(spark.table("quota_t").collect())
+
+
+def test_quota_per_key_tws_variant(spark, tmp_path):
+    # transformWithStateInPandas speaks protobuf to the JVM state server;
+    # without the protobuf wheel the Python runner crashes at init
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "src"
+    src.mkdir()
+    _stage_quota_batches(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stateful.quota_per_key_tws(
+            _stream(spark, src),
+            "log_type",
+            3,
+            "log_id string, log_type string, log_ts timestamp",
+        )
+        _run_to_memory(out, "quota_tws_t", str(tmp_path / "ck"))
+        _assert_quota_output(spark.table("quota_tws_t").collect())
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
