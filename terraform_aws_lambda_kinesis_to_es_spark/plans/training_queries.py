@@ -77,15 +77,156 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN_BP = 6000
+CLEAN_LANG = "en"
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composition a real training-data
+    pipeline runs as ONE plan: exact-dup keep-min + near-dup cluster
+    representative (minhash/LSH pairs -> connected components) + quality
+    floor + language filter. A doc survives iff it is its exact-dup
+    group's min id, its near-dup cluster's min id, scores >=
+    QUALITY_MIN_BP, and language-IDs as CLEAN_LANG.
+
+    Scale shape: quality/langid are map-only projections; the dedup legs
+    are the LSH pipeline (keyed shuffles only) feeding two small anti
+    joins (dropped ids ≪ corpus — broadcast); the digest groupBy is the
+    only corpus-wide shuffle."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.plans import text_queries
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+        JACCARD_THRESHOLD_BP,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qual = text_queries.q_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_bp"
+    )
+    lang = text_queries.q_langid(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped_near = comps.filter(F.col("label") < F.col("u")).select(
+        F.col("u").alias("doc_id")
+    )
+    exact_keep = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    dropped_exact = (
+        docs.select("doc_id", F.md5("text").alias("k"))
+        .join(exact_keep, "k")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("quality_bp") >= QUALITY_MIN_BP)
+            & (F.col("pred_lang") == CLEAN_LANG)
+        )
+        .join(dropped_near, "doc_id", "left_anti")
+        .join(dropped_exact, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens", "quality_bp")
+    )
+
+
 QUERIES = {
     "q_hash_split": q_hash_split,
     "q_token_budget": q_token_budget,
     "q_source_mix": q_source_mix,
+    "q_clean_corpus": q_clean_corpus,
 }
 
 _H = hash60_sql("CAST(doc_id AS VARCHAR)")
 
+
+def _clean_corpus_oracle_sql() -> str:
+    """Mirror of q_clean_corpus: recursive-CTE closure for the near-dup
+    clusters + the q_quality / q_langid expressions inlined as CTEs."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+        _PAIR_JACCARD,
+        JACCARD_THRESHOLD_BP,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+        _TOKS,
+        _in_list,
+    )
+
+    body = _PAIR_JACCARD.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    score = {
+        lang: f"len(list_filter(ltoks, t -> t IN ({_in_list(m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    return (
+        body
+        + f""",
+        filt AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM filt
+          UNION SELECT doc_b, doc_a FROM filt
+        ),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        dropped_near AS (SELECT doc_id FROM clusters WHERE cluster_id < doc_id),
+        exact_keep AS (SELECT md5(text) AS k, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+        dropped_exact AS (
+          SELECT d.doc_id FROM documents d JOIN exact_keep e ON md5(d.text) = e.k
+          WHERE d.doc_id <> e.keep_id
+        ),
+        qbase AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_calc,
+                 len({_TOKS_RAW}) AS n_tokens,
+                 len(list_filter({_TOKS_RAW}, t -> t IN ({_in_list(STOPWORDS)}))) AS stop_cnt,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt
+          FROM documents
+        ),
+        qual AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST((least(n_tokens, 100) * 100 * 5
+                       + (CASE WHEN n_tokens > 0 THEN (10000 * stop_cnt) // n_tokens ELSE 0 END) * 3
+                       + (10000 - CASE WHEN n_chars_calc > 0 THEN (10000 * punct_cnt) // n_chars_calc ELSE 0 END) * 2
+                      ) // 10 AS BIGINT) AS quality_bp
+          FROM qbase
+        ),
+        lscore AS (
+          SELECT doc_id, {score['de']} AS sd, {score['en']} AS se,
+                 {score['es']} AS ss, {score['fr']} AS sf
+          FROM (SELECT doc_id, {_TOKS} AS ltoks FROM documents)
+        ),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(sd, se, ss, sf) <= 0 THEN 'und'
+                      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
+                      WHEN se >= ss AND se >= sf THEN 'en'
+                      WHEN ss >= sf THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM lscore
+        )
+        SELECT d.doc_id, d.source, q.n_tokens, q.quality_bp
+        FROM documents d
+        JOIN qual q USING (doc_id)
+        JOIN lang l USING (doc_id)
+        WHERE q.quality_bp >= {QUALITY_MIN_BP}
+          AND l.pred_lang = '{CLEAN_LANG}'
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped_near)
+          AND d.doc_id NOT IN (SELECT doc_id FROM dropped_exact)
+        """
+    )
+
+
 ORACLES = {
+    "q_clean_corpus": _clean_corpus_oracle_sql(),
     "q_hash_split": f"""
         SELECT doc_id,
                ({_H}) % 100 AS bucket,
