@@ -37,6 +37,7 @@ HEADLINE = (
     "q_simhash",
     "q_knn_cosine",
     "q_ann_lsh",
+    "q_clean_corpus",
 )
 
 

@@ -77,6 +77,37 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum keep rates (basis points) for the deterministic downsample:
+# sources matching the cut prefixes keep SAMPLE_CUT_BP, the rest keep
+# SAMPLE_DEFAULT_BP.
+SAMPLE_CUT_BP = 2500
+SAMPLE_DEFAULT_BP = 7500
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep a doc iff
+    hash(doc_id) mod 10000 < its source's rate. NOT df.sampleBy — a
+    content-stable hash rate is reproducible across runs, cluster sizes,
+    and partitionings (same argument as q_hash_split), and it needs no
+    sampling state: map-only, zero shuffle, works identically at 100 TB.
+    Rates here: sources starting 'src0'/'src1' keep 25%, the rest 75% —
+    the overrepresented-source cut of a training mix."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(
+            F.col("source").startswith("src0") | F.col("source").startswith("src1"),
+            F.lit(SAMPLE_CUT_BP),
+        )
+        .otherwise(F.lit(SAMPLE_DEFAULT_BP))
+    )
+    h = hash60(F.col("doc_id").cast("string")) % F.lit(10_000)
+    return (
+        docs.withColumn("rate_bp", rate.cast("bigint"))
+        .filter(h < F.col("rate_bp"))
+        .select("doc_id", "source", "rate_bp")
+    )
+
+
 QUALITY_MIN_BP = 6000
 CLEAN_LANG = "en"
 
@@ -137,6 +168,7 @@ QUERIES = {
     "q_token_budget": q_token_budget,
     "q_source_mix": q_source_mix,
     "q_clean_corpus": q_clean_corpus,
+    "q_stratified_sample": q_stratified_sample,
 }
 
 _H = hash60_sql("CAST(doc_id AS VARCHAR)")
@@ -227,6 +259,16 @@ def _clean_corpus_oracle_sql() -> str:
 
 ORACLES = {
     "q_clean_corpus": _clean_corpus_oracle_sql(),
+    "q_stratified_sample": f"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 CAST(CASE WHEN source LIKE 'src0%' OR source LIKE 'src1%'
+                      THEN {SAMPLE_CUT_BP} ELSE {SAMPLE_DEFAULT_BP} END AS BIGINT) AS rate_bp
+          FROM documents
+        )
+        SELECT doc_id, source, rate_bp
+        FROM r WHERE ({_H}) % 10000 < rate_bp
+    """,
     "q_hash_split": f"""
         SELECT doc_id,
                ({_H}) % 100 AS bucket,
