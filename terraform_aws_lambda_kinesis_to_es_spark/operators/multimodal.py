@@ -71,6 +71,55 @@ def _extract_batch(pdf: pd.DataFrame, media_type: str) -> pd.DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, n_bytes long"
+FRAME_SIZE = 64
+FRAME_EVERY_N = 4
+
+
+def fake_decode_frames(
+    payload: bytes, frame_size: int = FRAME_SIZE, every_n: int = FRAME_EVERY_N
+) -> list[bytes]:
+    """Deterministic FAKE video decode (ffmpeg not in this container):
+    fixed-size byte chunks stand in for frames, and every ``every_n``-th
+    chunk is the sampled frame. Replacing this body with real ffmpeg
+    frame extraction changes nothing about the Spark plumbing around it."""
+    step = frame_size * every_n
+    return [payload[s : s + frame_size] for s in range(0, len(payload), step)]
+
+
+def sample_frame_features(
+    df: DataFrame, frame_size: int = FRAME_SIZE, every_n: int = FRAME_EVERY_N
+) -> DataFrame:
+    """Frame sampling as mapInPandas row EXPLOSION: each input record
+    yields one output row per sampled frame — the 1->N batch shape real
+    video pipelines need (batch sizes change across the Python hop; the
+    fixed output schema is what keeps that sound). Map-only: input
+    partitioning is preserved, no shuffle; at 100 TB the frame rows feed
+    straight into a downstream embed/dedup stage without repartitioning."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for j, frame in enumerate(
+                    fake_decode_frames(bytes(payload), frame_size, every_n)
+                ):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, media_type: str = "text/plain") -> DataFrame:
     """Arrow-batched feature extraction via mapInPandas: executors stream
     record batches through Python once; output schema is fixed/typed.

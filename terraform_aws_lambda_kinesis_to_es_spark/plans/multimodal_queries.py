@@ -22,7 +22,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(with_payload)
 
 
-QUERIES = {"q_media_features": q_media_features}
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1->N row explosion through mapInPandas
+    (every 4th 64-byte chunk of the payload stands in for a video frame —
+    deterministic fake decode, real Arrow/schema/partitioning). The
+    oracle derives each sampled frame's index and byte count
+    arithmetically from the payload length."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = M.attach_payload(docs)
+    return M.sample_frame_features(with_payload)
+
+
+QUERIES = {
+    "q_media_features": q_media_features,
+    "q_media_frames": q_media_frames,
+}
+
+_STEP = M.FRAME_SIZE * M.FRAME_EVERY_N
 
 ORACLES = {
     "q_media_features": """
@@ -31,5 +47,17 @@ ORACLES = {
                CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
                md5(substring(text, 1, 16)) AS head_md5
         FROM documents
+    """,
+    "q_media_frames": f"""
+        WITH t AS (
+          SELECT doc_id, octet_length(text::BLOB) AS total FROM documents
+        ), k AS (
+          SELECT doc_id, total,
+                 unnest(generate_series(0, (total - 1) // {_STEP})) AS frame_idx
+          FROM t
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(least({M.FRAME_SIZE}, total - frame_idx * {_STEP}) AS BIGINT) AS n_bytes
+        FROM k
     """,
 }

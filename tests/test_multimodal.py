@@ -39,3 +39,21 @@ def test_binary_column_type(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     schema = M.attach_payload(df).schema
     assert schema["payload"].dataType.typeName() == "binary"
+
+
+def test_frame_sampling_explosion(spark):
+    # 600 bytes -> chunks of 64 at 0,64,...,576; sampled every 4th:
+    # starts 0, 256, 512 -> sizes 64, 64, 64; plus a short doc (1 frame)
+    df = spark.createDataFrame(
+        [(1, "a" * 600), (2, "b" * 10)], "doc_id long, text string"
+    )
+    rows = M.sample_frame_features(M.attach_payload(df)).collect()
+    got = {(r.doc_id, r.frame_idx): r.n_bytes for r in rows}
+    assert got == {(1, 0): 64, (1, 1): 64, (1, 2): 64, (2, 0): 10}
+
+
+def test_fake_decode_frame_content():
+    payload = bytes(range(256)) * 3  # 768 bytes
+    frames = M.fake_decode_frames(payload)
+    # every 4th 64-byte chunk: offsets 0, 256, 512
+    assert frames == [payload[0:64], payload[256:320], payload[512:576]]
