@@ -105,3 +105,35 @@ def test_salted_agg_property(spark, pairs):
         t, lo = ref.get(k, (0, 10**9))
         ref[k] = (t + v, min(lo, v))
     assert got == ref
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_property(spark, edges):
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # union-find reference
+    parent = {v: v for e in edges for v in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    ref = {v: min(u for u in parent if find(u) == find(v)) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.u: r.label for r in connected_components(df).collect()}
+    assert got == ref
