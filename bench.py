@@ -27,16 +27,20 @@ HEADLINE = (
     # relational / analytics
     "q_pricing_summary",
     "q_revenue_by_nation",
+    "q_volume_shipping",
     "q_top_orders",
     "q_user_stats",
     "q_sessionize",
     "q_topk_users",
     # training-data ops
     "q_wordcount",
+    "q_repetition",
+    "q_passage_dedup",
     "q_minhash_dedup",
     "q_simhash",
     "q_knn_cosine",
     "q_ann_lsh",
+    "q_semdedup",
     "q_clean_corpus",
 )
 

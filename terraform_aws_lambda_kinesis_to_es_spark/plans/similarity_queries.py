@@ -9,7 +9,7 @@ with round(4) only as a final formatting step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
@@ -111,8 +111,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(vecs, queries, k=TOP_K)
 
 
+SEM_CLUSTERS = 8
+SEM_TAU = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster by nearest seed vector, then
+    drop any vector whose cosine to a lower-id vector in the SAME cluster
+    is >= SEM_TAU (greedy min-id keep rule, cluster-local like the
+    SemDeDup paper's per-cluster pass — Abbas et al. 2023, arXiv:2303.09540).
+
+    Determinism/scale notes: seeds are the first SEM_CLUSTERS vectors (no
+    float averaging, so assignment is bit-reproducible and the SQL oracle
+    can mirror it exactly); assignment is a broadcast cross-join + window
+    argmax; the pairwise pass is confined within clusters — the whole
+    point of clustering first is that candidate pairs scale with
+    sum(cluster_size^2), not corpus^2. At 100 TB the seed set becomes a
+    kmeans-refined codebook (operators.similarity.kmeans_refine) and the
+    intra-cluster pass shards by (cluster, id-range) blocks."""
+    vecs = _vec(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < SEM_CLUSTERS).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+    )
+    scored = vecs.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", "cluster", S.cosine(F.col("v"), F.col("sv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
+    )
+    a = assigned.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(S.cosine(F.col("va"), F.col("vb")) >= F.lit(SEM_TAU))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("is_dup").isNull().alias("is_kept"),
+    )
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
+    "q_semdedup": q_semdedup,
     "q_embed_near_dup": q_embed_near_dup,
     "q_embed_near_dup_lsh": q_embed_near_dup_lsh,
     "q_ann_lsh": q_ann_lsh,
@@ -207,8 +256,33 @@ FROM bucketed a JOIN bucketed b
 WHERE ROUND({_cosine_sql("a.v", "b.v")}, 4) >= {NEAR_DUP_THRESHOLD}
 """
 
+_SEMDEDUP_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+seeds AS (SELECT vec_id AS cluster, v AS sv FROM vecs WHERE vec_id < {SEM_CLUSTERS}),
+scored AS (
+  SELECT vecs.vec_id, vecs.v, seeds.cluster,
+         {_cosine_sql("vecs.v", "seeds.sv")} AS sim
+  FROM vecs CROSS JOIN seeds
+), assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND {_cosine_sql("a.v", "b.v")} >= {SEM_TAU}
+       ) AS is_kept
+FROM assigned a
+"""
+
 ORACLES = {
     "q_knn_cosine": _KNN_SQL,
+    "q_semdedup": _SEMDEDUP_SQL,
     "q_embed_near_dup": _NEAR_DUP_SQL,
     "q_embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
     "q_ann_lsh": _ANN_SQL,

@@ -164,8 +164,90 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: distinct-token ratio, most
+    frequent token fraction, most frequent 2-gram fraction (integer basis
+    points). Expressed relationally (explode -> two-level hash aggregate)
+    rather than per-row HOF loops: the (doc_id, term) shuffle is linear in
+    corpus size and partial-aggregates map-side, where a per-row
+    distinct-x-count nested loop would be O(tokens^2) per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    words = docs.select("doc_id", F.explode(toks).alias("w"))
+    tok_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    grams = docs.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("g"))
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_gram_cnt"))
+    )
+    return tok_stats.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("(10000 * n_distinct) DIV n_tokens").cast("bigint").alias("distinct_bp"),
+        F.expr("(10000 * top_cnt) DIV n_tokens").cast("bigint").alias("top_token_bp"),
+        F.coalesce(F.expr("(10000 * top_gram_cnt) DIV n_grams"), F.lit(0))
+        .cast("bigint")
+        .alias("top_2gram_bp"),
+    )
+
+
+# Non-overlapping passage chunk size (tokens) for cross-doc passage dedup.
+PASSAGE_CHUNK = 8
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection: split each doc into
+    non-overlapping PASSAGE_CHUNK-token chunks, hash each chunk, and score
+    each doc by the fraction of its chunks that also occur in another doc
+    (integer basis points). Chunk frequencies come from one hash aggregate
+    on the 60-bit chunk hash; the per-occurrence join back is a shuffled
+    hash join on that key — both linear in total chunk count, never
+    corpus^2. Chunks are every PASSAGE_CHUNK-th overlapping n-gram, which
+    keeps the shifted-slice zip form of word_ngrams (see its docstring for
+    the HOF re-evaluation hazard the stride filter avoids)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    chunks = F.filter(
+        word_ngrams(toks, PASSAGE_CHUNK),
+        lambda g, i: (i % F.lit(PASSAGE_CHUNK)) == F.lit(0),
+    )
+    ch = docs.select(
+        "doc_id", F.explode(F.transform(chunks, lambda g: hash60(g))).alias("h")
+    )
+    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("bigint").alias("n_dup_chunks"),
+        F.coalesce(F.expr("(10000 * n_dup_chunks) DIV n_chunks"), F.lit(0))
+        .cast("bigint")
+        .alias("dup_passage_bp"),
+    )
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
+    "q_repetition": q_repetition,
+    "q_passage_dedup": q_passage_dedup,
     "q_doc_stats": q_doc_stats,
     "q_langid": q_langid,
     "q_quality": q_quality,
@@ -205,7 +287,47 @@ def _ngrams_sql(toks_expr: str, n: int) -> str:
     )
 
 
+def _chunks_sql(toks_expr: str, n: int) -> str:
+    """DuckDB non-overlapping n-token chunk strings (1-based inclusive
+    slices; generate_series(1, 0) is empty, so short docs yield [])."""
+    return (
+        f"list_transform(generate_series(1, len({toks_expr}) // {n}), "
+        f"i -> array_to_string(({toks_expr})[(i-1)*{n}+1:(i-1)*{n}+{n}], ' '))"
+    )
+
+
 ORACLES = {
+    "q_repetition": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        tc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        ts AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                      MAX(c) AS top_cnt FROM tc GROUP BY 1),
+        grams AS (SELECT doc_id, unnest({_ngrams_sql(_TOKS, 2)}) AS g FROM documents),
+        gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+        gs AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_gram_cnt FROM gc GROUP BY 1)
+        SELECT ts.doc_id, CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+               CAST((10000 * ts.n_distinct) // ts.n_tokens AS BIGINT) AS distinct_bp,
+               CAST((10000 * ts.top_cnt) // ts.n_tokens AS BIGINT) AS top_token_bp,
+               CAST(COALESCE((10000 * gs.top_gram_cnt) // gs.n_grams, 0) AS BIGINT) AS top_2gram_bp
+        FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+    """,
+    "q_passage_dedup": f"""
+        WITH ch AS (
+          SELECT doc_id, {hash60_sql('g')} AS h
+          FROM (SELECT doc_id, unnest({_chunks_sql(_TOKS, PASSAGE_CHUNK)}) AS g
+                FROM documents)
+        ), freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+          FROM ch JOIN freq USING (h) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+               CAST(COALESCE((10000 * p.n_dup) // p.n_chunks, 0) AS BIGINT) AS dup_passage_bp
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "q_wordcount": f"""
         SELECT word, COUNT(*) AS n
         FROM (SELECT unnest({_TOKS}) AS word FROM documents)

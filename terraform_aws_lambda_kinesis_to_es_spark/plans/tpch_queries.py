@@ -164,8 +164,72 @@ def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped nation-pair trade volume: the deepest join tree in
+    the surface (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ×2).
+    Every dimension side is broadcast; the only exchange is the
+    lineitem ⋈ orders shuffle on the order key, then one small
+    aggregation on (supp_nation, cust_nation, year)."""
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ord_cust = orders.join(
+        F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey
+    ).select("o_orderkey", "cust_nation")
+    j = lineitem.join(F.broadcast(supp_nation), lineitem.l_suppkey == supp_nation.s_suppkey).join(
+        ord_cust, lineitem.l_orderkey == ord_cust.o_orderkey
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: HAVING-filtered aggregation
+    joined back to its dimensions. The quantity sum is computed BEFORE the
+    joins so the shuffled aggregation shrinks the fact table first; the
+    surviving handful of keys then join orders (shuffle) and broadcast
+    customer. Quantities are small integers in double — their sum is exact
+    in FP regardless of partition order, so the > threshold cut is
+    deterministic across engines."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+    )
+
+
 QUERIES = {
     "q_above_avg_orders": q_above_avg_orders,
+    "q_volume_shipping": q_volume_shipping,
+    "q_big_spenders": q_big_spenders,
     "q_price_deciles": q_price_deciles,
     "q_pricing_summary": q_pricing_summary,
     "q_revenue_by_nation": q_revenue_by_nation,
@@ -177,6 +241,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+    "q_big_spenders": """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               ROUND(o.o_totalprice, 4) AS totalprice,
+               ROUND(b.sum_qty, 4) AS sum_qty
+        FROM (
+          SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+        ) b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "q_above_avg_orders": """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
         FROM (
