@@ -40,7 +40,14 @@ def as_double(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of the elementwise product (JVM-side HOFs)."""
+    """Left-to-right fold of the elementwise product (JVM-side HOFs).
+
+    Plan hazard, measured: unrolling this into an explicit 64-term indexed
+    expression (0.0 + a[0]*b[0] + ...) looks codegen-friendly but is
+    30-50x SLOWER — the 129-node expression tree blows past codegen method
+    limits and falls back to interpreted eval with 64 independent
+    GetArrayItem bound-checks per side. The HOF fold walks the arrays
+    once; keep it."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -52,6 +59,15 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_hoisted(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with pre-computed norm columns. Bitwise identical to
+    :func:`cosine` (same float ops in the same order — the norms are just
+    evaluated in a projection below the join instead of per pair), but on
+    an N-pair join it computes ONE dot product per pair instead of three.
+    Pass norms in the same (a, b) order cosine would compute them."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def dot_const(a: Column, vec: list[float]) -> Column:
@@ -85,13 +101,22 @@ def knn_bruteforce(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("cv"), F.col("qv")))
+        .withColumn(
+            "sim",
+            cosine_hoisted(F.col("cv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -112,11 +137,24 @@ def near_dup_pairs_exact(
     """All-pairs cosine >= threshold, exact. Self-join with id_a < id_b;
     the smaller side is broadcast at test scale, AQE decides at cluster
     scale. This is the exactness baseline the LSH path approximates."""
-    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
@@ -259,15 +297,24 @@ def knn_lsh(
     from pyspark.sql import Window
 
     cb = with_bucket(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cnrm"),
+        "bucket",
     )
     qb = with_bucket(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnrm"),
+        "bucket",
     )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("cv"), F.col("qv")))
+        .withColumn(
+            "sim",
+            cosine_hoisted(F.col("cv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -90,12 +90,21 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vec(spark, sf_dir)
     bucketed = S.with_bucket(vecs).select("vec_id", "bucket")
     pairs = pairs_within_buckets(bucketed, ["bucket"], "vec_id")
-    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    va = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), S.norm(F.col("v")).alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), S.norm(F.col("v")).alias("nb")
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(
+                S.cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+            ),
+        )
         .filter(F.col("sim") >= NEAR_DUP_THRESHOLD)
         .select(F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "sim")
     )
@@ -129,25 +138,43 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(cluster_size^2), not corpus^2. At 100 TB the seed set becomes a
     kmeans-refined codebook (operators.similarity.kmeans_refine) and the
     intra-cluster pass shards by (cluster, id-range) blocks."""
-    vecs = _vec(spark, sf_dir)
+    vecs = _vec(spark, sf_dir).withColumn("nrm", S.norm(F.col("v")))
     seeds = vecs.filter(F.col("vec_id") < SEM_CLUSTERS).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+        F.col("vec_id").alias("cluster"),
+        F.col("v").alias("sv"),
+        F.col("nrm").alias("snrm"),
     )
     scored = vecs.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "v", "cluster", S.cosine(F.col("v"), F.col("sv")).alias("sim")
+        "vec_id",
+        "v",
+        "nrm",
+        "cluster",
+        S.cosine_hoisted(F.col("v"), F.col("sv"), F.col("nrm"), F.col("snrm")).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    # persisted: the assignment feeds three consumers (both pair-join
+    # sides and the final output) — without it the broadcast-seed scoring
+    # subtree executes three times (visible as 3 BroadcastNestedLoopJoins
+    # in the plan). At cluster scale this is a written cluster-map table.
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster")
+        .select("vec_id", "v", "nrm", "cluster")
+        .persist()
     )
-    a = assigned.select("cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     dup_ids = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(S.cosine(F.col("va"), F.col("vb")) >= F.lit(SEM_TAU))
+        .filter(
+            S.cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= F.lit(SEM_TAU)
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))

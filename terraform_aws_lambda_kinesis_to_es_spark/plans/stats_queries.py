@@ -76,13 +76,47 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS window frames: per-customer cumulative spend and a
+    3-order trailing moving average, both over the same (partition, sort)
+    — one shuffle serves every frame. Frame order is total (date +
+    unique key), so the running float sums accumulate identically in both
+    engines; true values have <= 2 decimals, so round(4) sits ~5e-5 from
+    any boundary while accumulated FP error is ~1e-9 — midpoint-safe."""
+    orders = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trail3 = base.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 4).alias("cum_spend"),
+        F.round(F.sum("o_totalprice").over(trail3), 4).alias("trail3_spend"),
+        F.count("*").over(trail3).alias("trail3_n"),
+    )
+
+
 QUERIES = {
     "q_order_gaps": q_order_gaps,
+    "q_running_total": q_running_total,
     "q_percentiles": q_percentiles,
     "q_corr_stats": q_corr_stats,
 }
 
 ORACLES = {
+    "q_running_total": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_spend,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS trail3_spend,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3_n
+        FROM orders
+    """,
     "q_order_gaps": """
         WITH g AS (
           SELECT o_custkey,

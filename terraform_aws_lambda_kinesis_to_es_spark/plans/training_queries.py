@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60, hash60_sql
 from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens
-from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _TOKS_RAW
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+    _TOKS,
+    _TOKS_RAW,
+    _ngrams_sql,
+)
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
 
 TOKEN_BUDGET = 20_000
@@ -163,8 +167,73 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Contamination scan: docs below this id act as the held-out eval set.
+EVAL_DOC_MAX = 25
+CONTAM_NGRAM = 8
+
+# Sequence packing: token budget per training bin.
+BIN_BUDGET = 512
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training docs sharing any
+    CONTAM_NGRAM-gram with the held-out eval set (doc_id < EVAL_DOC_MAX),
+    with the count of distinct shared grams. The eval gram set is tiny
+    relative to the corpus — broadcast it; the training side is one
+    explode + hash aggregate, linear in corpus grams. Grams are
+    60-bit-hashed before the join so only longs shuffle, never strings."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import word_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    # persisted: feeds both the eval-set and training branches (the same
+    # staged-materialization point as the minhash shingle stage — only
+    # (id, long) rows are cached, never gram strings)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(word_ngrams(toks, CONTAM_NGRAM), hash60))
+        ).alias("g"),
+    ).persist()
+    eval_grams = (
+        grams.filter(F.col("doc_id") < EVAL_DOC_MAX).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= EVAL_DOC_MAX)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contam_grams"))
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget training bins
+    per source — bin_id = prior-cumulative-tokens DIV BIN_BUDGET in
+    doc_id order (streaming first-fit-by-offset; a doc may straddle its
+    bin boundary, matching how packed pretraining batches wrap). One
+    window shuffle keyed by source; all integer arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        docs.withColumn("n_tokens", F.size(tokens(F.col("text"))).cast("bigint"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"(cum_tokens - n_tokens) DIV {BIN_BUDGET}")
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )
+
+
 QUERIES = {
     "q_hash_split": q_hash_split,
+    "q_contamination": q_contamination,
+    "q_pack_sequences": q_pack_sequences,
     "q_token_budget": q_token_budget,
     "q_source_mix": q_source_mix,
     "q_clean_corpus": q_clean_corpus,
@@ -258,6 +327,31 @@ def _clean_corpus_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_contamination": f"""
+        WITH grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform({_ngrams_sql(_TOKS, CONTAM_NGRAM)},
+                        g -> {hash60_sql('g')}))) AS g
+          FROM documents
+        ), ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < {EVAL_DOC_MAX}),
+        tr AS (SELECT doc_id, g FROM grams WHERE doc_id >= {EVAL_DOC_MAX})
+        SELECT doc_id, COUNT(*) AS n_contam_grams
+        FROM tr JOIN ev USING (g) GROUP BY doc_id
+    """,
+    "q_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, source, CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST((cum - n_tokens) // {BIN_BUDGET} AS BIGINT) AS bin_id
+        FROM c
+    """,
     "q_clean_corpus": _clean_corpus_oracle_sql(),
     "q_stratified_sample": f"""
         WITH r AS (

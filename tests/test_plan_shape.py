@@ -81,9 +81,39 @@ _INTENTIONAL_PRODUCT = {
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
     "q_centroid_sim",    # corpus x broadcast(10 centroids)
+    "q_semdedup",        # corpus x broadcast(8 seed vecs) assignment pass
     "q_tfidf",           # x broadcast(single-row N)
     "q_source_mix",      # x broadcast(single-row totals)
 }
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    # the Q7-shape tree: every dimension side (nation x2, supplier,
+    # customer chain) must come in as a broadcast hash join — the only
+    # permitted exchange is the lineitem-orders key shuffle (which AQE
+    # may itself convert to broadcast at small SF)
+    plan = plan_of(spark, sf_dir, "q_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_pass_is_cluster_keyed(spark, sf_dir):
+    # the intra-cluster pair join must be an equi-join on cluster, never
+    # an all-pairs product over the corpus (the broadcast seed scoring is
+    # the only nested-loop allowed; it appears once — the assignment is
+    # persisted, so its subtree is not replicated per consumer)
+    plan = plan_of(spark, sf_dir, "q_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
