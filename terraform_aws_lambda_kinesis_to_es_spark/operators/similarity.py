@@ -160,6 +160,79 @@ def near_dup_pairs_exact(
     )
 
 
+def semdedup(
+    vecs: DataFrame,
+    n_clusters: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup core (see plans.similarity_queries.
+    q_semdedup for the declared-query contract and citations): assign each
+    vector to its nearest seed (first ``n_clusters`` ids — deterministic,
+    no float averaging), then mark as dropped any vector whose cosine to
+    a lower-id vector in the SAME cluster is >= tau.
+
+    Scale contract: the pair pass costs sum(cluster_size^2), so
+    ``n_clusters`` must grow with the corpus to hold cluster size
+    constant — with that, cost per vector stays flat (measured in
+    PERF.md). Returns (id, cluster, is_kept)."""
+    vecs = vecs.withColumn("nrm", norm(F.col(vec_col)))
+    seeds = vecs.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cluster"),
+        F.col(vec_col).alias("sv"),
+        F.col("nrm").alias("snrm"),
+    )
+    scored = vecs.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cluster",
+        cosine_hoisted(F.col(vec_col), F.col("sv"), F.col("nrm"), F.col("snrm")).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    # persisted: the assignment feeds three consumers (both pair-join
+    # sides and the final output) — without it the broadcast-seed scoring
+    # subtree executes three times (visible as 3 BroadcastNestedLoopJoins
+    # in the plan). At cluster scale this is a written cluster-map table.
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "nrm", "cluster")
+        .persist()
+    )
+    a = assigned.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= F.lit(tau)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dup_ids, id_col, "left").select(
+        id_col,
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("is_dup").isNull().alias("is_kept"),
+    )
+
+
 N_IVF_LISTS = 16
 N_IVF_PROBES = 4
 

@@ -153,8 +153,27 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read typed extraction through VariantType — the modern
+    engine-native path for the reference's opaque JSON bodies
+    (lambda/main.py:91): ``try_parse_json`` parses each props payload
+    once into a binary variant (malformed -> NULL, mirroring the
+    reference's silent non-JSON drop), ``try_variant_get`` extracts a
+    typed field without any declared schema. Variant decode beats
+    repeated ``get_json_object`` string re-parses when several fields are
+    pulled from the same payload, and the parse stays row-local/map-only."""
+    df = load(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    return df.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_val"),
+    )
+
+
 QUERIES = {
     "q_dedup": q_dedup,
+    "q_props_typed": q_props_typed,
     "q_topk_users": q_topk_users,
     "q_user_stats": q_user_stats,
     "q_sessionize": q_sessionize,
@@ -165,6 +184,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_props_typed": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+        FROM events
+    """,
     "q_dedup": """
         SELECT event_id, event_type, user_id FROM (
           SELECT event_id, event_type, user_id,

@@ -9,7 +9,7 @@ with round(4) only as a final formatting step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
@@ -138,52 +138,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(cluster_size^2), not corpus^2. At 100 TB the seed set becomes a
     kmeans-refined codebook (operators.similarity.kmeans_refine) and the
     intra-cluster pass shards by (cluster, id-range) blocks."""
-    vecs = _vec(spark, sf_dir).withColumn("nrm", S.norm(F.col("v")))
-    seeds = vecs.filter(F.col("vec_id") < SEM_CLUSTERS).select(
-        F.col("vec_id").alias("cluster"),
-        F.col("v").alias("sv"),
-        F.col("nrm").alias("snrm"),
-    )
-    scored = vecs.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "cluster",
-        S.cosine_hoisted(F.col("v"), F.col("sv"), F.col("nrm"), F.col("snrm")).alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster").asc())
-    # persisted: the assignment feeds three consumers (both pair-join
-    # sides and the final output) — without it the broadcast-seed scoring
-    # subtree executes three times (visible as 3 BroadcastNestedLoopJoins
-    # in the plan). At cluster scale this is a written cluster-map table.
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cluster")
-        .persist()
-    )
-    a = assigned.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = assigned.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    dup_ids = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            S.cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-            >= F.lit(SEM_TAU)
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    return assigned.join(dup_ids, "vec_id", "left").select(
-        "vec_id",
-        F.col("cluster").cast("bigint").alias("cluster"),
-        F.col("is_dup").isNull().alias("is_kept"),
-    )
+    return S.semdedup(_vec(spark, sf_dir), SEM_CLUSTERS, SEM_TAU)
 
 
 QUERIES = {

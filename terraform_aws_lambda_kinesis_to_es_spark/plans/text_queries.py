@@ -11,7 +11,7 @@ Cross-engine precision rules used throughout this module:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60, hash60_sql
@@ -202,6 +202,41 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per doc (nats, round(4)) — the
+    classic gibberish/boilerplate quality signal: H = ln(n) - S/n with
+    S = sum(c * ln c) over per-token counts. The float sum S is folded
+    left-to-right over the w-sorted count list on BOTH engines (Spark
+    aggregate seeded 0.0 over array_sort'ed structs; DuckDB list_reduce
+    over list(... ORDER BY w) prepended with 0.0), so accumulation order
+    is pinned and results stay bit-comparable before the final round.
+    Same two-level aggregate shape as q_repetition — linear, map-side
+    partial aggregation on the (doc_id, w) shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("w", "c"))).alias("wc"),
+    )
+    s = F.aggregate(
+        F.transform(F.col("wc"), lambda r: r["c"].cast("double") * F.log(r["c"].cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log(F.col("n_tokens").cast("double")) - s / F.col("n_tokens").cast("double"), 4
+        ).alias("entropy_nats"),
+    )
+
+
 # Non-overlapping passage chunk size (tokens) for cross-doc passage dedup.
 PASSAGE_CHUNK = 8
 
@@ -222,20 +257,25 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams(toks, PASSAGE_CHUNK),
         lambda g, i: (i % F.lit(PASSAGE_CHUNK)) == F.lit(0),
     )
-    # NOT persisted, measured: the chunk stage feeds two consumers, but
-    # recomputing this cheap map-only stage beats cache materialization
-    # (2.2 s vs 3.3 s at sf0.1) — unlike the expensive semdedup
-    # assignment or minhash shingle stages, where persist wins
+    # Single scan of the chunk stage: collapse to (h, doc_id, occ), get
+    # the per-hash doc count as a window over the already-grouped rows
+    # (each (h, doc_id) row counts one distinct doc), then aggregate per
+    # doc. One pass over the chunk projection instead of the
+    # two-scan groupBy + join-back form (which re-derived every chunk;
+    # persisting it was slower still — cache cost beat the recompute).
     ch = docs.select(
         "doc_id", F.explode(F.transform(chunks, lambda g: hash60(g))).alias("h")
     )
-    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_hash_doc = ch.groupBy("h", "doc_id").agg(F.count("*").alias("occ"))
+    wh = Window.partitionBy("h")
     per_doc = (
-        ch.join(freq, "h")
+        per_hash_doc.withColumn("nd", F.count("*").over(wh))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum("occ").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, F.col("occ")).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
         )
     )
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
@@ -252,6 +292,7 @@ QUERIES = {
     "q_wordcount": q_wordcount,
     "q_repetition": q_repetition,
     "q_passage_dedup": q_passage_dedup,
+    "q_doc_entropy": q_doc_entropy,
     "q_doc_stats": q_doc_stats,
     "q_langid": q_langid,
     "q_quality": q_quality,
@@ -301,6 +342,22 @@ def _chunks_sql(toks_expr: str, n: int) -> str:
 
 
 ORACLES = {
+    "q_doc_entropy": f"""
+        WITH counts AS (
+          SELECT doc_id, w, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+          GROUP BY 1, 2
+        ), per_doc AS (
+          SELECT doc_id, SUM(c) AS n_tokens,
+                 list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY w) AS terms
+          FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(ln(CAST(n_tokens AS DOUBLE))
+                     - list_reduce(list_prepend(0.0, terms), (a, b) -> a + b)
+                       / CAST(n_tokens AS DOUBLE), 4) AS entropy_nats
+        FROM per_doc
+    """,
     "q_repetition": f"""
         WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
         tc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
