@@ -233,6 +233,67 @@ def semdedup(
     )
 
 
+def assign_bucketed_seeds(
+    vecs: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Scale path for seed/centroid assignment: instead of scoring every
+    vector against every seed (n x k — fine for k <= a few hundred,
+    infeasible for a 100k-seed codebook), restrict each vector to the
+    seeds in its own hyperplane bucket (expected k/2^B candidates), with
+    a broadcast-all-seeds fallback for vectors whose bucket holds no
+    seed. Deterministic: buckets are fixed-constant hyperplane signs and
+    the argmax tie-break is lowest cluster id, so repeated runs agree;
+    the tradeoff vs exhaustive assignment is approximation (a vector's
+    best seed may live in a neighboring bucket), which is the standard
+    IVF/LSH recall contract.
+
+    ``seeds`` must have columns (cluster, sv). Returns (id, vec, nrm,
+    cluster), one row per input vector."""
+    vb = with_bucket(vecs, vec_col).withColumn("nrm", norm(F.col(vec_col)))
+    sb = with_bucket(seeds, "sv").select(
+        "cluster", "sv", norm(F.col("sv")).alias("snrm"), "bucket"
+    )
+    scored = vb.join(sb, "bucket").select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cluster",
+        cosine_hoisted(F.col(vec_col), F.col("sv"), F.col("nrm"), F.col("snrm")).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "nrm", "cluster")
+    )
+    # fallback: vectors in seedless buckets score all seeds (rare when
+    # seeds outnumber buckets; exhaustive over the broadcast codebook)
+    orphans = vb.join(
+        sb.select("bucket").distinct(), "bucket", "left_anti"
+    ).select(id_col, vec_col, "nrm")
+    sb_all = sb.drop("bucket")
+    orphan_scored = orphans.crossJoin(F.broadcast(sb_all)).select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cluster",
+        cosine_hoisted(F.col(vec_col), F.col("sv"), F.col("nrm"), F.col("snrm")).alias(
+            "sim"
+        ),
+    )
+    orphan_assigned = (
+        orphan_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "nrm", "cluster")
+    )
+    return assigned.unionByName(orphan_assigned)
+
+
 N_IVF_LISTS = 16
 N_IVF_PROBES = 4
 

@@ -76,6 +76,25 @@ def predicted_lang(tokens_col: Column) -> Column:
     )
 
 
+def quality_score(text_col: str = "text") -> Column:
+    """Composite quality score in [0, 1] (50% length saturation, 30%
+    stopword presence, 20% punctuation cleanliness) as a single row-local
+    expression — usable identically on batch and streaming frames."""
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct_cnt = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
+    stop_ratio = F.when(n_tokens > 0, F.round(stop_cnt / n_tokens, 4)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(punct_cnt / n_chars, 4)).otherwise(F.lit(0.0))
+    return F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.2,
+        4,
+    )
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: length, token count, stopword ratio, punct
     ratio, and a composite score. Everything rounds to 4 decimals so the
@@ -87,12 +106,7 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_cnt = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
     stop_ratio = F.when(n_tokens > 0, F.round(stop_cnt / n_tokens, 4)).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, F.round(punct_cnt / n_chars, 4)).otherwise(F.lit(0.0))
-    score = F.round(
-        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.5
-        + stop_ratio * 0.3
-        + (F.lit(1.0) - punct_ratio) * 0.2,
-        4,
-    )
+    score = quality_score(text_col)
     return df.select(
         F.col("doc_id"),
         n_chars.alias("n_chars_calc"),

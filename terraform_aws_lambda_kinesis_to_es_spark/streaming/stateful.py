@@ -220,3 +220,37 @@ def running_type_counts(df: DataFrame, type_col: str = "log_type") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def clean_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "doc_ts",
+    watermark: str = "1 hour",
+    min_quality: float = 0.6,
+    lang: str = "en",
+) -> DataFrame:
+    """Streaming corpus cleaning: the q_clean_corpus composition on an
+    unbounded document stream. Quality floor and language-ID are the
+    SAME row-local expressions as the batch plan (map-only — the shared
+    DataFrame API is the point); exact dedup becomes watermarked
+    dropDuplicates on the content digest, so a re-crawled duplicate in a
+    later micro-batch is dropped while state stays bounded by the
+    watermark horizon. Near-dup LSH stays a batch/compaction job at
+    100 TB — a growing pairwise similarity graph is not bounded state.
+    """
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+        predicted_lang,
+        quality_score,
+        tokens,
+    )
+
+    return (
+        df.withColumn("quality_score", quality_score(text_col))
+        .withColumn("pred_lang", predicted_lang(tokens(F.lower(F.col(text_col)))))
+        .filter((F.col("quality_score") >= min_quality) & (F.col("pred_lang") == lang))
+        .withColumn("content_key", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["content_key"])
+        .drop("content_key")
+    )

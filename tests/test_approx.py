@@ -123,3 +123,44 @@ def test_kmeans_refine_improves_clustering(spark, sf_dir):
     after = mean_sim(refined)
     assert after >= before - 1e-9, (before, after)
     assert after > before  # on random data one Lloyd step strictly helps
+
+
+def test_bucketed_seed_assignment_covers_and_agrees(spark, sf_dir):
+    """assign_bucketed_seeds must assign every vector exactly once, and
+    must agree with exhaustive assignment whenever the vector's true
+    argmax seed shares its hyperplane bucket (the approximation only
+    kicks in across bucket boundaries — the IVF/LSH recall contract)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    )
+    seeds = vecs.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+    )
+    n = vecs.count()
+    bucketed = S.assign_bucketed_seeds(vecs, seeds)
+    rows = bucketed.collect()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+
+    exhaustive = {
+        r.vec_id: r.cluster
+        for r in S.semdedup(vecs, 32, 2.0).collect()  # tau=2.0: no drops, pure assignment
+    }
+    vec_bucket = {
+        r.vec_id: r.bucket for r in S.with_bucket(vecs).select("vec_id", "bucket").collect()
+    }
+    seed_bucket = {
+        r.cluster: r.bucket
+        for r in S.with_bucket(seeds, "sv").select("cluster", "bucket").collect()
+    }
+    agree = checked = 0
+    for r in rows:
+        true_cluster = exhaustive[r.vec_id]
+        if seed_bucket[true_cluster] == vec_bucket[r.vec_id]:
+            checked += 1
+            agree += int(r.cluster == true_cluster)
+    assert checked > 0
+    assert agree == checked, f"{agree}/{checked}"

@@ -234,3 +234,40 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     _run_to_memory(joined, "ssj_t", str(tmp_path / "ck"))
     rows = spark.table("ssj_t").collect()
     assert [(r.click_id, r.purchase_id) for r in rows] == [("c1", "p1")]
+
+
+def test_clean_stream_filters_and_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus cleaning: quality/langid filters are map-only;
+    a duplicate text arriving in a LATER micro-batch is dropped by the
+    watermarked digest state."""
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    good = "the cat and the dog run to the house and the tree is tall"
+    _write_batch(
+        src,
+        "b1",
+        [
+            {"doc_id": 1, "text": good, "doc_ts": "2024-03-01T10:00:00"},
+            {"doc_id": 2, "text": "zz", "doc_ts": "2024-03-01T10:00:01"},  # low quality
+            {"doc_id": 3, "text": "le chat et le chien vont vers les arbres et le la le",
+             "doc_ts": "2024-03-01T10:00:02"},  # french
+        ],
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"doc_id": 4, "text": good, "doc_ts": "2024-03-01T10:00:03"},  # cross-batch dup
+            {"doc_id": 5, "text": "a big dog is in the house and the cat is of the tree here",
+             "doc_ts": "2024-03-01T10:00:04"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stateful.clean_stream(stream, min_quality=0.2)
+    _run_to_memory(out, "clean_t", str(tmp_path / "ck_clean"))
+    ids = sorted(r.doc_id for r in spark.table("clean_t").collect())
+    assert ids == [1, 5]
