@@ -64,8 +64,16 @@ class PipelineConfig:
     # downstream can do this — variables.tf:67-70 — but never sets _id,
     # main.py:116).
     use_log_id_as_doc_id: bool = False
+    # Timestamp parse strategy: 'ladder' (JVM-side try_to_timestamp
+    # coalesce over the documented formats — the hot-path default) or
+    # 'dateutil' (Arrow-batched pandas UDF with exact dateutil parity,
+    # reference README.md:14 / lambda/requirements.txt:7 — opt-in for
+    # raw streams with wild formats).
+    timestamp_parser: str = "ladder"
 
     def __post_init__(self) -> None:
+        if self.timestamp_parser not in ("ladder", "dateutil"):
+            raise ValueError("timestamp_parser must be 'ladder' or 'dateutil'")
         if self.bulk_chunk_size <= 0:
             raise ValueError("bulk_chunk_size must be positive")
         if self.batch_size <= 0:

@@ -12,6 +12,7 @@ projections) — at 100 TB this stage is map-only and scales linearly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +57,47 @@ def parse_timestamp(col: Column) -> Column:
         F.try_to_timestamp(s, F.lit("yyyyMMdd'T'HHmmssX")),
         F.try_to_timestamp(s, F.lit("MM/dd/yyyy HH:mm:ss")),
     )
+
+
+def parse_timestamp_dateutil(col: Column) -> Column:
+    """Exact dateutil-parity timestamp parse — the reference accepts ANY
+    ``dateutil.parser.parse``-able string (README.md:14, python-dateutil
+    pinned at lambda/requirements.txt:7), which is wider than a format
+    ladder can be. Arrow-batched pandas UDF, flag-gated
+    (PipelineConfig.timestamp_parser='dateutil'): the JVM-side ladder
+    stays the default because a Python hop on the hot path costs real
+    throughput; this path exists for raw-stream fidelity on wild formats.
+    Unparseable -> NULL (feeds validation); tz-aware inputs normalize to
+    naive UTC, matching the ladder's session-tz convention."""
+    from datetime import timezone as _tz
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def _parse(s: pd.Series) -> pd.Series:
+        from dateutil import parser as _p
+
+        def one(x):
+            if x is None or not str(x).strip():
+                return None
+            try:
+                dt = _p.parse(str(x))
+            except (ValueError, OverflowError, TypeError):
+                return None
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(_tz.utc).replace(tzinfo=None)
+            return dt
+
+        return s.map(one)
+
+    return _parse(col)
+
+
+def timestamp_parser_for(cfg: PipelineConfig):
+    """The configured timestamp parser (ladder default; dateutil opt-in)."""
+    if getattr(cfg, "timestamp_parser", "ladder") == "dateutil":
+        return parse_timestamp_dateutil
+    return parse_timestamp
 
 
 def apply_whitelist(

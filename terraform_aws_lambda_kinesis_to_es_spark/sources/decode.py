@@ -132,13 +132,18 @@ def parse_json_contract(
     main.py:91-94 — only field-validation failures dead-letter, not parse
     failures). Extracts the three contract fields, keeps the raw payload
     string for opaque passthrough to the sink (main.py:116)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.routing import (
+        timestamp_parser_for,
+    )
+
+    ts_parse = timestamp_parser_for(cfg)
     is_json = F.try_parse_json(F.col(payload_col)).isNotNull()
     out = df.filter(is_json)
     return (
         out.withColumn("log_type", F.get_json_object(F.col(payload_col), f"$.{cfg.log_type_field}"))
         .withColumn(
             "log_ts",
-            parse_timestamp(F.get_json_object(F.col(payload_col), f"$.{cfg.log_timestamp_field}")),
+            ts_parse(F.get_json_object(F.col(payload_col), f"$.{cfg.log_timestamp_field}")),
         )
         .withColumn("log_id", F.get_json_object(F.col(payload_col), f"$.{cfg.log_id_field}"))
     )

@@ -55,3 +55,56 @@ def test_whitelist_does_not_swallow_invalid_records(spark, tmp_path):
     out = transform_records(df, cfg).collect()
     assert len(out) == 1  # 'spam' silently dropped
     assert out[0].is_valid is False and out[0].log_type == "unknown"
+
+
+DATEUTIL_ONLY = [
+    ("March 5, 2024 10:00:00", "2024-03-05 10:00:00"),
+    ("5 Mar 2024 10:00", "2024-03-05 10:00:00"),
+    ("Tue, 05 Mar 2024 10:00:00 GMT", "2024-03-05 10:00:00"),
+]
+
+
+def test_dateutil_path_superset_of_ladder(spark):
+    """The flag-gated dateutil parser must handle the ladder formats that
+    are in dateutil's contract AND the wild formats only dateutil accepts
+    (the reference's actual contract is exactly dateutil, README.md:14);
+    garbage still yields NULL. Apache CLF is the one ladder format
+    dateutil itself rejects — the ladder is deliberately wider there."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.routing import (
+        parse_timestamp_dateutil,
+    )
+
+    cases = [c for c in CASES if "Mar/2024" not in c[0]] + DATEUTIL_ONLY
+    df = spark.createDataFrame([(s,) for s, _ in cases], "raw string")
+    out = df.select(
+        "raw",
+        F.date_format(parse_timestamp_dateutil(F.col("raw")), "yyyy-MM-dd HH:mm:ss").alias("p"),
+    ).collect()
+    got = {r.raw: r.p for r in out}
+    for raw, expect in cases:
+        assert got[raw] == expect, (raw, got[raw])
+
+
+def test_contract_uses_configured_parser(spark):
+    """parse_json_contract honors timestamp_parser='dateutil': a payload
+    timestamp only dateutil can read validates instead of dead-lettering."""
+    from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.decode import parse_json_contract
+
+    payload = '{"log_type": "app", "time": "March 5, 2024 10:00:00", "log_id": "x1"}'
+    df = spark.createDataFrame([(payload,)], "payload string")
+    ladder = parse_json_contract(df, PipelineConfig()).collect()[0]
+    assert ladder.log_ts is None
+    dateutil_row = parse_json_contract(
+        df, PipelineConfig(timestamp_parser="dateutil")
+    ).collect()[0]
+    assert str(dateutil_row.log_ts) == "2024-03-05 10:00:00"
+
+
+def test_config_rejects_unknown_parser():
+    import pytest as _pytest
+
+    from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
+
+    with _pytest.raises(ValueError):
+        PipelineConfig(timestamp_parser="magic")
