@@ -130,3 +130,51 @@ def extract_features(df: DataFrame, media_type: str = "text/plain") -> DataFrame
             yield _extract_batch(pdf, media_type)
 
     return df.select("doc_id", "payload").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: real image resize (PIL ``Image.resize`` + re-encode); the
+    mapInPandas plumbing in :func:`resize_features` is real."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+RESIZE_FACTOR = 4
+RESIZE_SCHEMA = "doc_id long, orig_bytes long, resized_bytes long, resized_head_hex string"
+
+
+def fake_resize(payload: bytes, factor: int = RESIZE_FACTOR) -> bytes:
+    """Deterministic resize stand-in: keep every ``factor``-th byte (a
+    1-D 'downsample'). Replacing this body with :func:`resize_image`
+    changes nothing about the Spark plumbing around it."""
+    return payload[::factor]
+
+
+def resize_features(df: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
+    """Resize as an Arrow-batched 1->1 transform: binary in, binary-derived
+    features out, fixed typed schema. Map-only (partitioning preserved);
+    at 100 TB this is the thumbnailing stage that runs next to decode,
+    and its output feeds storage or an embed stage without a shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            orig: list[int] = []
+            resized: list[int] = []
+            heads: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                r = fake_resize(b, factor)
+                ids.append(doc_id)
+                orig.append(len(b))
+                resized.append(len(r))
+                heads.append(r[:8].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "orig_bytes": pd.Series(orig, dtype="int64"),
+                    "resized_bytes": pd.Series(resized, dtype="int64"),
+                    "resized_head_hex": pd.Series(heads, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(gen, RESIZE_SCHEMA)

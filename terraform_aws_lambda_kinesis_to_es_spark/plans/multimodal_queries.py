@@ -33,14 +33,39 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frame_features(with_payload)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payload through an Arrow-batched 1->1
+    mapInPandas transform (every 4th byte stands in for the downsample —
+    deterministic fake, real schema/batching). The oracle reconstructs
+    the downsampled bytes character-wise (ASCII corpus ⇒ char == byte)."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = M.attach_payload(docs)
+    return M.resize_features(with_payload)
+
+
 QUERIES = {
     "q_media_features": q_media_features,
     "q_media_frames": q_media_frames,
+    "q_media_resize": q_media_resize,
 }
 
 _STEP = M.FRAME_SIZE * M.FRAME_EVERY_N
 
 ORACLES = {
+    "q_media_resize": f"""
+        WITH ds AS (
+          SELECT doc_id, octet_length(text::BLOB) AS orig,
+                 array_to_string(list_transform(
+                   generate_series(1, length(text), {M.RESIZE_FACTOR}),
+                   i -> text[i]), '') AS r
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(orig AS BIGINT) AS orig_bytes,
+               CAST(length(r) AS BIGINT) AS resized_bytes,
+               lower(hex(substring(r, 1, 8)::BLOB)) AS resized_head_hex
+        FROM ds
+    """,
     "q_media_features": """
         SELECT doc_id,
                'text/plain' AS media_type,
