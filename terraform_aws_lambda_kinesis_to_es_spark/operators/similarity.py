@@ -70,6 +70,25 @@ def cosine_hoisted(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Colu
     return dot(a, b) / (norm_a * norm_b)
 
 
+def scalar_quantize(v: Column) -> Column:
+    """Per-vector int8-range scalar quantization: map each component to
+    floor((x - min) * 255 / (max - min)) in [0, 255] (0 for constant
+    vectors). The storage-compression step in front of an ANN index —
+    4x smaller than float32 with ~1% recall loss in practice. Map-only,
+    expressed with HOFs over one array walk (see :func:`dot` for why the
+    fold form beats an unrolled expression chain). floor, not round:
+    floor is bit-identical across engines while round-half-up vs
+    banker's can disagree exactly at midpoints."""
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    return F.transform(
+        v,
+        lambda x: F.when(mx == mn, F.lit(0))
+        .otherwise(F.floor((x - mn) * F.lit(255.0) / (mx - mn)))
+        .cast("int"),
+    )
+
+
 def dot_const(a: Column, vec: list[float]) -> Column:
     """Dot product against a constant vector, as an explicit left-assoc sum
     (mirrors the generated oracle SQL term-for-term)."""

@@ -117,6 +117,32 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns, kept to a regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: character classes, +/{m,n} quantifiers, \b word
+# boundary — no backreferences, no lookaround. Redaction order matters
+# only in that it must match between engines; email first, then phone.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+PII_EMAIL_TAG = "<EMAIL>"
+PII_PHONE_TAG = "<PHONE>"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (JVM-side regexp_count)."""
+    return {
+        "email": F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        "phone": F.regexp_count(col, F.lit(PII_PHONE_RE)),
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its typed tag (global regexp_replace,
+    chained email -> phone). Map-only and linear; at 100 TB this is the
+    canonical pre-training scrub pass and runs fused with the scan."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, PII_EMAIL_TAG)
+    return F.regexp_replace(out, PII_PHONE_RE, PII_PHONE_TAG)
+
+
 def fingerprint_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
     * ``fp_md5`` — OpenRefine-style key-collision fingerprint: md5 of the

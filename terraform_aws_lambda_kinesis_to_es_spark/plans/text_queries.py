@@ -18,8 +18,14 @@ from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60, h
 from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
     BPE_REGEX,
     LANG_MARKERS,
+    PII_EMAIL_RE,
+    PII_EMAIL_TAG,
+    PII_PHONE_RE,
+    PII_PHONE_TAG,
     STOPWORDS,
+    pii_counts,
     predicted_lang,
+    redact_pii,
     tokens,
     word_ngrams,
 )
@@ -288,6 +294,83 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails / phone numbers.
+
+    The synthetic corpus contains no organic PII, so the plan injects a
+    deterministic email + phone into each doc (derived from ``source`` /
+    ``doc_id``) and then runs the real operator
+    (``operators/text.py:redact_pii``) over the enriched text — the regex
+    machinery, global replacement, and counting are exactly what runs on
+    a real corpus. Map-only, zero shuffle, linear at 100 TB; the oracle
+    mirrors both the injection and the scrub."""
+    docs = load(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts(enriched)
+    red = redact_pii(enriched)
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["phone"].cast("bigint").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal, RefinedWeb-style: drop every passage chunk
+    that also occurs in another document (header/footer/nav shingles at
+    web scale) and reconstruct the cleaned text in original chunk order.
+
+    Same linear chunk-hash shuffle as q_passage_dedup, but this one is a
+    *transform* — the output carries the rebuilt document (as md5, to
+    keep the compared payload small): posexplode keeps chunk positions,
+    the per-hash distinct-doc count marks shared chunks, and the kept
+    chunks reassemble via a sorted struct collect. Never corpus^2 — cost
+    tracks total chunk count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    chunks = F.filter(
+        word_ngrams(toks, PASSAGE_CHUNK),
+        lambda g, i: (i % F.lit(PASSAGE_CHUNK)) == F.lit(0),
+    )
+    ch = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "g")
+    ).withColumn("h", hash60(F.col("g")))
+    freq = ch.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("nd") == 1, F.struct("pos", "g"))
+                        )
+                    ),
+                    lambda s: s["g"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+    )
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
     "q_repetition": q_repetition,
@@ -299,6 +382,8 @@ QUERIES = {
     "q_tokens": q_tokens,
     "q_fingerprint": q_fingerprint,
     "q_tfidf": q_tfidf,
+    "q_pii_redact": q_pii_redact,
+    "q_boilerplate_strip": q_boilerplate_strip,
 }
 
 
@@ -341,7 +426,52 @@ def _chunks_sql(toks_expr: str, n: int) -> str:
     )
 
 
+_PII_ENRICH = (
+    "text || ' contact ' || source || '@example.com or call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
 ORACLES = {
+    "q_pii_redact": f"""
+        WITH e AS (SELECT doc_id, {_PII_ENRICH} AS t FROM documents),
+        r AS (
+          SELECT doc_id, t,
+                 regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}',
+                     '{PII_EMAIL_TAG}', 'g'), '{PII_PHONE_RE}',
+                     '{PII_PHONE_TAG}', 'g') AS red
+          FROM e
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(red) AS redacted_md5,
+               CAST(length(red) AS BIGINT) AS redacted_len
+        FROM r
+    """,
+    "q_boilerplate_strip": f"""
+        WITH base AS (
+          SELECT doc_id, {_chunks_sql(_TOKS, PASSAGE_CHUNK)} AS ck FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ck, unnest(generate_series(1, len(ck))) AS pos FROM base
+        ),
+        ch AS (
+          SELECT doc_id, pos, ck[pos] AS g, {hash60_sql('ck[pos]')} AS h FROM idx
+        ),
+        freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY h),
+        per_doc AS (
+          SELECT ch.doc_id, COUNT(*) AS n_chunks,
+                 SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS n_kept,
+                 array_to_string(list(g ORDER BY pos) FILTER (WHERE nd = 1), ' ')
+                   AS kept_text
+          FROM ch JOIN freq USING (h) GROUP BY ch.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(COALESCE(p.kept_text, '')) AS kept_md5
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "q_doc_entropy": f"""
         WITH counts AS (
           SELECT doc_id, w, COUNT(*) AS c

@@ -230,6 +230,40 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source reweighting (alpha = 0.5): the sampling
+    weight of source s becomes sqrt(n_s) / sum(sqrt(n_s)) — the standard
+    move that upsamples small sources and downsamples dominant ones when
+    assembling a multilingual / multi-source training mix.
+
+    Float discipline: sqrt is correctly rounded IEEE in both engines, but
+    the sum over sources is partition-order dependent — so the total is an
+    order-pinned fold over the source-sorted weight list (same trick as
+    q_doc_entropy), making every emitted double bitwise reproducible.
+    One tiny aggregate + broadcast join; the corpus scan is the only
+    linear cost at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    ps = docs.groupBy("source").agg(F.count("*").alias("n_docs")).withColumn(
+        "w", F.sqrt(F.col("n_docs").cast("double"))
+    )
+    totals = ps.agg(
+        F.sum("n_docs").cast("bigint").alias("tot_docs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda a, s: a + s["w"],
+        ).alias("tot_w"),
+    )
+    return ps.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("w") / F.col("tot_w"), 6).alias("temp_share"),
+        F.round(
+            (F.col("w") * F.col("tot_docs")) / (F.col("tot_w") * F.col("n_docs")), 4
+        ).alias("boost"),
+    )
+
+
 QUERIES = {
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
@@ -238,6 +272,7 @@ QUERIES = {
     "q_source_mix": q_source_mix,
     "q_clean_corpus": q_clean_corpus,
     "q_stratified_sample": q_stratified_sample,
+    "q_temperature_mix": q_temperature_mix,
 }
 
 _H = hash60_sql("CAST(doc_id AS VARCHAR)")
@@ -327,6 +362,22 @@ def _clean_corpus_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_temperature_mix": """
+        WITH per_source AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+          FROM documents GROUP BY source
+        ), totals AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+                 list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                             (a, b) -> a + b) AS tot_w
+          FROM per_source
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND(w / tot_w, 6) AS temp_share,
+               ROUND((w * tot_docs) / (tot_w * n_docs), 4) AS boost
+        FROM per_source CROSS JOIN totals
+    """,
     "q_contamination": f"""
         WITH grams AS (
           SELECT doc_id,

@@ -84,6 +84,7 @@ _INTENTIONAL_PRODUCT = {
     "q_semdedup",        # corpus x broadcast(8 seed vecs) assignment pass
     "q_tfidf",           # x broadcast(single-row N)
     "q_source_mix",      # x broadcast(single-row totals)
+    "q_temperature_mix", # x broadcast(single-row totals)
 }
 
 
