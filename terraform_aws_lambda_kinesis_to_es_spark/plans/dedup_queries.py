@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60_sql
 from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
-from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _ngrams_sql, _TOKS
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import STOPWORDS
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+    _TOKS,
+    _TOKS_RAW,
+    _in_list,
+    _ngrams_sql,
+)
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
 
 JACCARD_THRESHOLD_BP = 5000  # 0.5 in basis points
@@ -95,6 +101,34 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decision: per near-dup cluster, keep the
+    highest-quality member (tie-break: lowest doc_id) instead of the
+    blind min-id rule — how a production pipeline picks the canonical
+    copy when duplicates differ in cleanliness. Reuses the minhash->
+    connected-components machinery; the keep rule is one max_by over a
+    composite (quality, -id) key, so the per-cluster reduction stays a
+    single hash aggregate (no window over the full corpus)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans import text_queries
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    qual = text_queries.q_quality(spark, sf_dir).select("doc_id", "quality_bp")
+    members = comps.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(qual, "doc_id")
+    return members.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality_bp"), (-F.col("doc_id")).alias("nid"))
+        )
+        .cast("bigint")
+        .alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max("quality_bp").cast("bigint").alias("best_quality_bp"),
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_dup_clusters": q_dup_clusters,
@@ -102,6 +136,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_dedup_keep_best": q_dedup_keep_best,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -178,8 +213,65 @@ def _dup_clusters_oracle_sql() -> str:
     )
 
 
+def _dedup_keep_best_oracle_sql() -> str:
+    """Closure (as in q_dup_clusters) + the q_quality bp formula, keep =
+    row_number over (quality DESC, doc_id ASC)."""
+    body = _PAIR_JACCARD.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    return (
+        body
+        + f""",
+        filt AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM filt
+          UNION SELECT doc_b, doc_a FROM filt
+        ),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+        qbase AS (
+          SELECT doc_id,
+                 length(text) AS n_chars_calc,
+                 len({_TOKS_RAW}) AS n_tokens,
+                 len(list_filter({_TOKS_RAW}, t -> t IN ({_in_list(STOPWORDS)}))) AS stop_cnt,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt
+          FROM documents
+        ),
+        qual AS (
+          SELECT doc_id,
+                 CAST((least(n_tokens, 100) * 100 * 5
+                       + (CASE WHEN n_tokens > 0 THEN (10000 * stop_cnt) // n_tokens ELSE 0 END) * 3
+                       + (10000 - CASE WHEN n_chars_calc > 0 THEN (10000 * punct_cnt) // n_chars_calc ELSE 0 END) * 2
+                      ) // 10 AS BIGINT) AS quality_bp
+          FROM qbase
+        ),
+        members AS (
+          SELECT c.doc_id, c.cluster_id, q.quality_bp
+          FROM clusters c JOIN qual q USING (doc_id)
+        ),
+        ranked AS (
+          SELECT cluster_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY quality_bp DESC, doc_id ASC) AS rn
+          FROM members
+        ),
+        aggd AS (
+          SELECT cluster_id, COUNT(*) AS n_members, MAX(quality_bp) AS best_quality_bp
+          FROM members GROUP BY cluster_id
+        )
+        SELECT a.cluster_id, CAST(r.doc_id AS BIGINT) AS keep_id,
+               CAST(a.n_members AS BIGINT) AS n_members,
+               CAST(a.best_quality_bp AS BIGINT) AS best_quality_bp
+        FROM aggd a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+        """
+    )
+
+
 ORACLES = {
     "q_dup_clusters": _dup_clusters_oracle_sql(),
+    "q_dedup_keep_best": _dedup_keep_best_oracle_sql(),
     "q_exact_dedup": """
         SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(text)
