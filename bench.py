@@ -36,6 +36,10 @@ HEADLINE = (
     "q_wordcount",
     "q_repetition",
     "q_passage_dedup",
+    "q_pii_redact",
+    "q_boilerplate_strip",
+    "q_temperature_mix",
+    "q_quantize",
     "q_minhash_dedup",
     "q_simhash",
     "q_knn_cosine",

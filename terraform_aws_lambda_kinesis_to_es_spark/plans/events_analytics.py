@@ -171,8 +171,61 @@ def q_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: per user, the earliest time-ordered
+    view -> click -> purchase chain (each stage strictly after the
+    previous) and the furthest stage reached — the product-analytics
+    query an event pipeline exists to answer.
+
+    Shape: three conditional-min windows over the SAME user partitioning
+    (Catalyst reuses one Exchange for all three — no extra shuffles for
+    the sequential dependency t1 -> t2 -> t3), then one per-user
+    aggregate. Timestamps emitted as epoch micros (-1 = stage not
+    reached) for cross-engine comparison."""
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = df.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        stage.cast("int").alias("stage"),
+        F.coalesce(F.unix_micros("t1"), F.lit(-1)).alias("view_us"),
+        F.coalesce(F.unix_micros("t2"), F.lit(-1)).alias("click_us"),
+        F.coalesce(F.unix_micros("t3"), F.lit(-1)).alias("purchase_us"),
+    )
+
+
 QUERIES = {
     "q_dedup": q_dedup,
+    "q_funnel": q_funnel,
     "q_props_typed": q_props_typed,
     "q_topk_users": q_topk_users,
     "q_user_stats": q_user_stats,
@@ -184,6 +237,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_funnel": """
+        WITH u AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+          FROM events GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN u USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > u.t1
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS stage,
+               COALESCE(epoch_us(CAST(t1 AS TIMESTAMP)), -1) AS view_us,
+               COALESCE(epoch_us(CAST(t2 AS TIMESTAMP)), -1) AS click_us,
+               COALESCE(epoch_us(CAST(t3 AS TIMESTAMP)), -1) AS purchase_us
+        FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
     "q_props_typed": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,

@@ -377,6 +377,88 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4-style rule-filter knobs.
+C4_MIN_TOKENS = 5
+C4_WORD_LEN_MIN = 3
+C4_WORD_LEN_MAX = 10
+C4_BAD_WORDS = ("lorem", "ipsum", "slow")
+C4_STOP_MIN_BP = 500  # <5% stopwords => suspicious
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based filter flags, one boolean column per rule plus
+    the keep decision: minimum word count, mean word length inside
+    [3, 10], bad-word blocklist, stopword floor. All integer/boolean
+    arithmetic on row-local HOF folds — map-only, zero shuffle, the
+    cheapest pass of a cleaning pipeline and the first one run at 100 TB
+    (it prunes before the expensive dedup stages)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    too_short = n < C4_MIN_TOKENS
+    # mean word length in [MIN, MAX] <=> MIN*n <= sum_len <= MAX*n (exact
+    # integer form; no float division)
+    word_len_out = ~(
+        (F.lit(C4_WORD_LEN_MIN) * n <= sum_len) & (sum_len <= F.lit(C4_WORD_LEN_MAX) * n)
+    )
+    has_bad = F.size(F.filter(toks, lambda t: t.isin(*C4_BAD_WORDS))) > 0
+    stop_low = F.lit(10_000) * stop_cnt < F.lit(C4_STOP_MIN_BP) * n
+    return docs.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        word_len_out.alias("word_len_out"),
+        has_bad.alias("has_bad_word"),
+        stop_low.alias("stop_low"),
+        (~(too_short | word_len_out | has_bad | stop_low)).alias("keep"),
+    )
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score: per-doc mean negative
+    log-likelihood under the corpus's own unigram LM,
+    nll = ln(T) - (1/n_d) * sum_w c_dw * ln(c_w)  (T = corpus tokens,
+    c_w = corpus count, c_dw = in-doc count). Low = natural text, high =
+    rare-token salad — the filter CCNet implements with a KenLM model,
+    here with the exactly-computable unigram LM so the oracle can match
+    bit-for-bit.
+
+    Shape: one explode + two hash aggregates + a shuffle join on the
+    token (vocab side is Zipf-small after aggregation), then the same
+    order-pinned float fold as q_doc_entropy so every double is
+    partition-order independent."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    dc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    vocab = words.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = vocab.agg(F.sum("cw").cast("double").alias("t"))
+    term = (F.col("c").cast("double") * F.log(F.col("cw").cast("double"))).alias(
+        "term"
+    )
+    per_doc = (
+        dc.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("w"), term))),
+                F.lit(0.0),
+                lambda a, s: a + s["term"],
+            ).alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log("t") - F.col("s") / F.col("n_tokens"), 4).alias("nll_nats"),
+    )
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
     "q_repetition": q_repetition,
@@ -390,6 +472,8 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_pii_redact": q_pii_redact,
     "q_boilerplate_strip": q_boilerplate_strip,
+    "q_c4_filters": q_c4_filters,
+    "q_unigram_ppl": q_unigram_ppl,
 }
 
 
@@ -438,6 +522,44 @@ _PII_ENRICH = (
 )
 
 ORACLES = {
+    "q_c4_filters": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                             (a, b) -> a + b) AS sum_len,
+                 len(list_filter(toks, x -> x IN ({_in_list(STOPWORDS)}))) AS stop_cnt,
+                 len(list_filter(toks, x -> x IN ({_in_list(C4_BAD_WORDS)}))) AS bad_cnt
+          FROM t
+        ), fl AS (
+          SELECT doc_id,
+                 n < {C4_MIN_TOKENS} AS too_short,
+                 NOT ({C4_WORD_LEN_MIN} * n <= sum_len AND sum_len <= {C4_WORD_LEN_MAX} * n)
+                   AS word_len_out,
+                 bad_cnt > 0 AS has_bad_word,
+                 10000 * stop_cnt < {C4_STOP_MIN_BP} * n AS stop_low
+          FROM m
+        )
+        SELECT doc_id, too_short, word_len_out, has_bad_word, stop_low,
+               NOT (too_short OR word_len_out OR has_bad_word OR stop_low) AS keep
+        FROM fl
+    """,
+    "q_unigram_ppl": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        dc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        vocab AS (SELECT w, COUNT(*) AS cw FROM words GROUP BY w),
+        tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS t FROM vocab),
+        per_doc AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 list_reduce(list_prepend(0.0,
+                     list(CAST(c AS DOUBLE) * ln(CAST(cw AS DOUBLE)) ORDER BY w)),
+                     (a, b) -> a + b) AS s
+          FROM dc JOIN vocab USING (w) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, ROUND(ln(t) - s / n_tokens, 4) AS nll_nats
+        FROM per_doc CROSS JOIN tot
+    """,
     "q_pii_redact": f"""
         WITH e AS (SELECT doc_id, {_PII_ENRICH} AS t FROM documents),
         r AS (

@@ -85,6 +85,7 @@ _INTENTIONAL_PRODUCT = {
     "q_tfidf",           # x broadcast(single-row N)
     "q_source_mix",      # x broadcast(single-row totals)
     "q_temperature_mix", # x broadcast(single-row totals)
+    "q_unigram_ppl",     # x broadcast(single-row corpus total)
 }
 
 
