@@ -226,8 +226,129 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: which customers returned the
+    most revenue. The returnflag filter pushes into the lineitem scan;
+    aggregation runs BEFORE the customer join (fact-shrink first, same
+    posture as q_big_spenders), so the only wide exchange is
+    lineitem ⋈ orders on the order key. Top-20 via TakeOrdered on the
+    ROUNDED revenue (rank ties broken by custkey — deterministic across
+    engines and partition orders)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_items")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_priority_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional counts: per returnflag, how many line
+    items belong to high- vs low-priority orders. One shuffled fact-fact
+    join, then all-integer conditional aggregation (bit-exact on any
+    engine; no float path at all)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-revenue share by ship month: broadcast
+    part (the mid-size dimension) into lineitem, conditional revenue sum.
+    Emits promo and total sums separately (round(4) each) rather than the
+    float ratio — the division of two independently-wobbling doubles is
+    the one non-reproducible formulation (memory: avoid round(avg-like,4))."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 4).alias(
+                "promo_revenue"
+            ),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: revenue per supplier, keep the max.
+    The scalar-subquery MAX is a window max over the already-aggregated
+    supplier frame (~|supplier| rows — the single-partition window runs on
+    the tiny post-agg side, never on the fact table). Comparing ROUNDED
+    revenues keeps the argmax cut identical across engines."""
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem")
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: OR-of-ANDs spanning
+    both sides of the part ⋈ lineitem join. The per-side conjuncts
+    (brand/size on part, quantity on lineitem) cannot be pushed below the
+    join as a whole, but Catalyst extracts the common-side disjunction
+    (brand IN (...) OR'd sizes) into the broadcast build side. Single-row
+    all-float output rounds after the final sum."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
     "q_above_avg_orders": q_above_avg_orders,
+    "q_returned_items": q_returned_items,
+    "q_priority_flag": q_priority_flag,
+    "q_promo_revenue": q_promo_revenue,
+    "q_top_supplier": q_top_supplier,
+    "q_disjunctive_join": q_disjunctive_join,
     "q_volume_shipping": q_volume_shipping,
     "q_big_spenders": q_big_spenders,
     "q_price_deciles": q_price_deciles,
@@ -241,6 +362,61 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_returned_items": """
+        SELECT c.c_custkey, c.c_name, r.revenue, r.n_items
+        FROM (
+          SELECT o.o_custkey,
+                 ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY o.o_custkey
+        ) r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        ORDER BY r.revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """,
+    "q_priority_flag": """
+        SELECT l.l_returnflag,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+    """,
+    "q_promo_revenue": """
+        SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+               ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END), 4) AS promo_revenue,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """,
+    "q_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "q_disjunctive_join": """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """,
     "q_volume_shipping": """
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
