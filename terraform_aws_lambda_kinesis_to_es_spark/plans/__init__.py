@@ -22,6 +22,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal_queries,
         reference_queries,
         relational_ext,
+        search_queries,
         similarity_queries,
         stats_queries,
         text_queries,
@@ -42,6 +43,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational_ext,
         stats_queries,
         training_queries,
+        search_queries,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)

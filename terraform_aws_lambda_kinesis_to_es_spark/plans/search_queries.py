@@ -1,0 +1,235 @@
+"""Full-text-search query surface over ``documents``.
+
+The reference ships records INTO Elasticsearch and leaves querying to ES
+(SURVEY.md §2.5 K1); this module supplies the search-side capabilities a
+user of that pipeline actually runs downstream — conjunctive keyword
+search, BM25 ranked retrieval, corpus histograms, per-language top
+n-grams — expressed as scalable Spark plans over the raw corpus.
+
+Determinism rules follow text_queries.py: integer math wherever possible;
+the single float formula (BM25) is written with the SAME literal
+parenthesization in the Spark expression and the DuckDB oracle so both
+engines execute identical IEEE double operation sequences before the
+final round(4) (ln/division values are continuous — midpoint-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens, word_ngrams
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+    _TOKS,
+    _ngrams_sql,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+# Fixed demo query: two common terms + one rare term so BM25's idf term
+# actually spreads the ranking.
+SEARCH_TERMS = ("merge", "window", "dup")
+BM25_K1 = 1.2
+BM25_B = 0.75
+HIST_BUCKET_CHARS = 100
+HIST_MAX_BUCKET = 20
+TOP_BIGRAMS = 5
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing every term
+    of SEARCH_TERMS. For a fixed small query this is a map-only scan —
+    per-row HOF membership tests, zero shuffle, predicate fully
+    parallel — which beats building an inverted index for one-shot
+    queries. (Repeated ad-hoc queries at 100 TB would materialize the
+    explode→groupBy inverted index once and semi-join it; q_tfidf /
+    q_bm25 build exactly that posting-list shape.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n_matched = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin(*SEARCH_TERMS))
+    )
+    return (
+        docs.withColumn("n_matched", n_matched)
+        .filter(F.col("n_matched") == len(SEARCH_TERMS))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _eq(term: str):
+    # one-arg HOF lambda (a two-arg lambda would bind the array INDEX as
+    # the second argument per F.filter's (element, index) signature)
+    return lambda t: t == term
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for SEARCH_TERMS (Robertson/Sparck Jones;
+    the Lucene-style idf = ln(1 + (N - df + 0.5)/(df + 0.5)) variant —
+    public formula, e.g. the Okapi BM25 literature).
+
+    Plan shape: one map-only pass computes per-doc term frequencies as
+    row-local HOF counts (no explode, no per-term shuffle); a single tiny
+    aggregate derives corpus stats (N, avgdl, per-term df) that broadcast
+    back as one row. Per-doc scores are then pure scalar math — the whole
+    query is one scan + one single-row broadcast join, which survives any
+    corpus size. Scores sum per-term contributions in fixed term order so
+    the float fold is order-pinned across engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(term))).cast("bigint").alias(f"tf{i}")
+            for i, term in enumerate(SEARCH_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).cast("bigint").alias(f"df{i}")
+            for i in range(len(SEARCH_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.col("dl").cast("double") / avgdl
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * ((tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * (0.25 + 0.75 * norm)))
+
+    score = term_score(0)
+    for i in range(1, len(SEARCH_TERMS)):
+        score = score + term_score(i)
+    return (
+        scored.filter(sum(F.col(f"tf{i}") for i in range(len(SEARCH_TERMS))) > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[F.col(f"tf{i}") for i in range(len(SEARCH_TERMS))],
+            F.round(score, 4).alias("bm25"),
+        )
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: fixed-width integer buckets over n_chars
+    with a saturating tail bucket. Single map-side-combined aggregation;
+    all-integer (bit-exact)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.expr(f"n_chars DIV {HIST_BUCKET_CHARS}"), F.lit(HIST_MAX_BUCKET)
+    ).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K bigrams per language: explode 2-grams, two-level hash
+    aggregate, per-language rank (count desc, bigram asc — fully
+    deterministic integer/string ordering). The (lang, gram) shuffle is
+    linear in corpus size with map-side partial aggregation; the window
+    runs on the already-aggregated (small) per-language frame."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    grams = docs.select("lang", F.explode(word_ngrams(toks, 2)).alias("g"))
+    counts = grams.groupBy("lang", "g").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_BIGRAMS)
+        .select("lang", "g", "n", "rank")
+    )
+
+
+QUERIES = {
+    "q_keyword_search": q_keyword_search,
+    "q_bm25": q_bm25,
+    "q_length_histogram": q_length_histogram,
+    "q_bigram_topk": q_bigram_topk,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_TERM_LIST = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+
+_BM25_TFS = ",\n".join(
+    f"         len(list_filter(toks, t -> t = '{term}')) AS tf{i}"
+    for i, term in enumerate(SEARCH_TERMS)
+)
+_BM25_DFS = ",\n".join(
+    f"         SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(SEARCH_TERMS))
+)
+# Identical parenthesization to the Spark expression, term order pinned.
+_BM25_SCORE = " + ".join(
+    f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+    f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+    f" * ((CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0!r})"
+    f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1!r} * (0.25 + 0.75 *"
+    f" (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))))"
+    for i in range(len(SEARCH_TERMS))
+)
+
+ORACLES = {
+    "q_keyword_search": f"""
+        SELECT doc_id, lang, source
+        FROM (
+          SELECT doc_id, lang, source,
+                 len(list_filter(list_distinct({_TOKS}),
+                                 t -> t IN ({_TERM_LIST}))) AS n_matched
+          FROM documents
+        ) WHERE n_matched = {len(SEARCH_TERMS)}
+    """,
+    "q_bm25": f"""
+        WITH d AS (
+          SELECT doc_id, len(toks) AS dl,
+{_BM25_TFS}
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+{_BM25_DFS}
+          FROM d
+        )
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+               {", ".join(f"CAST(tf{i} AS BIGINT) AS tf{i}" for i in range(len(SEARCH_TERMS)))},
+               ROUND({_BM25_SCORE}, 4) AS bm25
+        FROM d CROSS JOIN stats
+        WHERE ({" + ".join(f"tf{i}" for i in range(len(SEARCH_TERMS)))}) > 0
+    """,
+    "q_length_histogram": f"""
+        SELECT CAST(LEAST(n_chars // {HIST_BUCKET_CHARS}, {HIST_MAX_BUCKET}) AS BIGINT)
+                 AS bucket,
+               COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    """,
+    "q_bigram_topk": f"""
+        WITH grams AS (
+          SELECT lang, unnest({_ngrams_sql(_TOKS, 2)}) AS g FROM documents
+        ), counts AS (
+          SELECT lang, g, COUNT(*) AS n FROM grams GROUP BY lang, g
+        ), ranked AS (
+          SELECT lang, g, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, g ASC) AS rank
+          FROM counts
+        )
+        SELECT lang, g, n, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {TOP_BIGRAMS}
+    """,
+}

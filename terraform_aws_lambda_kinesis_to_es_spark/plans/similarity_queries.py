@@ -159,8 +159,37 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification: predict each query vector's label
+    from its TOP_K exact-cosine neighbors (the similarity-join form of
+    nearest-neighbor classification). The neighbor set is the tiny side
+    (n_queries * k rows) so it broadcasts into the corpus label lookup;
+    the vote argmax ties deterministically (votes desc, label asc). All
+    post-ranking math is integer, so the oracle mirrors exactly."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    knn = S.knn_bruteforce(vecs, queries, k=TOP_K).select("query_id", "neighbor_id")
+    labels = vecs.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        labels.join(F.broadcast(knn), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("bigint").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
+    "q_knn_classify": q_knn_classify,
     "q_semdedup": q_semdedup,
     "q_embed_near_dup": q_embed_near_dup,
     "q_embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -297,8 +326,36 @@ SELECT vec_id,
 FROM q
 """
 
+_KNN_CLASSIFY_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+         {_cosine_sql("c.v", "q.qv")} AS sim_raw
+  FROM vecs c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM ranked WHERE rank <= {TOP_K}
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, votes
+FROM (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
 ORACLES = {
     "q_quantize": _QUANTIZE_SQL,
+    "q_knn_classify": _KNN_CLASSIFY_SQL,
     "q_knn_cosine": _KNN_SQL,
     "q_semdedup": _SEMDEDUP_SQL,
     "q_embed_near_dup": _NEAR_DUP_SQL,

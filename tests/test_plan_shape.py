@@ -78,6 +78,7 @@ def test_knn_broadcasts_queries(spark, sf_dir):
 # broadcast side (vector scoring); everything else must stay keyed.
 _INTENTIONAL_PRODUCT = {
     "q_knn_cosine",      # corpus x broadcast(5 query vecs)
+    "q_knn_classify",    # same knn_bruteforce core x broadcast queries
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
     "q_centroid_sim",    # corpus x broadcast(10 centroids)
@@ -86,6 +87,7 @@ _INTENTIONAL_PRODUCT = {
     "q_source_mix",      # x broadcast(single-row totals)
     "q_temperature_mix", # x broadcast(single-row totals)
     "q_unigram_ppl",     # x broadcast(single-row corpus total)
+    "q_bm25",            # x broadcast(single-row corpus stats)
 }
 
 
