@@ -223,8 +223,53 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RETENTION_OFFSETS = (0, 1, 7, 14)
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each cohort,
+    distinct users active again exactly N days later (N in
+    RETENTION_OFFSETS). Both inputs are pre-aggregated before the join —
+    first-seen (one row per user) and daily activity (one row per
+    user-day) — so the user-key join shuffles the small aggregated frames,
+    never raw events. All-integer output."""
+    df = load(spark, sf_dir, "events")
+    first_seen = df.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = df.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = activity.join(first_seen, "user_id").withColumn(
+        "offset", F.datediff("day", "cohort_day").cast("bigint")
+    )
+    return (
+        j.filter(F.col("offset").isin(*RETENTION_OFFSETS))
+        .groupBy(F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"), "offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov estimation): per-user
+    LAG over the time-ordered event stream, then (prev, next) counts and
+    the integer-basis-point conditional share per prev state. One shuffle
+    on user_id for the window, one on the (tiny) type-pair key; the
+    ts tie-break on event_id pins the sequence order across engines."""
+    df = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        df.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return pairs.withColumn(
+        "share_bp",
+        F.expr("(10000 * n) DIV sum(n) OVER (PARTITION BY prev_type)").cast("bigint"),
+    ).select("prev_type", "next_type", "n", "share_bp")
+
+
 QUERIES = {
     "q_dedup": q_dedup,
+    "q_retention": q_retention,
+    "q_event_transitions": q_event_transitions,
     "q_funnel": q_funnel,
     "q_props_typed": q_props_typed,
     "q_topk_users": q_topk_users,
@@ -237,6 +282,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_retention": f"""
+        WITH first_seen AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id
+        ), activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS "offset",
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM activity a JOIN first_seen f USING (user_id)
+        WHERE date_diff('day', f.cohort_day, a.day) IN
+              ({", ".join(str(o) for o in RETENTION_OFFSETS)})
+        GROUP BY 1, 2
+    """,
+    "q_event_transitions": """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) AS prev_type
+          FROM events
+        ), pairs AS (
+          SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               CAST((10000 * n) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+                 AS share_bp
+        FROM pairs
+    """,
     "q_funnel": """
         WITH u AS (
           SELECT user_id,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60, hash60_sql
-from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens, word_ngrams
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
     _TOKS,
     _TOKS_RAW,
@@ -264,7 +264,64 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MASK_RATE_PCT = 15
+MASK_TOKEN = "<mask>"
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM estimation: conditional next-token distribution
+    p(w2 | w1) over the corpus, in exact integer basis points against the
+    bigram-context total (sum over w2' of c(w1, w2') — so rows per w1 sum
+    to <= 10000 by construction). One explode + one (w1, w2) hash
+    aggregate with map-side combine + a window sum over the tiny
+    aggregated frame; output is vocab^2-bounded, independent of corpus
+    size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    grams = docs.select(F.explode(word_ngrams(toks, 2)).alias("g"))
+    counts = grams.select(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    ).groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.expr("(10000 * n) DIV sum(n) OVER (PARTITION BY w1)").cast("bigint").alias(
+            "p_bp"
+        ),
+    )
+
+
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic masked-LM corruption (T5/BERT-style): token i of doc d
+    is masked iff hash60(d || ':' || i) mod 100 < MASK_RATE_PCT — a
+    content-stable coin flip, reproducible across runs/partitionings
+    (df.sample would not be). Map-only HOF pass, zero shuffle; emits the
+    masked-text md5 + mask count so the full corruption is value-checked
+    without shipping the text."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    flag = lambda i: (  # noqa: E731 — mask decision for 0-based token index
+        hash60(F.concat_ws(":", F.col("doc_id"), i.cast("string"))) % 100
+        < MASK_RATE_PCT
+    )
+    masked = F.transform(
+        toks, lambda t, i: F.when(flag(i), F.lit(MASK_TOKEN)).otherwise(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(masked, lambda t: t == MASK_TOKEN)).cast("bigint").alias(
+            "n_masked"
+        ),
+        F.md5(F.array_join(masked, " ")).alias("masked_md5"),
+    )
+
+
 QUERIES = {
+    "q_bigram_lm": q_bigram_lm,
+    "q_span_mask": q_span_mask,
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
     "q_pack_sequences": q_pack_sequences,
@@ -362,6 +419,36 @@ def _clean_corpus_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_bigram_lm": f"""
+        WITH grams AS (
+          SELECT unnest({_ngrams_sql(_TOKS, 2)}) AS g FROM documents
+        ), counts AS (
+          SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+                 COUNT(*) AS n
+          FROM grams GROUP BY 1, 2
+        )
+        SELECT w1, w2, n,
+               CAST((10000 * n) // SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS p_bp
+        FROM counts
+    """,
+    "q_span_mask": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 list_transform(generate_series(1, len(toks)), i ->
+                   CASE WHEN {hash60_sql(
+                       "CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)"
+                   )} % 100 < {MASK_RATE_PCT}
+                        THEN '{MASK_TOKEN}' ELSE toks[i] END) AS masked
+          FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(masked, x -> x = '{MASK_TOKEN}')) AS BIGINT)
+                 AS n_masked,
+               md5(array_to_string(masked, ' ')) AS masked_md5
+        FROM m
+    """,
     "q_temperature_mix": """
         WITH per_source AS (
           SELECT source, COUNT(*) AS n_docs,
