@@ -29,9 +29,14 @@ HEADLINE = (
     "q_revenue_by_nation",
     "q_volume_shipping",
     "q_top_orders",
+    "q_returned_items",
     "q_user_stats",
     "q_sessionize",
     "q_topk_users",
+    "q_retention",
+    # search
+    "q_bm25",
+    "q_keyword_search",
     # training-data ops
     "q_wordcount",
     "q_repetition",

@@ -28,19 +28,19 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
     _in_list,
     _ngrams_sql,
 )
-from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 JACCARD_THRESHOLD_BP = 5000  # 0.5 in basis points
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return D.exact_dedup(docs)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, exact-Jaccard verified (bp)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
 
 
@@ -48,7 +48,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup: candidates share >= 1 word-5-gram
     (explode + self-equi-join on the shingle — one keyed shuffle, never a
     cross product), similarity verified on the full distinct-shingle sets."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     shingled = D.with_shingles(docs)
     ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
     pairs = D.pairs_within_buckets(ex, ["g"], "doc_id")
@@ -70,14 +70,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-local 60-bit SimHash signature per document."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return D.with_simhash(docs).select("doc_id", "simhash")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via 15-bit block banding (pigeonhole exact
     for hamming <= 3), verified with exact bit_count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     sim = D.with_simhash(docs).select("doc_id", "simhash")
     return D.simhash_near_pairs(sim).select(
         F.col("id_a").alias("doc_a"),
@@ -93,7 +93,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline: keep doc_id == cluster_id, drop the rest. Iterative
     algorithm with a full SQL oracle (recursive-CTE transitive closure
     over the exhaustive exact-Jaccard pair set)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
     comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(
@@ -111,7 +111,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     single hash aggregate (no window over the full corpus)."""
     from terraform_aws_lambda_kinesis_to_es_spark.plans import text_queries
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
     comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
     qual = text_queries.q_quality(spark, sf_dir).select("doc_id", "quality_bp")

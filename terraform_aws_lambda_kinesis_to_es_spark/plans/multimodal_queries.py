@@ -13,11 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
-from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     with_payload = M.attach_payload(docs)
     return M.extract_features(with_payload)
 
@@ -28,7 +28,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake decode, real Arrow/schema/partitioning). The
     oracle derives each sampled frame's index and byte count
     arithmetically from the payload length."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     with_payload = M.attach_payload(docs)
     return M.sample_frame_features(with_payload)
 
@@ -38,7 +38,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas transform (every 4th byte stands in for the downsample —
     deterministic fake, real schema/batching). The oracle reconstructs
     the downsampled bytes character-wise (ASCII corpus ⇒ char == byte)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     with_payload = M.attach_payload(docs)
     return M.resize_features(with_payload)
 

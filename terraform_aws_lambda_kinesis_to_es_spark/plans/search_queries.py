@@ -23,7 +23,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
     _TOKS,
     _ngrams_sql,
 )
-from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 # Fixed demo query: two common terms + one rare term so BM25's idf term
 # actually spreads the ranking.
@@ -43,7 +43,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries. (Repeated ad-hoc queries at 100 TB would materialize the
     explode→groupBy inverted index once and semi-join it; q_tfidf /
     q_bm25 build exactly that posting-list shape.)"""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     n_matched = F.size(
         F.filter(F.array_distinct(toks), lambda t: t.isin(*SEARCH_TERMS))
@@ -74,8 +74,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. Scores sum per-term contributions in fixed term order so
     the float fold is order-pinned across engines.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
+    # The tokenize+HOF stage feeds BOTH the corpus-stats aggregate and the
+    # scoring pass; persisting its tiny integer projection (doc_id + 4
+    # longs) avoids re-running the expensive regex tokenization — the
+    # persist-pays case (expensive shared stage, cheap cached rows).
     d = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("dl"),
@@ -83,7 +87,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, _eq(term))).cast("bigint").alias(f"tf{i}")
             for i, term in enumerate(SEARCH_TERMS)
         ],
-    )
+    ).persist()
     stats = d.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
@@ -121,7 +125,7 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length histogram: fixed-width integer buckets over n_chars
     with a saturating tail bucket. Single map-side-combined aggregation;
     all-integer (bit-exact)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     bucket = F.least(
         F.expr(f"n_chars DIV {HIST_BUCKET_CHARS}"), F.lit(HIST_MAX_BUCKET)
     ).cast("bigint")
@@ -142,7 +146,7 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic integer/string ordering). The (lang, gram) shuffle is
     linear in corpus size with map-side partial aggregation; the window
     runs on the already-aggregated (small) per-language frame."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     grams = docs.select("lang", F.explode(word_ngrams(toks, 2)).alias("g"))
     counts = grams.groupBy("lang", "g").agg(F.count("*").alias("n"))

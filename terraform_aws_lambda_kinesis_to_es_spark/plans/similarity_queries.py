@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
-from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 N_QUERY_VECS = 5
 TOP_K = 10
@@ -21,7 +21,7 @@ NEAR_DUP_THRESHOLD = 0.35
 
 
 def _vec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_split(spark, sf_dir, "embeddings")
     return emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("v"))
 
 

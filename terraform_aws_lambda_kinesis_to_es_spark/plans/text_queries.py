@@ -29,7 +29,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
     tokens,
     word_ngrams,
 )
-from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 # DuckDB-side token expression mirroring operators.text.tokens(lower(text)).
 _TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
@@ -43,7 +43,7 @@ def _in_list(items: tuple[str, ...]) -> str:
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic wordcount: explode + hash aggregate. One shuffle on the
     word key; partial map-side aggregation keeps the exchange small."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
@@ -53,7 +53,7 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats (exact integer sums, no float avgs)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return docs.withColumn("n_tokens", F.size(tokens(F.col("text")))).groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -66,7 +66,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-n-gram language-ID heuristic (operators.text.predicted_lang):
     per-language marker-token counts, argmax with alphabetical tie-break."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", predicted_lang(tokens(F.lower(F.col("text")))).alias("pred_lang")
     )
@@ -74,7 +74,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals in exact integer basis points."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     d = (
         docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
@@ -119,7 +119,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex pre-tokens."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
@@ -132,7 +132,7 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: sorted-distinct-token md5 (key-collision
     fingerprint) + min rolling shingle hash (winnowing-style)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     return docs.select(
         "doc_id",
@@ -148,7 +148,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded. Two hash aggregations + one broadcast join (df table and the
     single-row N both broadcast); at scale only the term-key shuffle is
     wide. ln values are continuous so round(4) is midpoint-safe."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
     )
@@ -177,7 +177,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than per-row HOF loops: the (doc_id, term) shuffle is linear in
     corpus size and partial-aggregates map-side, where a per-row
     distinct-x-count nested loop would be O(tokens^2) per document."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     words = docs.select("doc_id", F.explode(toks).alias("w"))
     tok_stats = (
@@ -218,7 +218,7 @@ def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned and results stay bit-comparable before the final round.
     Same two-level aggregate shape as q_repetition — linear, map-side
     partial aggregation on the (doc_id, w) shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     counts = (
         docs.select("doc_id", F.explode(toks).alias("w"))
@@ -257,7 +257,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus^2. Chunks are every PASSAGE_CHUNK-th overlapping n-gram, which
     keeps the shifted-slice zip form of word_ngrams (see its docstring for
     the HOF re-evaluation hazard the stride filter avoids)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     chunks = F.filter(
         word_ngrams(toks, PASSAGE_CHUNK),
@@ -304,7 +304,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery, global replacement, and counting are exactly what runs on
     a real corpus. Map-only, zero shuffle, linear at 100 TB; the oracle
     mirrors both the injection and the scrub."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     enriched = F.concat(
         F.col("text"),
         F.lit(" contact "),
@@ -334,7 +334,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-hash distinct-doc count marks shared chunks, and the kept
     chunks reassemble via a sorted struct collect. Never corpus^2 — cost
     tracks total chunk count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     chunks = F.filter(
         word_ngrams(toks, PASSAGE_CHUNK),
@@ -392,7 +392,7 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on row-local HOF folds — map-only, zero shuffle, the
     cheapest pass of a cleaning pipeline and the first one run at 100 TB
     (it prunes before the expensive dedup stages)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     n = F.size(toks)
     sum_len = F.aggregate(
@@ -430,7 +430,7 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     token (vocab side is Zipf-small after aggregation), then the same
     order-pinned float fold as q_doc_entropy so every double is
     partition-order independent."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )

@@ -24,7 +24,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
     _TOKS_RAW,
     _ngrams_sql,
 )
-from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 TOKEN_BUDGET = 20_000
 
@@ -32,7 +32,7 @@ TOKEN_BUDGET = 20_000
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90/5/5 train/val/test split on hash60(doc_id) mod 100 — stable
     under repartitioning and re-runs (map-only, no shuffle)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     bucket = hash60(F.col("doc_id").cast("string")) % F.lit(100)
     return docs.select(
         "doc_id",
@@ -46,7 +46,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     TOKEN_BUDGET (first crossing doc included). Single global-ordered
     cumsum window; at 100 TB the order key would be a hash for balance
     and the window a per-partition pass + prefix sums, same semantics."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     toks = F.size(tokens(F.col("text"))).cast("bigint")
     return (
@@ -60,7 +60,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture accounting: per source, document and token counts plus the
     exact share in basis points (integer DIV against broadcast totals)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     per_source = docs.withColumn(
         "n_tokens", F.size(tokens(F.col("text"))).cast("bigint")
     ).groupBy("source").agg(
@@ -96,7 +96,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling state: map-only, zero shuffle, works identically at 100 TB.
     Rates here: sources starting 'src0'/'src1' keep 25%, the rest 75% —
     the overrepresented-source cut of a training mix."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     rate = (
         F.when(
             F.col("source").startswith("src0") | F.col("source").startswith("src1"),
@@ -134,7 +134,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_THRESHOLD_BP,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     qual = text_queries.q_quality(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality_bp"
     )
@@ -184,7 +184,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit-hashed before the join so only longs shuffle, never strings."""
     from terraform_aws_lambda_kinesis_to_es_spark.operators.text import word_ngrams
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     # persisted: feeds both the eval-set and training branches (the same
     # staged-materialization point as the minhash shingle stage — only
@@ -212,7 +212,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order (streaming first-fit-by-offset; a doc may straddle its
     bin boundary, matching how packed pretraining batches wrap). One
     window shuffle keyed by source; all integer arithmetic."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -242,7 +242,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_doc_entropy), making every emitted double bitwise reproducible.
     One tiny aggregate + broadcast join; the corpus scan is the only
     linear cost at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     ps = docs.groupBy("source").agg(F.count("*").alias("n_docs")).withColumn(
         "w", F.sqrt(F.col("n_docs").cast("double"))
     )
@@ -276,7 +276,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side combine + a window sum over the tiny
     aggregated frame; output is vocab^2-bounded, independent of corpus
     size."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.lower(F.col("text")))
     grams = docs.select(F.explode(word_ngrams(toks, 2)).alias("g"))
     counts = grams.select(
@@ -300,7 +300,7 @@ def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df.sample would not be). Map-only HOF pass, zero shuffle; emits the
     masked-text md5 + mask count so the full corruption is value-checked
     without shipping the text."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_split(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     flag = lambda i: (  # noqa: E731 — mask decision for 0-based token index
         hash60(F.concat_ws(":", F.col("doc_id"), i.cast("string"))) % 100

@@ -49,5 +49,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_split(
+    spark: SparkSession, sf_dir: str, name: str, parallelism: int | None = None
+) -> DataFrame:
+    """Load + round-robin repartition for CPU-heavy per-row pipelines.
+
+    Text/embedding corpora are tiny on disk (columnar compression) but
+    expensive per ROW (tokenize / hash folds / HOF math), and a parquet
+    row group cannot be split below its boundary — when the file count is
+    below the core count the scan comes back with fewer partitions than
+    cores and every downstream per-row stage runs near-serial. One cheap
+    round-robin exchange of the raw rows re-parallelizes the pipeline;
+    the repartition is skipped when the scan already has enough splits,
+    so at 100 TB (file count >> cores) this is a no-op and costs nothing.
+    """
+    df = load(spark, sf_dir, name)
+    target = parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
