@@ -96,14 +96,135 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window: per-user trailing-1-hour event count and
+    value sum at every event (the sliding-aggregate shape ROWS frames
+    cannot express when event spacing is irregular). The frame is defined
+    on integer epoch seconds, so frame membership is exact on both
+    engines; one shuffle on user_id."""
+    events = load(spark, sf_dir, "events")
+    secs = F.expr("unix_micros(ts) DIV 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs.alias("sec"))
+        .rangeBetween(-3599, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection over the per-(type, day)
+    event counts: each day scored against the mean/std of the previous 7
+    days (ROWS frame). All moments come from exact integer sums (n, n²
+    over a 7-row frame), so mean/var/z are bit-deterministic; z is NULL
+    until a full 7-day history exists or when variance is 0. Two keyed
+    shuffles total: the daily rollup, then the tiny per-type window."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    d = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.count("*").over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sum2"),
+    )
+    mean = F.col("w_sum").cast("double") / F.col("w_cnt").cast("double")
+    var = F.col("w_sum2").cast("double") / F.col("w_cnt").cast("double") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.when((F.col("w_cnt") == 7) & (var > 0.0), F.round(z, 4)).alias("z"),
+    )
+
+
+def q_top_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax WITHOUT a window: the longest document per source
+    via a lexicographic struct MAX — a single hash aggregation with
+    map-side combine (no sort, no row_number shuffle-the-world), the
+    right argmax shape at scale. Ties break on doc_id via the struct
+    order."""
+    docs = load(spark, sf_dir, "documents")
+    top = docs.groupBy("source").agg(
+        F.max(F.struct("n_chars", "doc_id")).alias("top")
+    )
+    return top.select(
+        "source",
+        F.col("top.doc_id").alias("doc_id"),
+        F.col("top.n_chars").alias("n_chars"),
+    )
+
+
 QUERIES = {
     "q_order_gaps": q_order_gaps,
+    "q_rolling_hour": q_rolling_hour,
+    "q_anomaly_days": q_anomaly_days,
+    "q_top_doc_per_source": q_top_doc_per_source,
     "q_running_total": q_running_total,
     "q_percentiles": q_percentiles,
     "q_corr_stats": q_corr_stats,
 }
 
 ORACLES = {
+    "q_rolling_hour": """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               ROUND(SUM(value) OVER w, 4) AS sum_1h
+        FROM (SELECT event_id, user_id, value,
+                     epoch_us(ts) // 1000000 AS sec
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    "q_anomaly_days": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), d AS (
+          SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+                 COUNT(*) OVER w AS w_cnt,
+                 SUM(n) OVER w AS w_sum,
+                 SUM(n * n) OVER w AS w_sum2
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, n,
+               CASE WHEN w_cnt = 7 AND
+                         (CAST(w_sum2 AS DOUBLE) / CAST(w_cnt AS DOUBLE)
+                          - (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                            * (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))) > 0.0
+               THEN ROUND((CAST(n AS DOUBLE)
+                           - CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                          / sqrt(CAST(w_sum2 AS DOUBLE) / CAST(w_cnt AS DOUBLE)
+                                 - (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))
+                                   * (CAST(w_sum AS DOUBLE) / CAST(w_cnt AS DOUBLE))), 4)
+               END AS z
+        FROM d
+    """,
+    "q_top_doc_per_source": """
+        SELECT source, doc_id, n_chars
+        FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id DESC) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
     "q_running_total": """
         SELECT o_custkey, o_orderkey,
                ROUND(SUM(o_totalprice) OVER (

@@ -342,8 +342,58 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: line items below 20% of
+    their part's average order quantity. The correlated per-part AVG
+    decorrelates to a window over l_partkey (one shuffle on the part key,
+    reused nowhere else); part joins in broadcast for the brand grouping.
+    Determinism: quantities are small integers in double, so the window
+    SUM (and hence AVG = sum/count) is exact in FP regardless of
+    partition order — the 0.2*avg threshold compare cannot wobble."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    small = (
+        lineitem.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average (positive) balance
+    and no orders — scalar-aggregate subquery (single-row broadcast) +
+    anti join, grouped by nation. The threshold is avg over 2-decimal
+    balances: Spark's and DuckDB's partition-order sum wobble (~1e-12)
+    cannot move any 0.01-grid balance across it."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+    )
+
+
 QUERIES = {
     "q_above_avg_orders": q_above_avg_orders,
+    "q_small_qty_orders": q_small_qty_orders,
+    "q_wealthy_inactive": q_wealthy_inactive,
     "q_returned_items": q_returned_items,
     "q_priority_flag": q_priority_flag,
     "q_promo_revenue": q_promo_revenue,
@@ -362,6 +412,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_small_qty_orders": """
+        SELECT p.p_brand,
+               ROUND(SUM(l.l_extendedprice), 4) AS total_price,
+               COUNT(*) AS n_items
+        FROM (
+          SELECT l_partkey, l_quantity, l_extendedprice,
+                 AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+          FROM lineitem
+        ) l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < 0.2 * l.avg_qty
+        GROUP BY 1
+    """,
+    "q_wealthy_inactive": """
+        SELECT c.c_nationkey,
+               COUNT(*) AS n_custs,
+               ROUND(SUM(c.c_acctbal), 4) AS sum_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
     "q_returned_items": """
         SELECT c.c_custkey, c.c_name, r.revenue, r.n_items
         FROM (

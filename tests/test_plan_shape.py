@@ -88,6 +88,7 @@ _INTENTIONAL_PRODUCT = {
     "q_temperature_mix", # x broadcast(single-row totals)
     "q_unigram_ppl",     # x broadcast(single-row corpus total)
     "q_bm25",            # x broadcast(single-row corpus stats)
+    "q_wealthy_inactive",  # x broadcast(single-row avg-balance threshold)
 }
 
 
