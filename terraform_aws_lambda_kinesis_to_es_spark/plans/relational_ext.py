@@ -109,11 +109,32 @@ def q_array_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (non-hierarchical) GROUPING SETS via the SQL surface —
+    (status, priority) detail + a priority-only margin + grand total,
+    which neither ROLLUP nor CUBE expresses. Also exercises the engine's
+    SQL entry path (temp view + spark.sql); same single-shuffle expansion
+    as cube/rollup."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        """
+    )
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_set_ops": q_set_ops,
     "q_cube_orders": q_cube_orders,
+    "q_grouping_sets": q_grouping_sets,
     "q_array_math": q_array_math,
 }
 
@@ -122,6 +143,15 @@ _VSUM = "(0.0 + " + " + ".join(f"v[{i + 1}]" for i in range(64)) + ")"
 _VSQ = "(0.0 + " + " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(64)) + ")"
 
 ORACLES = {
+    "q_grouping_sets": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+    """,
     "q_asof_join": """
         WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')

@@ -72,9 +72,9 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring signals in exact integer basis points."""
-    docs = load_split(spark, sf_dir, "documents")
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append the integer-bp quality columns to a documents frame (the
+    reusable core of q_quality; also feeds q_importance_sample)."""
     toks = tokens(F.col("text"))
     d = (
         docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
@@ -115,6 +115,11 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "n_chars_calc", "n_tokens", "stop_ratio_bp", "punct_ratio_bp", "quality_bp"
     )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals in exact integer basis points."""
+    return with_quality(load_split(spark, sf_dir, "documents"))
 
 
 def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

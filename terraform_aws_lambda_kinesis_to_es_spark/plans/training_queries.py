@@ -319,9 +319,61 @@ def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (DSIR-style acceptance):
+    doc d is kept with probability quality_bp/10000 via the deterministic
+    coin hash60('is:' || doc_id) mod 10000 < quality_bp — content-stable
+    and reproducible at any partitioning/cluster size, unlike
+    df.sample(weights). Map-only on top of the quality scoring pass."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import with_quality
+
+    docs = with_quality(load_split(spark, sf_dir, "documents"))
+    coin = hash60(F.concat_ws(":", F.lit("is"), F.col("doc_id").cast("string"))) % 10000
+    return docs.select(
+        "doc_id",
+        "quality_bp",
+        (coin < F.least(F.col("quality_bp"), F.lit(10000))).alias("kept"),
+    )
+
+
+BPE_TOP_PAIRS = 10
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration: global adjacent-symbol-pair counts at
+    the character stage, top pairs by frequency (the argmax a BPE
+    tokenizer trainer merges next). Char pairs are 2-char substrings —
+    no per-char array materialization; explode + hash aggregate with
+    map-side combine, then TakeOrdered for the top-k. Repeating this
+    query with merged symbols is exactly the BPE training loop (the
+    driver-looped iteration shape lives in kmeans_refine /
+    connected_components)."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    # length>=2 guard: Spark's sequence(1, 0) counts DOWN (step -1), so a
+    # 1-char token would yield bogus indices instead of an empty list
+    words = docs.select(F.explode(toks).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
 QUERIES = {
     "q_bigram_lm": q_bigram_lm,
     "q_span_mask": q_span_mask,
+    "q_importance_sample": q_importance_sample,
+    "q_bpe_pairs": q_bpe_pairs,
     "q_hash_split": q_hash_split,
     "q_contamination": q_contamination,
     "q_pack_sequences": q_pack_sequences,
@@ -418,7 +470,33 @@ def _clean_corpus_oracle_sql() -> str:
     )
 
 
+def _importance_sample_sql() -> str:
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    coin = hash60_sql("'is:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+        WITH q AS ({_TEXT_ORACLES["q_quality"]})
+        SELECT doc_id, quality_bp,
+               ({coin}) % 10000 < LEAST(quality_bp, 10000) AS kept
+        FROM q
+    """
+
+
 ORACLES = {
+    "q_importance_sample": _importance_sample_sql(),
+    "q_bpe_pairs": f"""
+        WITH words AS (
+          SELECT unnest({_TOKS}) AS w FROM documents
+        ), pairs AS (
+          SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                       i -> substr(w, i, 2))) AS pair
+          FROM words WHERE length(w) >= 2
+        )
+        SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
+    """,
     "q_bigram_lm": f"""
         WITH grams AS (
           SELECT unnest({_ngrams_sql(_TOKS, 2)}) AS g FROM documents

@@ -69,6 +69,35 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_returned_items_fact_shrink_then_take_ordered(spark, sf_dir):
+    # Q10 shape: aggregate before the customer join (broadcast), top-20
+    # via TakeOrdered — no global sort
+    plan = plan_of(spark, sf_dir, "q_returned_items")
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_doc_per_source_is_pure_aggregate(spark, sf_dir):
+    # argmax via struct MAX: a two-phase (partial + final) aggregate with
+    # no window machinery. Struct max lowers to SortAggregate (struct
+    # comparisons aren't hash-aggregable) — still map-side combined.
+    plan = plan_of(spark, sf_dir, "q_top_doc_per_source")
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_bpe_pairs_take_ordered(spark, sf_dir):
+    assert "TakeOrdered" in plan_of(spark, sf_dir, "q_bpe_pairs")
+
+
 def test_knn_broadcasts_queries(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_knn_cosine")
     assert "Broadcast" in plan
