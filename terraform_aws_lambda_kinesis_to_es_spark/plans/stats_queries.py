@@ -169,8 +169,32 @@ def q_top_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function family in one pass: dense_rank,
+    percent_rank, cume_dist, LEAD, and FIRST_VALUE over suppliers ranked
+    by balance within nation — all sharing ONE (partition, order) spec so
+    Catalyst evaluates them in a single Window operator after a single
+    shuffle. percent_rank/cume_dist are exact small-integer ratios
+    (deterministic in FP); ties cannot occur because the order key is
+    unique (acctbal, suppkey)."""
+    supplier = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.lead("s_suppkey").over(w).alias("next_suppkey"),
+        F.first("s_suppkey").over(w).alias("richest_suppkey"),
+    )
+
+
 QUERIES = {
     "q_order_gaps": q_order_gaps,
+    "q_rank_functions": q_rank_functions,
     "q_rolling_hour": q_rolling_hour,
     "q_anomaly_days": q_anomaly_days,
     "q_top_doc_per_source": q_top_doc_per_source,
@@ -180,6 +204,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_rank_functions": """
+        SELECT s_nationkey, s_suppkey,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume,
+               LEAD(s_suppkey) OVER w AS next_suppkey,
+               FIRST_VALUE(s_suppkey) OVER w AS richest_suppkey
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey ASC)
+    """,
     "q_rolling_hour": """
         SELECT event_id, user_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,

@@ -390,8 +390,113 @@ def q_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER join
+    preserving order-less customers, per-customer count, then a second
+    aggregation over the counts. The outer join shuffles both sides on
+    custkey once; the histogram re-aggregation is tiny (distinct counts
+    ≤ max orders per customer). The order filter lives BELOW the outer
+    join (pre-filtering the right side ≡ putting it in the ON clause),
+    so unmatched customers survive with count 0."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped group-HAVING-vs-global-aggregate: parts whose
+    revenue exceeds 0.1% of TOTAL revenue. The global total is re-derived
+    from the grouped result (one scan, one shuffle; the total is a
+    single-row broadcast, not a second pass over lineitem). Money is held
+    as exact integer 1e-4-dollar units (2-decimal price × 2-decimal
+    discount), so the threshold compare is integer math — bit-identical
+    on any engine and any partition order. At extreme scale the unit sums
+    approach int64 limits (~1e9/row × ~1e12 rows); switch the unit column
+    to decimal(38,0) there — the plan shape is unchanged."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_u"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("rev_u").alias("part_rev_u"))
+    total = rev.agg(F.sum("part_rev_u").alias("total_u"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev_u") * 1000 > F.col("total_u"))
+        .select(
+            "l_partkey",
+            F.round(F.col("part_rev_u") / 10000.0, 4).alias("part_rev"),
+        )
+    )
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier variety: distinct suppliers per part
+    attribute combo, excluding a supplier blocklist (NOT IN ⇒ broadcast
+    anti join — the blocklist is tiny). countDistinct expands to a
+    two-phase partial-distinct aggregate; the part join broadcasts."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7"))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-blame analysis: returned line items in
+    multi-supplier orders where NO other supplier also returned — an
+    EXISTS (left-semi) and a NOT EXISTS (left-anti) against the same
+    fact table, each an equi-join on orderkey with a suppkey-inequality
+    residual. Both self-joins reuse the same orderkey hash partitioning;
+    the supplier name join broadcasts. Output is integer counts only."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    returned = li.filter(F.col("l_returnflag") == "R")
+    l1 = returned.alias("l1")
+    l2 = li.alias("l2")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).alias("c")
+    l3 = returned.alias("l3")
+    sole = cand.join(
+        l3,
+        (F.col("c.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(supplier), sole.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 QUERIES = {
     "q_above_avg_orders": q_above_avg_orders,
+    "q_cust_order_dist": q_cust_order_dist,
+    "q_valuable_parts": q_valuable_parts,
+    "q_part_supplier_variety": q_part_supplier_variety,
+    "q_blame_supplier": q_blame_supplier,
     "q_small_qty_orders": q_small_qty_orders,
     "q_wealthy_inactive": q_wealthy_inactive,
     "q_returned_items": q_returned_items,
@@ -412,6 +517,56 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_cust_order_dist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '1-URGENT') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q_valuable_parts": """
+        WITH rev AS (
+          SELECT l_partkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                   AS part_rev_u
+          FROM lineitem
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, ROUND(part_rev_u / 10000.0, 4) AS part_rev
+        FROM rev
+        WHERE part_rev_u * 1000 > (SELECT SUM(part_rev_u) FROM rev)
+    """,
+    "q_part_supplier_variety": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_name LIKE '%7')
+        GROUP BY 1, 2, 3
+    """,
+    "q_blame_supplier": """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+    """,
     "q_small_qty_orders": """
         SELECT p.p_brand,
                ROUND(SUM(l.l_extendedprice), 4) AS total_price,

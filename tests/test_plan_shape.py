@@ -118,6 +118,7 @@ _INTENTIONAL_PRODUCT = {
     "q_unigram_ppl",     # x broadcast(single-row corpus total)
     "q_bm25",            # x broadcast(single-row corpus stats)
     "q_wealthy_inactive",  # x broadcast(single-row avg-balance threshold)
+    "q_valuable_parts",    # x broadcast(single-row global revenue total)
 }
 
 
