@@ -65,13 +65,23 @@ def main() -> None:
     queries = entrypoint.queries()
     # warmup: absorb JVM/codegen/session start cost outside the timings
     queries["q_daily_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(sum(timings.values()), 3)
+        # One broken query must never zero the whole round's numbers:
+        # record null + the error and keep going. Caches are cleared
+        # between queries so persisted stages from one query can't
+        # distort (or subsidize) the next query's timing.
+        spark.catalog.clearCache()
+        try:
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -80,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -242,6 +242,87 @@ def minhash_dedup_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_bp: int = 5000,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-dup cluster assignment with EXACT-DUP COLLAPSE: byte-identical
+    texts are folded to one representative node (min id per content
+    digest) BEFORE MinHash/LSH and connected components, then every
+    member is re-expanded onto its representative's cluster label.
+
+    Output-invariant vs running LSH+CC on the raw corpus: identical texts
+    have identical shingle sets, hence identical signatures, buckets and
+    Jaccard — every edge incident to one member applies to all, and the
+    representative carries the group's min id, so the component's min
+    label is unchanged. A digest group with >= 2 members is a cluster even
+    with no external near-dup edge (its internal pairs sit at Jaccard
+    10000), hence the ``grp_n >= 2`` fallback label.
+
+    Why it matters at 100 TB: web corpora are dominated by EXACT
+    duplicates (mirrors, boilerplate pages). Collapsing them first means
+    the signature fold, the bucket shuffle, the pair expansion and every
+    CC iteration run on |distinct texts| nodes instead of |docs| — and a
+    k-clique of exact dups contributes k(k-1)/2 pairs to CC otherwise.
+    The collapse itself is one digest groupBy + one membership join.
+
+    Docs whose shingle set is empty (< shingle_n tokens) are excluded on
+    BOTH paths (they cannot near-duplicate under set Jaccard), matching
+    ``minhash_dedup_pairs`` and the exhaustive-Jaccard oracle.
+
+    Returns (id_col, cluster_id = min doc id in the near-dup component).
+    """
+    keyed = df.select(id_col, text_col).withColumn("_ck", F.md5(F.col(text_col)))
+    groups = (
+        keyed.groupBy("_ck")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("grp_n"),
+            F.first(text_col).alias(text_col),
+        )
+        .persist()
+    )
+    # Eligibility (>= shingle_n tokens) is a property of the TEXT, so test
+    # it once per distinct content on the representative — never a
+    # full-corpus tokenize pass. Ineligible groups drop out of membership
+    # via the inner join below (matching the raw pipeline, where such docs
+    # produce no pairs and no grp_n fallback applies).
+    eligible_groups = groups.filter(
+        F.size(tokens(F.lower(F.col(text_col)))) >= shingle_n
+    )
+    membership = keyed.select(id_col, "_ck").join(
+        eligible_groups.select("_ck", "rep_id", "grp_n"), "_ck"
+    )
+    # The groupBy output is byte-tiny, so AQE coalesces it to ~1 partition
+    # — which would serialize the CPU-heavy shingle/signature folds that
+    # follow. Re-spread the representatives across the cluster first (same
+    # rationale as sources.tables.load_split; no-op cost at real scale
+    # where |distinct texts| >> cores).
+    spark = df.sparkSession
+    reps = eligible_groups.select(F.col("rep_id").alias(id_col), text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = minhash_dedup_pairs(reps, text_col, id_col, threshold_bp)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("u").alias("rep_id"), F.col("label").alias("_lbl")
+    )
+    out = (
+        membership.join(comps, "rep_id", "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(
+                F.col("_lbl"), F.when(F.col("grp_n") >= 2, F.col("rep_id"))
+            ),
+        )
+        .filter(F.col("cluster_id").isNotNull())
+        .select(id_col, "cluster_id")
+    )
+    return out
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
@@ -261,10 +342,18 @@ def connected_components(
     row. At cluster scale the per-iteration frame would be checkpointed to
     truncate lineage (alternating large-star/small-star would cut rounds
     to O(log d) if diameters ever mattered)."""
+    # Persist the directed edge list BEFORE symmetrizing: the union's two
+    # branches otherwise re-execute the (expensive) upstream pair pipeline
+    # — LSH candidates + Jaccard verify — once each. No distinct() after
+    # symmetrizing: pair generation emits id_a < id_b, so the reversed
+    # branch cannot collide with the forward one, and duplicate edges
+    # would not change a min-label aggregation anyway — the dedup shuffle
+    # would be pure cost.
+    directed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        directed.unionByName(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         .persist()
     )
     labels = (
@@ -273,16 +362,21 @@ def connected_components(
         .select("u", F.least(F.col("u"), F.col("nbr")).alias("label"))
         .persist()
     )
+    cached = labels  # the persisted frame backing `labels` (for unpersist)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label through the update so the convergence
+        # probe is a filter over the already-persisted frame — not an
+        # extra old-vs-new join stage per iteration.
+        stepped = (
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -290,17 +384,15 @@ def connected_components(
             .persist()
         )
         changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "u")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("u", "label")
         if changed == 0:
             break
     sym.unpersist()
+    directed.unpersist()
     return labels
 
 

@@ -222,6 +222,21 @@ def semdedup(
         .select(id_col, vec_col, "nrm", "cluster")
         .persist()
     )
+    return dedup_within_clusters(assigned, tau, id_col=id_col, vec_col=vec_col)
+
+
+def dedup_within_clusters(
+    assigned: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """The SemDeDup drop rule, independent of HOW vectors were assigned to
+    clusters: within each cluster, drop any vector whose cosine to a
+    lower-id member is >= tau (greedy min-id keep). ``assigned`` must
+    carry (id, vec, nrm, cluster) and should be persisted by the caller —
+    it feeds both pair-join sides and the final output. The pair join is
+    cluster-keyed, so cost is sum(cluster_size^2), never corpus^2."""
     a = assigned.select(
         "cluster",
         F.col(id_col).alias("id_a"),

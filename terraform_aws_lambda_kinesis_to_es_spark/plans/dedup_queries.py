@@ -92,13 +92,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc id in component). The decision step of a training-data dedup
     pipeline: keep doc_id == cluster_id, drop the rest. Iterative
     algorithm with a full SQL oracle (recursive-CTE transitive closure
-    over the exhaustive exact-Jaccard pair set)."""
+    over the exhaustive exact-Jaccard pair set). Exact-dup cliques are
+    collapsed onto a digest representative before LSH/CC (see
+    ``near_dup_clusters``) — output-invariant, but components runs on
+    distinct texts, not docs."""
     docs = load_split(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
-    comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
-    return comps.select(
-        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,16 +107,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy when duplicates differ in cleanliness. Reuses the minhash->
     connected-components machinery; the keep rule is one max_by over a
     composite (quality, -id) key, so the per-cluster reduction stays a
-    single hash aggregate (no window over the full corpus)."""
+    single hash aggregate (no window over the full corpus). Exact-dup
+    cliques are digest-collapsed before LSH/CC (``near_dup_clusters``):
+    identical texts also have identical quality_bp, so the keep rule is
+    unaffected — CC just never sees the clique blow-up."""
     from terraform_aws_lambda_kinesis_to_es_spark.plans import text_queries
 
     docs = load_split(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
-    comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    comps = D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
     qual = text_queries.q_quality(spark, sf_dir).select("doc_id", "quality_bp")
-    members = comps.select(
-        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).join(qual, "doc_id")
+    members = comps.join(qual, "doc_id")
     return members.groupBy("cluster_id").agg(
         F.max_by(
             "doc_id", F.struct(F.col("quality_bp"), (-F.col("doc_id")).alias("nid"))

@@ -144,12 +144,29 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct users per type — the scale path
     for cardinality (fixed sketch memory vs exact distinct's shuffle of
-    every key). No SQL oracle: HLL estimates are engine-specific; pytest
-    asserts the estimate lands within rsd of the exact count."""
+    every key). HLL estimates are engine-specific, so the raw estimate
+    can't be hash-compared against DuckDB; instead the output carries the
+    exact count plus a ``within_rsd`` boolean asserting the estimate
+    landed within 5x the configured rsd of the exact value (a ~5-sigma
+    bound — deterministic in practice), which a SQL oracle CAN check
+    (it must be uniformly TRUE). The production path at 100 TB is the
+    approx aggregate alone; the exact count here exists to make the
+    accuracy claim oracle-verifiable."""
     df = load(spark, sf_dir, "events")
-    return df.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    rsd = 0.02
+    agg = df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(5 * rsd) * F.col("exact_users")
+        ).alias("within_rsd"),
     )
 
 
@@ -282,6 +299,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_approx_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS within_rsd
+        FROM events GROUP BY event_type
+    """,
     "q_retention": f"""
         WITH first_seen AS (
           SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day

@@ -141,6 +141,31 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup(_vec(spark, sf_dir), SEM_CLUSTERS, SEM_TAU)
 
 
+SEM_BUCKETED_SEEDS = 32
+
+
+def q_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the 100 TB assignment path: instead of scoring every
+    vector against every seed (n x k — the q_semdedup shape, fine for a
+    few hundred seeds, infeasible for a 100k-seed codebook), each vector
+    scores only the seeds sharing its hyperplane LSH bucket
+    (``operators.similarity.assign_bucketed_seeds``; expected k/2^B
+    candidates per vector), with a broadcast-all-seeds fallback for
+    vectors whose bucket holds no seed. The intra-cluster drop rule is
+    byte-identical to q_semdedup (shared ``dedup_within_clusters``).
+
+    Fully deterministic — hyperplane signs are fixed constants and the
+    argmax tie-break is lowest cluster id — so the oracle mirrors the
+    bucketed assignment exactly in SQL, proving the scale path, not just
+    the exhaustive one."""
+    vecs = _vec(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < SEM_BUCKETED_SEEDS).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+    )
+    assigned = S.assign_bucketed_seeds(vecs, seeds).persist()
+    return S.dedup_within_clusters(assigned, SEM_TAU)
+
+
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-range scalar quantization of the embedding column
     (``operators/similarity.py:scalar_quantize``) — the storage-compression
@@ -191,6 +216,7 @@ QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_knn_classify": q_knn_classify,
     "q_semdedup": q_semdedup,
+    "q_semdedup_bucketed": q_semdedup_bucketed,
     "q_embed_near_dup": q_embed_near_dup,
     "q_embed_near_dup_lsh": q_embed_near_dup_lsh,
     "q_ann_lsh": q_ann_lsh,
@@ -310,6 +336,43 @@ SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
 FROM assigned a
 """
 
+_SEMDEDUP_BUCKETED_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+vb AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM vecs),
+seeds AS (
+  SELECT vec_id AS cluster, v AS sv, {{BUCKET}} AS sbucket
+  FROM vecs WHERE vec_id < {SEM_BUCKETED_SEEDS}
+),
+matched AS (
+  SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
+  FROM vb JOIN seeds s ON s.sbucket = vb.bucket
+),
+orphan AS (
+  SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
+  FROM vb CROSS JOIN seeds s
+  WHERE vb.bucket NOT IN (SELECT sbucket FROM seeds)
+),
+scored AS (SELECT * FROM matched UNION ALL SELECT * FROM orphan),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND {_cosine_sql("a.v", "b.v")} >= {SEM_TAU}
+       ) AS is_kept
+FROM assigned a
+"""
+# the bucket expression references column `v` in both CTEs; substituted
+# here (not via f-string) to keep the {BUCKET} placeholder readable above
+_SEMDEDUP_BUCKETED_SQL = _SEMDEDUP_BUCKETED_SQL.replace("{BUCKET}", _bucket_sql("v"))
+
 _QUANTIZE_SQL = f"""
 WITH vecs AS ({_VEC_CTE}),
 mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM vecs),
@@ -358,6 +421,7 @@ ORACLES = {
     "q_knn_classify": _KNN_CLASSIFY_SQL,
     "q_knn_cosine": _KNN_SQL,
     "q_semdedup": _SEMDEDUP_SQL,
+    "q_semdedup_bucketed": _SEMDEDUP_BUCKETED_SQL,
     "q_embed_near_dup": _NEAR_DUP_SQL,
     "q_embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
     "q_ann_lsh": _ANN_SQL,

