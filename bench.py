@@ -46,11 +46,14 @@ HEADLINE = (
     "q_temperature_mix",
     "q_quantize",
     "q_minhash_dedup",
+    "q_dedup_keep_best",
     "q_simhash",
     "q_knn_cosine",
     "q_ann_lsh",
     "q_semdedup",
+    "q_semdedup_bucketed",
     "q_clean_corpus",
+    "q_clean_stream",
 )
 
 

@@ -127,7 +127,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: quality/langid are map-only projections; the dedup legs
     are the LSH pipeline (keyed shuffles only) feeding two small anti
     joins (dropped ids ≪ corpus — broadcast); the digest groupBy is the
-    only corpus-wide shuffle."""
+    only corpus-wide shuffle. The near-dup leg runs through
+    ``near_dup_clusters`` (exact-dup digest collapse before LSH/CC —
+    output-invariant, components on distinct texts)."""
     from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
     from terraform_aws_lambda_kinesis_to_es_spark.plans import text_queries
     from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
@@ -139,10 +141,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "quality_bp"
     )
     lang = text_queries.q_langid(spark, sf_dir)
-    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
-    comps = D.connected_components(pairs, src="doc_a", dst="doc_b")
-    dropped_near = comps.filter(F.col("label") < F.col("u")).select(
-        F.col("u").alias("doc_id")
+    comps = D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    dropped_near = comps.filter(F.col("cluster_id") < F.col("doc_id")).select(
+        "doc_id"
     )
     exact_keep = docs.groupBy(F.md5("text").alias("k")).agg(
         F.min("doc_id").alias("keep_id")
@@ -369,8 +370,41 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLEAN_STREAM_MIN_QUALITY = 0.6
+CLEAN_STREAM_LANG = "en"
+
+
+def q_clean_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode proof of the STREAMING cleaning path: runs
+    ``streaming.stateful.clean_project`` — the exact row-local
+    expressions (quality floor, language-ID filter, content digest) the
+    unbounded ``clean_stream`` plan applies per micro-batch — on the
+    bounded documents table, then resolves the stream's
+    first-arrival-wins dropDuplicates deterministically as keep = min
+    doc_id per content digest. Gives the batch/stream parity claim a
+    DuckDB oracle instead of pytest-only coverage: if this query hashes
+    green, the streaming plan's per-row semantics are proven, because it
+    is literally the same code object.
+
+    Scale shape: map-only projection + one digest-keyed aggregation —
+    the same single-shuffle profile as exact dedup."""
+    from terraform_aws_lambda_kinesis_to_es_spark.streaming.stateful import clean_project
+
+    docs = load_split(spark, sf_dir, "documents")
+    cleaned = clean_project(
+        docs, min_quality=CLEAN_STREAM_MIN_QUALITY, lang=CLEAN_STREAM_LANG
+    )
+    return cleaned.groupBy("content_key").agg(
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.count("*").cast("bigint").alias("n_dups"),
+        F.min("pred_lang").alias("pred_lang"),
+        F.min("quality_score").alias("quality_score"),
+    )
+
+
 QUERIES = {
     "q_bigram_lm": q_bigram_lm,
+    "q_clean_stream": q_clean_stream,
     "q_span_mask": q_span_mask,
     "q_importance_sample": q_importance_sample,
     "q_bpe_pairs": q_bpe_pairs,
@@ -484,8 +518,68 @@ def _importance_sample_sql() -> str:
     """
 
 
+def _clean_stream_oracle_sql() -> str:
+    """Mirror of q_clean_stream: the streaming clean_project expressions
+    (float quality_score with per-row round(4), langid when-chain, md5
+    digest) + deterministic first-arrival resolution (min doc_id)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _in_list
+
+    score = {
+        lang: f"len(list_filter(ltoks, t -> t IN ({_in_list(m)})))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    return f"""
+        WITH qbase AS (
+          SELECT doc_id, text,
+                 length(text) AS n_chars,
+                 len({_TOKS_RAW}) AS n_tokens,
+                 len(list_filter({_TOKS_RAW}, t -> t IN ({_in_list(STOPWORDS)}))) AS stop_cnt,
+                 length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, text,
+                 round(least(1.0, n_tokens / 100.0) * 0.5
+                       + (CASE WHEN n_tokens > 0
+                               THEN round(stop_cnt / n_tokens, 4) ELSE 0.0 END) * 0.3
+                       + (1.0 - CASE WHEN n_chars > 0
+                                     THEN round(punct_cnt / n_chars, 4) ELSE 0.0 END) * 0.2,
+                       4) AS quality_score
+          FROM qbase
+        ),
+        lscore AS (
+          SELECT doc_id, {score['de']} AS sd, {score['en']} AS se,
+                 {score['es']} AS ss, {score['fr']} AS sf
+          FROM (SELECT doc_id, {_TOKS} AS ltoks FROM documents)
+        ),
+        lang AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(sd, se, ss, sf) <= 0 THEN 'und'
+                      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
+                      WHEN se >= ss AND se >= sf THEN 'en'
+                      WHEN ss >= sf THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM lscore
+        )
+        SELECT md5(q.text) AS content_key,
+               CAST(MIN(q.doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MIN(l.pred_lang) AS pred_lang,
+               MIN(q.quality_score) AS quality_score
+        FROM q JOIN lang l USING (doc_id)
+        WHERE q.quality_score >= {CLEAN_STREAM_MIN_QUALITY}
+          AND l.pred_lang = '{CLEAN_STREAM_LANG}'
+        GROUP BY md5(q.text)
+    """
+
+
 ORACLES = {
     "q_importance_sample": _importance_sample_sql(),
+    "q_clean_stream": _clean_stream_oracle_sql(),
     "q_bpe_pairs": f"""
         WITH words AS (
           SELECT unnest({_TOKS}) AS w FROM documents

@@ -222,23 +222,18 @@ def running_type_counts(df: DataFrame, type_col: str = "log_type") -> DataFrame:
     )
 
 
-def clean_stream(
+def clean_project(
     df: DataFrame,
     text_col: str = "text",
-    ts_col: str = "doc_ts",
-    watermark: str = "1 hour",
     min_quality: float = 0.6,
     lang: str = "en",
 ) -> DataFrame:
-    """Streaming corpus cleaning: the q_clean_corpus composition on an
-    unbounded document stream. Quality floor and language-ID are the
-    SAME row-local expressions as the batch plan (map-only — the shared
-    DataFrame API is the point); exact dedup becomes watermarked
-    dropDuplicates on the content digest, so a re-crawled duplicate in a
-    later micro-batch is dropped while state stays bounded by the
-    watermark horizon. Near-dup LSH stays a batch/compaction job at
-    100 TB — a growing pairwise similarity graph is not bounded state.
-    """
+    """The row-local half of streaming corpus cleaning — quality floor,
+    language-ID filter, content digest — shared VERBATIM by the
+    streaming plan (:func:`clean_stream`) and the batch declared query
+    (``plans.training_queries.q_clean_stream``). Map-only: works
+    identically on bounded and unbounded frames, which is the
+    batch/stream parity claim the declared query's oracle proves."""
     from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
         predicted_lang,
         quality_score,
@@ -250,6 +245,28 @@ def clean_stream(
         .withColumn("pred_lang", predicted_lang(tokens(F.lower(F.col(text_col)))))
         .filter((F.col("quality_score") >= min_quality) & (F.col("pred_lang") == lang))
         .withColumn("content_key", F.md5(F.col(text_col)))
+    )
+
+
+def clean_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "doc_ts",
+    watermark: str = "1 hour",
+    min_quality: float = 0.6,
+    lang: str = "en",
+) -> DataFrame:
+    """Streaming corpus cleaning: the q_clean_corpus composition on an
+    unbounded document stream. Quality floor and language-ID are the
+    SAME row-local expressions as the batch plan (``clean_project`` — the
+    shared DataFrame API is the point); exact dedup becomes watermarked
+    dropDuplicates on the content digest, so a re-crawled duplicate in a
+    later micro-batch is dropped while state stays bounded by the
+    watermark horizon. Near-dup LSH stays a batch/compaction job at
+    100 TB — a growing pairwise similarity graph is not bounded state.
+    """
+    return (
+        clean_project(df, text_col, min_quality=min_quality, lang=lang)
         .withWatermark(ts_col, watermark)
         .dropDuplicates(["content_key"])
         .drop("content_key")

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import connected_components
+from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
+    connected_components,
+    minhash_dedup_pairs,
+    near_dup_clusters,
+)
 
 
 def _run(spark, edges, **kw):
@@ -43,3 +47,50 @@ def test_tiny_edge_lists(spark, n):
     edges = [(1, 2)][:n]
     got = _run(spark, edges)
     assert got == ({1: 1, 2: 1} if n else {})
+
+
+def test_collapsed_clusters_equal_raw_pipeline(spark, sf_dir):
+    """near_dup_clusters (digest-collapse before LSH/CC) must be
+    OUTPUT-IDENTICAL to running LSH + connected components on the raw
+    corpus — the optimization's core claim. Covers exact-dup groups with
+    and without external near-dup edges, and short-doc exclusion."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup_pairs(docs, threshold_bp=5000)
+    raw = sorted(
+        (r.u, r.label)
+        for r in connected_components(pairs, src="doc_a", dst="doc_b").collect()
+    )
+    collapsed = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in near_dup_clusters(docs, threshold_bp=5000).collect()
+    )
+    assert collapsed == raw
+
+
+def test_collapsed_clusters_synthetic_shapes(spark):
+    """Edge cases the scale-factor corpus may not contain: an exact-dup
+    group with NO external edge (grp_n fallback), an exact-dup group
+    bridged to a near-dup neighbor, and short docs (no shingles) that
+    must never cluster even when byte-identical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (1, base), (2, base), (3, base),        # exact clique...
+        (4, near),                              # ...bridged by near-dup
+        (10, "one two three four five six"),    # isolated exact pair,
+        (11, "one two three four five six"),    # no external edge
+        (20, "tiny doc"), (21, "tiny doc"),     # <5 tokens: excluded
+        (30, "completely different words entirely unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, threshold_bp=5000).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    raw_pairs = minhash_dedup_pairs(docs, threshold_bp=5000)
+    raw = {
+        r.u: r.label
+        for r in connected_components(raw_pairs, src="doc_a", dst="doc_b").collect()
+    }
+    assert raw == got
