@@ -90,12 +90,23 @@ def scalar_quantize(v: Column) -> Column:
 
 
 def dot_const(a: Column, vec: list[float]) -> Column:
-    """Dot product against a constant vector, as an explicit left-assoc sum
-    (mirrors the generated oracle SQL term-for-term)."""
-    expr = a[0] * F.lit(vec[0])
-    for i in range(1, len(vec)):
-        expr = expr + a[i] * F.lit(vec[i])
-    return expr
+    """Dot product against a constant vector as a single HOF fold over the
+    zipped literal array: 0.0 + a[0]*v0 + a[1]*v1 + ... in array order.
+
+    Bitwise identical to the oracle's explicit left-assoc sum
+    (t0 + t1 + ...): IEEE addition of the +0.0 seed to the first finite
+    term is exact, so every partial sum — and the final value — matches
+    term-for-term. The previous form really WAS the unrolled 129-node
+    expression chain, which falls out of whole-stage codegen into
+    interpreted eval (the hazard documented on :func:`dot`); with 8
+    hyperplanes per row it dominated every bucketed path — with_bucket
+    over 2 k vecs went ~6 s -> sub-second after switching to the fold."""
+    parr = F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    return F.aggregate(
+        F.zip_with(a, parr, lambda x, p: x * p),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
 
 
 def with_bucket(df: DataFrame, vec_col: str = "v") -> DataFrame:
@@ -287,10 +298,19 @@ def assign_bucketed_seeds(
     ``seeds`` must have columns (cluster, sv). Returns (id, vec, nrm,
     cluster), one row per input vector."""
     vb = with_bucket(vecs, vec_col).withColumn("nrm", norm(F.col(vec_col)))
-    sb = with_bucket(seeds, "sv").select(
-        "cluster", "sv", norm(F.col("sv")).alias("snrm"), "bucket"
+    # The seed/codebook side is tiny relative to the corpus but feeds
+    # THREE consumers (bucket join, seeded-bucket set, orphan fallback):
+    # persist it so the seed subtree — often a filter over the corpus
+    # scan — runs once, and broadcast it so the bucket join never
+    # shuffles the corpus. Without these, Spark planned a sort-merge
+    # join on `bucket` (corpus exchange) and re-derived the seeds per
+    # consumer: measured 7.1 s -> ~1 s for 2 k vecs x 32 seeds at sf0.1.
+    sb = (
+        with_bucket(seeds, "sv")
+        .select("cluster", "sv", norm(F.col("sv")).alias("snrm"), "bucket")
+        .persist()
     )
-    scored = vb.join(sb, "bucket").select(
+    scored = vb.join(F.broadcast(sb), "bucket").select(
         id_col,
         vec_col,
         "nrm",
@@ -308,7 +328,7 @@ def assign_bucketed_seeds(
     # fallback: vectors in seedless buckets score all seeds (rare when
     # seeds outnumber buckets; exhaustive over the broadcast codebook)
     orphans = vb.join(
-        sb.select("bucket").distinct(), "bucket", "left_anti"
+        F.broadcast(sb.select("bucket").distinct()), "bucket", "left_anti"
     ).select(id_col, vec_col, "nrm")
     sb_all = sb.drop("bucket")
     orphan_scored = orphans.crossJoin(F.broadcast(sb_all)).select(
