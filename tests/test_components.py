@@ -6,6 +6,7 @@ import pytest
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
     minhash_dedup_pairs,
     near_dup_clusters,
 )
@@ -34,12 +35,12 @@ def test_direction_invariance(spark):
     assert _run(spark, edges) == {1: 1, 2: 1, 3: 1, 4: 4, 9: 4}
 
 
-def test_max_iter_caps_rounds(spark):
-    # with max_iter=1 a long chain must NOT fully converge (labels are
-    # still a valid partial propagation — monotone non-increasing)
+def test_max_iter_falls_back_to_star(spark):
+    # a chain longer than max_iter can't converge by label propagation;
+    # the call must hand off to the star algorithm and still return
+    # EXACT labels, not a partial propagation
     got = _run(spark, [(5, 6), (6, 7), (7, 8), (8, 9)], max_iter=1)
-    assert got[9] > 5
-    assert all(lbl <= v for v, lbl in got.items())
+    assert got == {v: 5 for v in range(5, 10)}
 
 
 @pytest.mark.parametrize("n", [0, 1])
@@ -47,6 +48,39 @@ def test_tiny_edge_lists(spark, n):
     edges = [(1, 2)][:n]
     got = _run(spark, edges)
     assert got == ({1: 1, 2: 1} if n else {})
+
+
+def _run_star(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r.u: r.label for r in connected_components_star(df, **kw).collect()}
+
+
+def test_star_matches_label_propagation_on_small_graphs(spark):
+    cases = [
+        [(1, 2), (2, 3), (1, 3), (10, 11)],          # clique + pair
+        [(5, 6), (6, 7), (7, 8), (8, 9), (9, 10)],   # path
+        [(3, 1), (2, 3), (9, 4)],                    # reversed edges
+        [(1, 2)],
+        [],
+    ]
+    for edges in cases:
+        assert _run_star(spark, edges) == _run(spark, edges), edges
+
+
+def test_star_long_chain_logarithmic_rounds(spark):
+    # an 80-node path: label propagation would need ~80 rounds; the star
+    # algorithm must close it well inside its round bound and EXACTLY
+    got = _run_star(spark, [(i, i + 1) for i in range(80)], max_rounds=12)
+    assert got == {v: 0 for v in range(81)}
+
+
+def test_star_random_graph_agrees(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _run_star(spark, edges) == _run(spark, edges, max_iter=60)
 
 
 def test_collapsed_clusters_equal_raw_pipeline(spark, sf_dir):
