@@ -6,18 +6,25 @@ metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each executor processes whole record batches in one
 Python hop, and everything before/after stays relational.
 
-The actual codec calls are STUBBED here (no image/audio libraries in this
-container — clearly marked below); the Spark-side plumbing — schema,
-binary handling, Arrow batch shape, partition behavior — is real and
-tested. Swapping in PIL/torchaudio/ffmpeg is a pure function replacement
-inside ``_extract_batch``.
+Codecs: the dependency-free formats are decoded FOR REAL here —
+PPM (P6) and uncompressed 24-bit BMP images to numpy pixel arrays,
+RIFF/WAVE PCM audio to sample arrays, and concatenated-P6 streams as
+the frame container — plus real nearest-neighbor resize with P6
+re-encode. Compressed formats (JPEG/PNG/H.264/MP3) need external
+libraries that are not in this container; those paths raise a clearly
+marked ``ValueError`` on their magic bytes, and plugging PIL/torchaudio/
+ffmpeg in is a pure function replacement — the Spark-side plumbing
+(schema, binary handling, Arrow batch shape, partition behavior) is
+identical and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,21 +45,117 @@ def attach_payload(df: DataFrame, text_col: str = "text", media_type: str = "tex
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: image decode (PIL/opencv not available in this container).
-    The mapInPandas plumbing around it is real; replace this body with
-    ``PIL.Image.open(io.BytesIO(payload))`` when the codec is present."""
-    raise NotImplementedError("image codecs not available in this environment")
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header, tolerating comments/whitespace per
+    the Netpbm spec. Returns (width, height, maxval, data_offset)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = fields
+    if maxval >= 256:
+        raise ValueError("16-bit PPM not supported")
+    return w, h, maxval, i
 
 
-def decode_audio(payload: bytes) -> object:
-    """STUB: audio decode (soundfile/torchaudio not available)."""
-    raise NotImplementedError("audio codecs not available in this environment")
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for the dependency-free formats: binary PPM (P6)
+    and uncompressed 24-bit BMP, to an (H, W, 3) uint8 RGB array.
+    Compressed formats (JPEG/PNG magic) raise ValueError — decoding them
+    needs PIL/opencv, not present in this container; swapping
+    ``PIL.Image.open`` into this body changes nothing upstream."""
+    if payload[:2] == b"P6":
+        w, h, _maxval, off = _parse_ppm_header(payload)
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+        return px.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        return (rgb[::-1] if bottom_up else rgb).copy()
+    raise ValueError("unsupported image format (compressed codecs need PIL/opencv)")
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for RIFF/WAVE PCM (8- or 16-bit): walks the
+    chunk list, returns ((frames, channels) sample array, sample_rate).
+    Compressed audio (MP3/OGG magic) raises ValueError — that path needs
+    soundfile/torchaudio."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format (compressed codecs need soundfile)")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dtype=dt)
+    n_frames = len(samples) // channels
+    return samples[: n_frames * channels].reshape(n_frames, channels).copy(), sample_rate
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Re-encode an (H, W, 3) uint8 array as binary PPM (P6)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
 def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
-    """STUB: video frame sampling (ffmpeg not available)."""
-    raise NotImplementedError("video codecs not available in this environment")
+    """REAL frame sampling over a concatenated-P6 stream (the
+    dependency-free frame container: raw video as back-to-back PPM
+    frames): parse each frame's header to find its extent, keep every
+    ``every_n``-th frame's bytes. Containerized codecs (H.264/MP4) need
+    ffmpeg — same seam, same output contract."""
+    frames: list[bytes] = []
+    i = 0
+    idx = 0
+    while i < len(payload) and payload[i : i + 2] == b"P6":
+        w, h, _maxval, off = _parse_ppm_header(payload[i:])
+        end = i + off + w * h * 3
+        if idx % every_n == 0:
+            frames.append(payload[i:end])
+        idx += 1
+        i = end
+    if i == 0:
+        raise ValueError("unsupported video container (H.264/MP4 needs ffmpeg)")
+    return frames
 
 
 def _extract_batch(pdf: pd.DataFrame, media_type: str) -> pd.DataFrame:
@@ -133,9 +236,15 @@ def extract_features(df: DataFrame, media_type: str = "text/plain") -> DataFrame
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: real image resize (PIL ``Image.resize`` + re-encode); the
-    mapInPandas plumbing in :func:`resize_features` is real."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """REAL image resize for the decodable formats: decode (PPM/BMP),
+    nearest-neighbor resample with numpy index arithmetic, re-encode as
+    P6. PIL's ``Image.resize`` with fancier filters slots into the same
+    seam for compressed inputs."""
+    px = decode_image(payload)
+    h, w = px.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_ppm(px[rows][:, cols])
 
 
 RESIZE_FACTOR = 4

