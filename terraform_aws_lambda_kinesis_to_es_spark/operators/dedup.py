@@ -506,6 +506,7 @@ def connected_components(
 
 
 SIMHASH_BITS = 60
+SIMHASH_MAX_DISTANCE = 3  # pigeonhole-exact with 4 banded blocks
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -541,7 +542,7 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_distance: int = 3
+    sim_df: DataFrame, id_col: str = "doc_id", max_distance: int = SIMHASH_MAX_DISTANCE
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit signature into 4 15-bit
     blocks (pigeonhole: distance <= 3 guarantees one identical block),

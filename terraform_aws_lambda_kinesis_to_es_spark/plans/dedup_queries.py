@@ -279,9 +279,15 @@ ORACLES = {
     "q_ngram_jaccard": _PAIR_JACCARD
     + "SELECT doc_a, doc_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp FROM pairs",
     "q_simhash": _simhash_sql(),
-    # q_simhash_pairs intentionally has no SQL oracle: the banded-join
-    # candidate generation is exact for hamming<=3 by pigeonhole, and the
-    # hamming verification is tested in pytest; the driver records a
-    # rows-only check. (An O(n^2) oracle would need 60-bit popcount SQL,
-    # done for q_simhash already via the signature equality.)
+    # Exhaustive O(n^2) ground truth for the banded pigeonhole join:
+    # every pair within hamming<=3 of the (independently recomputed)
+    # signatures. Driver-green equality therefore PROVES the pigeonhole
+    # recall claim on this data, same argument as the minhash oracle.
+    "q_simhash_pairs": f"""
+        WITH sims AS ({_simhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_MAX_DISTANCE}
+    """,
 }

@@ -491,7 +491,82 @@ def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change: a pure range-filter
+    scan aggregate (date window + discount band + quantity cap) with NO
+    join and NO grouping — the canonical predicate-pushdown probe: every
+    filter must reach the parquet scan, the agg is one partial+final.
+    round(sum, 4) is exact: price (2 decimals) x discount (2 decimals)
+    has <= 4 decimals, so the sum does too (house float rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_3"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: of the revenue on orders
+    placed by customers in the MKT_REGION market, how much is supplied by
+    MKT_NATION, per order year. Emits numerator and denominator as
+    separate round(sum,4) columns instead of their ratio — the ratio of
+    two floats is not 4-decimal-exact, the sums are (volume = price x
+    (1-discount) has <= 4 decimals).
+
+    Shape: customer->nation->region and supplier->nation are broadcast
+    dimension chains; lineitem |><| orders is the one data exchange; the
+    conditional share is a filtered aggregate over the same rows (no
+    second scan)."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == MKT_REGION)
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    mkt_cust = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    mkt_orders = orders.join(
+        F.broadcast(mkt_cust), orders.o_custkey == mkt_cust.c_custkey
+    ).select("o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year"))
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = lineitem.join(
+        F.broadcast(supp_nation), lineitem.l_suppkey == supp_nation.s_suppkey
+    ).join(mkt_orders, lineitem.l_orderkey == mkt_orders.o_orderkey)
+    return j.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == MKT_NATION, vol).otherwise(0.0)), 4
+        ).alias("nation_revenue"),
+        F.round(F.sum(vol), 4).alias("total_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 QUERIES = {
+    "q_forecast_revenue": q_forecast_revenue,
+    "q_market_share": q_market_share,
     "q_above_avg_orders": q_above_avg_orders,
     "q_cust_order_dist": q_cust_order_dist,
     "q_valuable_parts": q_valuable_parts,
@@ -517,6 +592,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q_market_share": f"""
+        WITH mkt_cust AS (
+          SELECT c.c_custkey
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = '{MKT_REGION}'
+        ), mkt_orders AS (
+          SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS BIGINT) AS o_year
+          FROM orders o JOIN mkt_cust mc ON o.o_custkey = mc.c_custkey
+        ), supp_nation AS (
+          SELECT s.s_suppkey, n.n_name AS supp_nation
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT mo.o_year,
+               ROUND(SUM(CASE WHEN sn.supp_nation = '{MKT_NATION}'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END), 4) AS nation_revenue,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN supp_nation sn ON l.l_suppkey = sn.s_suppkey
+        JOIN mkt_orders mo ON l.l_orderkey = mo.o_orderkey
+        GROUP BY mo.o_year
+    """,
     "q_cust_order_dist": """
         SELECT c_count, COUNT(*) AS custdist
         FROM (

@@ -12,6 +12,11 @@ QUERIES = entrypoint.queries()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
+    # display-only confs: without them long field lists and FileScan
+    # metadata (PushedFilters!) truncate and substring assertions
+    # silently test the ellipsis
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     df = QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -21,6 +26,25 @@ def test_whitelist_filter_pushed_to_scan(spark, sf_dir):
     assert "PushedFilters: [In(event_type" in plan
     # map-only: no exchange at all
     assert "Exchange" not in plan
+
+
+def test_forecast_revenue_all_filters_pushed(spark, sf_dir):
+    # Q6 shape: every range predicate must reach the parquet scan, and a
+    # global no-group aggregate needs exactly one (single-row) exchange
+    plan = plan_of(spark, sf_dir, "q_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_market_share_single_fact_exchange(spark, sf_dir):
+    # Q8 shape: all dimension chains broadcast; lineitem |><| orders is
+    # the only data shuffle besides the final small aggregation
+    plan = plan_of(spark, sf_dir, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
 
 
 def test_pricing_summary_single_shuffle_with_pushdown(spark, sf_dir):
