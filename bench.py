@@ -28,6 +28,8 @@ HEADLINE = (
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_volume_shipping",
+    "q_market_share",
+    "q_forecast_revenue",
     "q_top_orders",
     "q_returned_items",
     "q_user_stats",

@@ -101,6 +101,42 @@ def test_contract_uses_configured_parser(spark):
     assert str(dateutil_row.log_ts) == "2024-03-05 10:00:00"
 
 
+def test_events_ts_normalized_regardless_of_parquet_writer(spark, tmp_path):
+    """The driver's events.parquet has arrived as TIMESTAMP(NANOS)-as-long
+    in one round and TIMESTAMP_NTZ in another; load() must hand every
+    consumer plain session-TZ TIMESTAMP either way (NTZ broke
+    q_sessionize/q_funnel in round 1: Spark 4 refuses NTZ in CAST-to-
+    BIGINT and unix_micros)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from terraform_aws_lambda_kinesis_to_es_spark.sources import tables
+
+    wall = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    ntz_df = spark.createDataFrame(
+        [(1, wall)],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+            ]
+        ),
+    )
+    ntz_dir = str(tmp_path / "ntz")
+    ntz_df.write.parquet(f"{ntz_dir}/events.parquet")
+    loaded = tables.load(spark, ntz_dir, "events")
+    assert isinstance(loaded.schema["ts"].dataType, T.TimestampType)
+    row = loaded.select(
+        F.col("ts").cast("long").alias("epoch"),
+        F.unix_micros("ts").alias("us"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("wall"),
+    ).collect()[0]
+    # wall clock preserved exactly (UTC session), NTZ-illegal exprs now legal
+    assert row.wall == "2024-03-01 12:30:45"
+    assert row.us == row.epoch * 1_000_000 + 123456
+
+
 def test_config_rejects_unknown_parser():
     import pytest as _pytest
 
