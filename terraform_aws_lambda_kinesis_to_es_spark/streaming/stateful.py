@@ -33,8 +33,15 @@ def dedup_stream(
     """Exactly-once-per-id within the watermark horizon: upgrades the
     pipeline from at-least-once to effectively-once delivery (reference
     carries log_id for downstream dedup but never dedups — T3/P7).
-    State per id is dropped once the watermark passes."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+    State per id is dropped once the watermark passes.
+
+    Must be ``dropDuplicatesWithinWatermark``, NOT plain
+    ``dropDuplicates``: when the event-time column is not part of the
+    dedup keys, plain dropDuplicates keeps its key state FOREVER — the
+    watermark never evicts it, silently unbounding state on an unbounded
+    id stream (caught by the expiry test in
+    tests/test_stateful_streaming.py)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([id_col])
 
 
 def sessionize_stream(
@@ -268,6 +275,9 @@ def clean_stream(
     return (
         clean_project(df, text_col, min_quality=min_quality, lang=lang)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["content_key"])
+        # WithinWatermark variant: plain dropDuplicates never evicts state
+        # for keys that don't include the event-time column — the digest
+        # state would grow with the corpus forever (see dedup_stream)
+        .dropDuplicatesWithinWatermark(["content_key"])
         .drop("content_key")
     )

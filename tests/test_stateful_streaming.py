@@ -271,3 +271,62 @@ def test_clean_stream_filters_and_dedups_across_batches(spark, tmp_path):
     _run_to_memory(out, "clean_t", str(tmp_path / "ck_clean"))
     ids = sorted(r.doc_id for r in spark.table("clean_t").collect())
     assert ids == [1, 5]
+
+
+def test_clean_stream_state_expires_past_watermark(spark, tmp_path):
+    """The bounded-state contract, both directions: a duplicate INSIDE
+    the 1 h watermark horizon is dropped, and the same text re-arriving
+    AFTER the digest's state has aged out past the watermark is
+    re-admitted — state is bounded by the horizon, so dedup is
+    horizon-scoped by design (exactly the documented tradeoff vs the
+    batch near-dup compaction job)."""
+    import os
+    import time as _time
+
+    src = tmp_path / "docs_exp_src"
+    src.mkdir()
+    good = "the cat and the dog run to the house and the tree is tall"
+
+    def _stamp(name: str, offset: int) -> None:
+        # file-source batch order follows modification time; rapid writes
+        # tie on mtime granularity, so pin an explicit increasing stamp
+        t = _time.time() - 100 + offset
+        os.utime(f"{src}/{name}.json", (t, t))
+
+    _write_batch(
+        src, "b1", [{"doc_id": 1, "text": good, "doc_ts": "2024-03-01T10:00:00"}]
+    )
+    _stamp("b1", 0)
+    # inside-horizon duplicate (watermark still below 10:00): dropped
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"doc_id": 2, "text": good, "doc_ts": "2024-03-01T10:30:00"},
+            {"doc_id": 3, "text": "a big dog is in the house and the cat is of the tree here",
+             "doc_ts": "2024-03-01T12:30:00"},  # advances watermark to 11:30
+        ],
+    )
+    _stamp("b2", 10)
+    # watermark is now 11:30 > the 10:00 digest's event time, but dedup
+    # state eviction runs at END of batch — a dup in THIS batch is still
+    # matched and dropped...
+    _write_batch(
+        src, "b3", [{"doc_id": 4, "text": good, "doc_ts": "2024-03-01T12:31:00"}]
+    )
+    _stamp("b3", 20)
+    # ...and once the aged-out digest has been evicted, the same text
+    # re-arriving in the NEXT batch is admitted again (bounded state)
+    _write_batch(
+        src, "b4", [{"doc_id": 5, "text": good, "doc_ts": "2024-03-01T12:32:00"}]
+    )
+    _stamp("b4", 30)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stateful.clean_stream(stream, min_quality=0.2)
+    _run_to_memory(out, "clean_exp_t", str(tmp_path / "ck_clean_exp"))
+    ids = sorted(r.doc_id for r in spark.table("clean_exp_t").collect())
+    assert ids == [1, 3, 5]
