@@ -68,8 +68,19 @@ def main() -> None:
     import __spark_entry__ as entrypoint
 
     queries = entrypoint.queries()
-    # warmup: absorb JVM/codegen/session start cost outside the timings
+    # warmup: absorb JVM/codegen/session start cost outside the timings.
+    # The minhash warmup runs at the TINY sf (cheap data) purely to
+    # compile the large signature-fold expression tree once — codegen is
+    # keyed by expression structure, so the sf0.1 run then measures
+    # execution, not compilation.
     queries["q_daily_counts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        queries["q_minhash_dedup"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup must never break the bench
+        pass
+    spark.catalog.clearCache()
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
