@@ -41,6 +41,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine-owned runtime conf, set here (not only in session.py) so the
+    # iterative operators behave on a CALLER-provided vanilla session too:
+    # without it, persist() pins each cached plan's output partitioning
+    # and AQE cannot coalesce the tiny shuffles that build it — connected
+    # components then schedules default-width (e.g. 200-task) reducer
+    # waves over a few hundred rows per iteration. (At oracle scale the
+    # effect is modest — first-query codegen dominates there — but the
+    # reducer-wave width matters as iteration count or default
+    # parallelism grows.)
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col]
