@@ -137,3 +137,36 @@ def test_connected_components_property(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.u: r.label for r in connected_components(df).collect()}
     assert got == ref
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_star_property(spark, edges):
+    """The large-star/small-star path must satisfy the same union-find
+    contract as label propagation on arbitrary random graphs (it is the
+    long-diameter fallback, so it gets the same oracle directly)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    parent = {v: v for e in edges for v in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    ref = {v: min(u for u in parent if find(u) == find(v)) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.u: r.label for r in connected_components_star(df).collect()}
+    assert got == ref
