@@ -255,13 +255,16 @@ _VSQ = "(0.0 + " + " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(64)) + "
 
 ORACLES = {
     "q_pivot_priority": """
+        -- COUNT(CASE...) (not SUM) so DuckDB emits BIGINT, matching Spark's
+        -- pivot().count() — SUM over INTEGER is HUGEINT in DuckDB and
+        -- hash-mismatches despite equal values (same class as q_priority_flag).
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_1,
-               SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_2,
-               SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_3,
-               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_1,
+               COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_2,
+               COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_3,
+               COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
                  AS n_4,
-               SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_5
+               COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_5
         FROM orders
         GROUP BY o_orderstatus
     """,

@@ -4,9 +4,15 @@ The reference has no joins/sorts/window functions (SURVEY.md §2.7 — explicit
 nulls); Spark supplies them natively. These queries exist to demonstrate —
 and benchmark — the join strategies that matter at 100 TB:
 
-* dimension joins are **broadcast** (region/nation/customer are tiny
-  relative to the fact tables; `F.broadcast` pins the hint, AQE would pick
-  it anyway at runtime),
+* dimension joins are **broadcast**, but `F.broadcast` is pinned ONLY on
+  genuinely bounded relations (nation = 25 rows, region = 5 rows,
+  single-row scalar aggregates). SF-proportional sides (customer,
+  supplier, part — even filtered constant fractions of them) carry NO
+  explicit hint: a forced broadcast of a 150k-rows-per-SF relation OOMs
+  the executors at the 100 TB target, while at any scale where the side
+  IS small the static planner's size estimate or AQE's runtime re-plan
+  promotes the join to broadcast anyway (test_plan_shape.py asserts this
+  promotion happens hint-free at test scale),
 * fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and AQE
   coalesces/splits post-shuffle partitions,
 * aggregations are partial (map-side combine) before the exchange.
@@ -39,9 +45,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped multi-join: two broadcast dimension joins + one
-    shuffled fact-fact join, then a small aggregation. The canonical
-    star-join plan: only orders ⋈ lineitem exchanges data."""
+    """TPC-H Q5-shaped multi-join: a pinned-broadcast nation join (25
+    rows, bounded), a customer join left to the planner (broadcast at
+    small SF via size stats/AQE, shuffle at extreme SF), and one shuffled
+    fact-fact join, then a small aggregation."""
     nation = load(spark, sf_dir, "nation")
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -50,7 +57,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "n_name")
     ord_nation = orders.join(
-        F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey
+        cust_nation, orders.o_custkey == cust_nation.c_custkey
     ).select("o_orderkey", "n_name")
     joined = lineitem.join(ord_nation, lineitem.l_orderkey == ord_nation.o_orderkey)
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
@@ -66,7 +73,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     j = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
@@ -167,7 +174,9 @@ def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-shaped nation-pair trade volume: the deepest join tree in
     the surface (lineitem ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ×2).
-    Every dimension side is broadcast; the only exchange is the
+    Only the bounded nation joins pin a broadcast hint; the
+    supplier/customer sides are planner-chosen (broadcast at small SF,
+    shuffle at extreme SF). The unavoidable exchange is the
     lineitem ⋈ orders shuffle on the order key, then one small
     aggregation on (supp_nation, cust_nation, year)."""
     nation = load(spark, sf_dir, "nation")
@@ -182,9 +191,9 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
     ord_cust = orders.join(
-        F.broadcast(cust_nation), orders.o_custkey == cust_nation.c_custkey
+        cust_nation, orders.o_custkey == cust_nation.c_custkey
     ).select("o_orderkey", "cust_nation")
-    j = lineitem.join(F.broadcast(supp_nation), lineitem.l_suppkey == supp_nation.s_suppkey).join(
+    j = lineitem.join(supp_nation, lineitem.l_suppkey == supp_nation.s_suppkey).join(
         ord_cust, lineitem.l_orderkey == ord_cust.o_orderkey
     )
     return j.groupBy(
@@ -201,8 +210,8 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped large-volume orders: HAVING-filtered aggregation
     joined back to its dimensions. The quantity sum is computed BEFORE the
     joins so the shuffled aggregation shrinks the fact table first; the
-    surviving handful of keys then join orders (shuffle) and broadcast
-    customer. Quantities are small integers in double — their sum is exact
+    surviving handful of keys then join orders (shuffle) and customer
+    (planner-chosen strategy). Quantities are small integers in double — their sum is exact
     in FP regardless of partition order, so the > threshold cut is
     deterministic across engines."""
     customer = load(spark, sf_dir, "customer")
@@ -215,7 +224,7 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -248,7 +257,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
         .select("c_custkey", "c_name", "revenue", "n_items")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -274,8 +283,9 @@ def q_priority_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped promotion-revenue share by ship month: broadcast
-    part (the mid-size dimension) into lineitem, conditional revenue sum.
+    """TPC-H Q14-shaped promotion-revenue share by ship month: part (the
+    mid-size dimension) joins into lineitem with planner-chosen strategy
+    (broadcast at small SF), conditional revenue sum.
     Emits promo and total sums separately (round(4) each) rather than the
     float ratio — the division of two independently-wobbling doubles is
     the one non-reproducible formulation (memory: avoid round(avg-like,4))."""
@@ -283,7 +293,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 4).alias(
@@ -316,7 +326,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("max_rev")
     )
     return (
-        top.join(F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey)
+        top.join(supplier, top.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -326,11 +336,12 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides of the part ⋈ lineitem join. The per-side conjuncts
     (brand/size on part, quantity on lineitem) cannot be pushed below the
     join as a whole, but Catalyst extracts the common-side disjunction
-    (brand IN (...) OR'd sizes) into the broadcast build side. Single-row
-    all-float output rounds after the final sum."""
+    (brand IN (...) OR'd sizes) into the part side of the join (which the
+    planner broadcasts at small SF). Single-row all-float output rounds
+    after the final sum."""
     part = load(spark, sf_dir, "part")
     lineitem = load(spark, sf_dir, "lineitem")
-    j = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    j = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
@@ -346,7 +357,8 @@ def q_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped small-quantity revenue: line items below 20% of
     their part's average order quantity. The correlated per-part AVG
     decorrelates to a window over l_partkey (one shuffle on the part key,
-    reused nowhere else); part joins in broadcast for the brand grouping.
+    reused nowhere else); part joins in for the brand grouping
+    (planner-chosen strategy — broadcast at small SF).
     Determinism: quantities are small integers in double, so the window
     SUM (and hence AVG = sum/count) is exact in FP regardless of
     partition order — the 0.2*avg threshold compare cannot wobble."""
@@ -358,7 +370,7 @@ def q_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
     )
     return (
-        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        small.join(part, small.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
@@ -441,17 +453,19 @@ def q_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16-shaped supplier variety: distinct suppliers per part
-    attribute combo, excluding a supplier blocklist (NOT IN ⇒ broadcast
-    anti join — the blocklist is tiny). countDistinct expands to a
-    two-phase partial-distinct aggregate; the part join broadcasts."""
+    attribute combo, excluding a supplier blocklist (NOT IN ⇒ left-anti
+    join; the blocklist and filtered part side are constant FRACTIONS of
+    SF-proportional tables, so neither pins a broadcast hint — the
+    planner promotes both at small SF). countDistinct expands to a
+    two-phase partial-distinct aggregate."""
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
     )
     bad = load(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7"))
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -463,7 +477,8 @@ def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS (left-semi) and a NOT EXISTS (left-anti) against the same
     fact table, each an equi-join on orderkey with a suppkey-inequality
     residual. Both self-joins reuse the same orderkey hash partitioning;
-    the supplier name join broadcasts. Output is integer counts only."""
+    the supplier name join is planner-chosen. Output is integer counts
+    only."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
@@ -485,7 +500,7 @@ def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load(spark, sf_dir, "supplier")
     return (
-        sole.join(F.broadcast(supplier), sole.l_suppkey == supplier.s_suppkey)
+        sole.join(supplier, sole.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -528,8 +543,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     two floats is not 4-decimal-exact, the sums are (volume = price x
     (1-discount) has <= 4 decimals).
 
-    Shape: customer->nation->region and supplier->nation are broadcast
-    dimension chains; lineitem |><| orders is the one data exchange; the
+    Shape: nation/region pin broadcast hints (bounded); the
+    customer/supplier legs of the dimension chains are planner-chosen;
+    lineitem |><| orders is the one data exchange; the
     conditional share is a filtered aggregate over the same rows (no
     second scan)."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == MKT_REGION)
@@ -546,14 +562,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     mkt_orders = orders.join(
-        F.broadcast(mkt_cust), orders.o_custkey == mkt_cust.c_custkey
+        mkt_cust, orders.o_custkey == mkt_cust.c_custkey
     ).select("o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year"))
     supp_nation = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = lineitem.join(
-        F.broadcast(supp_nation), lineitem.l_suppkey == supp_nation.s_suppkey
+        supp_nation, lineitem.l_suppkey == supp_nation.s_suppkey
     ).join(mkt_orders, lineitem.l_orderkey == mkt_orders.o_orderkey)
     return j.groupBy("o_year").agg(
         F.round(

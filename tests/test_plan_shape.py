@@ -170,6 +170,39 @@ def test_semdedup_pair_pass_is_cluster_keyed(spark, sf_dir):
     )
 
 
+def test_no_forced_broadcast_on_sf_proportional_sides():
+    """100×-robustness guard: `F.broadcast` must only pin genuinely
+    bounded relations. customer/supplier/part (and anything derived from
+    them, filtered or not) are SF-proportional — a forced hint on them
+    OOMs the executors at extreme SF, while the planner broadcasts them
+    anyway at small SF (asserted physically by the companion test below).
+    Source-level check: the only F.broadcast targets allowed in the TPC-H
+    surface are nation (25 rows), region (5 rows), and single-row scalar
+    aggregates."""
+    import inspect
+    import re
+
+    from terraform_aws_lambda_kinesis_to_es_spark.plans import tpch_queries
+
+    src = inspect.getsource(tpch_queries)
+    targets = re.findall(r"F\.broadcast\((\w+)", src)
+    allowed = {"nation", "region", "avg_bal", "total"}
+    assert targets, "expected bounded-dim hints to remain"
+    assert set(targets) <= allowed, f"forced broadcast on unbounded side: {set(targets) - allowed}"
+
+
+def test_planner_broadcasts_sf_proportional_dims_hint_free(spark, sf_dir):
+    """The flip side of the guard above: with the explicit hints gone,
+    the customer/supplier/part joins must STILL come in as broadcast hash
+    joins at test scale — via the static planner's size estimate or AQE's
+    runtime re-plan — proving the hint was redundant where it was safe."""
+    for name in ("q_top_orders", "q_big_spenders", "q_returned_items",
+                 "q_promo_revenue", "q_top_supplier"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: planner no longer broadcasts"
+        assert "CartesianProduct" not in plan, name
+
+
 def test_contamination_broadcasts_eval_grams(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_contamination")
     assert "BroadcastHashJoin" in plan
