@@ -274,6 +274,13 @@ def near_dup_clusters(
     ``minhash_dedup_pairs`` and the exhaustive-Jaccard oracle.
 
     Returns (id_col, cluster_id = min doc id in the near-dup component).
+
+    Cache lifecycle: the persisted digest-group frame feeds three
+    consumers inside the returned lazy plan (eligibility filter, rep
+    re-spread, membership join), so it cannot be unpersisted before the
+    caller materializes the result. It is |distinct texts| keyed rows,
+    Spark evicts cached blocks LRU under pressure, and multi-query
+    sessions (bench.py) clearCache() between queries.
     """
     keyed = df.select(id_col, text_col).withColumn("_ck", F.md5(F.col(text_col)))
     groups = (
@@ -404,6 +411,7 @@ def connected_components_star(
 
     cur = e
     prev_sum = _checksum(cur)
+    converged = False
     for _ in range(max_rounds):
         # localCheckpoint (not persist): star rounds nest two join/union
         # phases per iteration, so the LOGICAL plan grows geometrically —
@@ -414,8 +422,19 @@ def connected_components_star(
         new_sum = _checksum(stepped)
         cur = stepped
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # A non-converged edge set is NOT a star forest: a vertex can
+        # appear as `hi` with several `lo` values and the label join
+        # below would silently emit conflicting (u, label) rows. 50
+        # alternating rounds cover any realistic n under the O(log^2 n)
+        # bound, so tripping this means something is structurally wrong
+        # (or a checksum anomaly) — fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} rounds"
+        )
     # converged edge set is a star forest: every non-root points at its
     # component min; roots are vertices that never appear as `hi`
     labels = vertices.join(
@@ -439,10 +458,13 @@ def connected_components(
     groupBy-min), converging in O(component diameter) iterations. Near-dup
     graphs are overwhelmingly small cliques (diameter 1-2), so 2-3
     iterations close them; ``max_iter`` bounds pathological chains. Each
-    iteration's labels are persisted and the loop stops early via a
-    LIMIT-1 changed-label probe, so the fixpoint check reads at most one
-    row. At cluster scale the per-iteration frame would be checkpointed to
-    truncate lineage. If the iteration bound trips before convergence
+    iteration's labels are localCheckpoint'ed — materialized AND
+    lineage-truncated; persist alone leaves the logical plan nesting one
+    join deeper per round, whose tree grows geometrically and OOMs the
+    driver before iteration 20 (on a real cluster this is
+    reliable-checkpoint-to-storage). The loop stops early via a LIMIT-1
+    changed-label probe, so the fixpoint check reads at most one
+    row. If the iteration bound trips before convergence
     (a component with diameter > max_iter — not a clique-shaped near-dup
     graph), the call HANDS OFF to :func:`connected_components_star`,
     whose round count is O(log^2 n) regardless of diameter, instead of
@@ -465,9 +487,8 @@ def connected_components(
         sym.groupBy("u")
         .agg(F.min("v").alias("nbr"))
         .select("u", F.least(F.col("u"), F.col("nbr")).alias("label"))
-        .persist()
+        .localCheckpoint()
     )
-    cached = labels  # the persisted frame backing `labels` (for unpersist)
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -476,7 +497,7 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         # Carry the previous label through the update so the convergence
-        # probe is a filter over the already-persisted frame — not an
+        # probe is a filter over the already-materialized frame — not an
         # extra old-vs-new join stage per iteration.
         stepped = (
             labels.join(nbr_min, "u", "left")
@@ -487,20 +508,17 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        cached.unpersist()
-        cached = stepped
         labels = stepped.select("u", "label")
         if changed == 0:
             break
     sym.unpersist()
     directed.unpersist()
     if changed != 0:
-        cached.unpersist()
         return connected_components_star(edges, src=src, dst=dst)
     return labels
 

@@ -296,7 +296,13 @@ def assign_bucketed_seeds(
     IVF/LSH recall contract.
 
     ``seeds`` must have columns (cluster, sv). Returns (id, vec, nrm,
-    cluster), one row per input vector."""
+    cluster), one row per input vector.
+
+    Cache lifecycle: the persisted seed frame lives inside the returned
+    (lazy) plan, so it cannot be unpersisted here. It is k rows (bounded
+    by design — the codebook), Spark evicts cached blocks LRU under
+    pressure, and batch callers that run many queries in one session
+    (bench.py) call ``spark.catalog.clearCache()`` between queries."""
     vb = with_bucket(vecs, vec_col).withColumn("nrm", norm(F.col(vec_col)))
     # The seed/codebook side is tiny relative to the corpus but feeds
     # THREE consumers (bucket join, seeded-bucket set, orphan fallback):

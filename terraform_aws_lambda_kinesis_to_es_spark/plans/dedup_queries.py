@@ -100,6 +100,36 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
 
 
+CHAIN_BLOCK = 100
+
+
+def q_dup_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a CHAIN-shaped edge set — the worst case
+    for min-label propagation and the one that exercises the
+    large-star/small-star handoff end-to-end on driver data. Edges are
+    (doc_id, doc_id+1) within blocks of CHAIN_BLOCK consecutive ids, so
+    every component is a path of diameter CHAIN_BLOCK-1 (~99), far past
+    any sane min-label iteration bound — the call must detect
+    non-convergence and hand off to ``connected_components_star``
+    (O(log^2 n) rounds regardless of diameter). max_iter=4 keeps the
+    doomed propagation phase short (a caller that suspects chain-shaped
+    input bounds the cheap probe; the handoff is the point). The oracle
+    is the same recursive-CTE transitive closure as q_dup_clusters, so a
+    green row here driver-proves the star path, not just the
+    clique-shaped one."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    a = docs.select(F.col("doc_id").alias("src")).filter(
+        F.col("src") % CHAIN_BLOCK != CHAIN_BLOCK - 1
+    )
+    b = docs.select(F.col("doc_id").alias("dst"))
+    edges = a.join(b, a.src + 1 == b.dst)
+    comps = D.connected_components(edges, src="src", dst="dst", max_iter=4)
+    return comps.select(
+        F.col("u").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup decision: per near-dup cluster, keep the
     highest-quality member (tie-break: lowest doc_id) instead of the
@@ -131,6 +161,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_dup_clusters": q_dup_clusters,
+    "q_dup_clusters_chain": q_dup_clusters_chain,
     "q_minhash_dedup": q_minhash_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
@@ -270,6 +301,23 @@ def _dedup_keep_best_oracle_sql() -> str:
 
 ORACLES = {
     "q_dup_clusters": _dup_clusters_oracle_sql(),
+    "q_dup_clusters_chain": f"""
+        WITH RECURSIVE base AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % {CHAIN_BLOCK} <> {CHAIN_BLOCK - 1}
+        ),
+        edges AS (
+          SELECT src, dst FROM base UNION SELECT dst, src FROM base
+        ),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+    """,
     "q_dedup_keep_best": _dedup_keep_best_oracle_sql(),
     "q_exact_dedup": """
         SELECT md5(text) AS content_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -57,12 +57,15 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     then ``operators.multimodal.decode_image`` — the actual pure-python
     PPM/BMP decoder, not a fake — parses it inside the same Arrow
     mapInPandas plumbing the other media queries use, emitting decoded
-    dimensions and the pixel-sum. The oracle recomputes the pixel-sum
-    relationally from the characters' ascii codes (ASCII corpus ⇒
-    char code == byte == pixel value), so the decoder's output is
-    hash-verified by the driver, not just pytest-probed."""
+    dimensions and the pixel-sum. The payload is framed BYTE-wise (encode
+    first, then slice/rpad the binary with X'78') so a non-ASCII char in
+    the head cannot desync payload length vs pixel count; the oracle
+    mirrors the same byte framing through hex(encode(text)) and sums the
+    hex-parsed byte values, so the decoder's output is hash-verified by
+    the driver on arbitrary (not just ASCII) text."""
     docs = load_split(spark, sf_dir, "documents")
-    body = F.encode(F.rpad(F.substring("text", 1, IMG_W * IMG_H * 3), IMG_W * IMG_H * 3, "x"), "UTF-8")
+    n = IMG_W * IMG_H * 3
+    body = F.expr(f"rpad(substring(encode(text, 'UTF-8'), 1, {n}), {n}, X'78')")
     header = F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode())
     framed = docs.select("doc_id", F.concat(header, body).alias("payload"))
 
@@ -98,16 +101,22 @@ _STEP = M.FRAME_SIZE * M.FRAME_EVERY_N
 
 ORACLES = {
     "q_media_decode": f"""
+        -- byte-wise mirror of the Spark framing: hex(encode(text)) is 2
+        -- chars per BYTE (not per codepoint), so slicing/rpadding the hex
+        -- string with '78' ('x') reproduces the binary rpad exactly even
+        -- for non-ASCII text; each pixel is the hex-parsed byte value.
         WITH body AS (
           SELECT doc_id,
-                 rpad(substring(text, 1, {IMG_W * IMG_H * 3}), {IMG_W * IMG_H * 3}, 'x') AS b
+                 rpad(substring(hex(encode(text)), 1, {IMG_W * IMG_H * 6}),
+                      {IMG_W * IMG_H * 6}, '78') AS hx
           FROM documents
         )
         SELECT doc_id,
                CAST({IMG_W} AS BIGINT) AS width,
                CAST({IMG_H} AS BIGINT) AS height,
                CAST(list_sum(list_transform(generate_series(1, {IMG_W * IMG_H * 3}),
-                                            i -> ascii(substring(b, i, 1)))) AS BIGINT) AS px_sum
+                                            i -> CAST(('0x' || substring(hx, 2*i-1, 2)) AS INT)))
+                 AS BIGINT) AS px_sum
         FROM body
     """,
     "q_media_resize": f"""

@@ -120,7 +120,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(vecs, queries, k=TOP_K)
 
 
-SEM_CLUSTERS = 8
+SEM_MIN_CLUSTERS = 8
+SEM_ROWS_PER_CLUSTER = 64
 SEM_TAU = 0.35
 
 
@@ -130,15 +131,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is >= SEM_TAU (greedy min-id keep rule, cluster-local like the
     SemDeDup paper's per-cluster pass — Abbas et al. 2023, arXiv:2303.09540).
 
-    Determinism/scale notes: seeds are the first SEM_CLUSTERS vectors (no
-    float averaging, so assignment is bit-reproducible and the SQL oracle
-    can mirror it exactly); assignment is a broadcast cross-join + window
-    argmax; the pairwise pass is confined within clusters — the whole
-    point of clustering first is that candidate pairs scale with
-    sum(cluster_size^2), not corpus^2. At 100 TB the seed set becomes a
-    kmeans-refined codebook (operators.similarity.kmeans_refine) and the
-    intra-cluster pass shards by (cluster, id-range) blocks."""
-    return S.semdedup(_vec(spark, sf_dir), SEM_CLUSTERS, SEM_TAU)
+    The cluster count is DERIVED from the corpus size —
+    greatest(SEM_MIN_CLUSTERS, n // SEM_ROWS_PER_CLUSTER) — so the query
+    itself embodies the scale contract: expected cluster size stays
+    ~SEM_ROWS_PER_CLUSTER at any SF, keeping the intra-cluster pair cost
+    sum(cluster_size^2) ≈ n * SEM_ROWS_PER_CLUSTER (linear in the corpus,
+    never corpus^2). The count() is a single O(1)-result job, the same
+    bounded driver hop as the k-means centroid collect.
+
+    Determinism/scale notes: seeds are the first k vectors (no float
+    averaging, so assignment is bit-reproducible and the SQL oracle
+    mirrors the count-derived k as a scalar subquery); assignment is a
+    broadcast cross-join + window argmax. At 100 TB the broadcast n×k
+    seed scoring itself becomes the bottleneck — the bucketed codebook
+    probe (q_semdedup_bucketed / assign_bucketed_seeds) is that path."""
+    vecs = _vec(spark, sf_dir)
+    n_clusters = max(SEM_MIN_CLUSTERS, vecs.count() // SEM_ROWS_PER_CLUSTER)
+    return S.semdedup(vecs, n_clusters, SEM_TAU)
 
 
 SEM_BUCKETED_SEEDS = 32
@@ -162,6 +171,9 @@ def q_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = vecs.filter(F.col("vec_id") < SEM_BUCKETED_SEEDS).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
     )
+    # persisted: feeds both pair-join sides + the output (see semdedup);
+    # lives inside the returned lazy plan, freed by the session's
+    # clearCache between queries (bench.py) or LRU eviction.
     assigned = S.assign_bucketed_seeds(vecs, seeds).persist()
     return S.dedup_within_clusters(assigned, SEM_TAU)
 
@@ -314,7 +326,11 @@ WHERE ROUND({_cosine_sql("a.v", "b.v")}, 4) >= {NEAR_DUP_THRESHOLD}
 
 _SEMDEDUP_SQL = f"""
 WITH vecs AS ({_VEC_CTE}),
-seeds AS (SELECT vec_id AS cluster, v AS sv FROM vecs WHERE vec_id < {SEM_CLUSTERS}),
+seeds AS (
+  SELECT vec_id AS cluster, v AS sv FROM vecs
+  WHERE vec_id < GREATEST({SEM_MIN_CLUSTERS},
+                          (SELECT COUNT(*) FROM vecs) // {SEM_ROWS_PER_CLUSTER})
+),
 scored AS (
   SELECT vecs.vec_id, vecs.v, seeds.cluster,
          {_cosine_sql("vecs.v", "seeds.sv")} AS sim

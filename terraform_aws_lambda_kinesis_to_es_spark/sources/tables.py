@@ -51,6 +51,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # reducer-wave width matters as iteration count or default
     # parallelism grows.)
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    # The NTZ normalization below (to_timestamp) and every date-bucketing
+    # consumer are wall-clock-correct only under UTC. session.py sets this
+    # for engine-owned sessions; set it here too so a CALLER-provided
+    # vanilla session with a non-UTC JVM default timezone cannot silently
+    # shift timestamp values relative to DuckDB's reading of the same file.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         field = df.schema[col]

@@ -135,7 +135,7 @@ _INTENTIONAL_PRODUCT = {
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
     "q_centroid_sim",    # corpus x broadcast(10 centroids)
-    "q_semdedup",        # corpus x broadcast(8 seed vecs) assignment pass
+    "q_semdedup",        # corpus x broadcast(count-derived seed vecs) assignment pass
     "q_semdedup_bucketed",  # orphan fallback: seedless-bucket vecs x broadcast codebook
     "q_tfidf",           # x broadcast(single-row N)
     "q_source_mix",      # x broadcast(single-row totals)
