@@ -74,6 +74,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup_queries,
         events_analytics,
         multimodal_queries,
+        pipeline_queries,
         reference_queries,
         relational_ext,
         search_queries,
@@ -98,6 +99,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         stats_queries,
         training_queries,
         search_queries,
+        pipeline_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)

@@ -1,0 +1,313 @@
+"""Pipeline-operations query surface: the table-maintenance / ingest-ops
+companions a 100 TB training-data pipeline runs around the analytics
+queries — column profiling, hot-key detection, salted aggregation, CDC
+compaction, deterministic sampling, shard assignment, rate limiting and
+file-compaction planning.
+
+The reference pipeline (lambda/main.py:117-160) trusts its input shape and
+pushes records through unprofiled; at corpus scale every one of these ops
+becomes a standing job. All queries follow the house determinism rules
+(text_queries.py header): integer basis points for ratios, md5-derived
+hashing (functions/hashing.py) for anything pseudo-random, no
+partition-order-dependent float sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60, hash60_sql
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+# q_profile_columns: only types whose string rendering is bit-identical in
+# Spark and DuckDB (bigint, varchar, ISO date). Doubles are excluded on
+# purpose — float-to-string formatting differs across engines.
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate")
+TOP_KEYS = 10
+SALT_BUCKETS = 16
+SAMPLE_PER_GROUP = 20
+N_SHARDS = 32
+RATE_LIMIT_PER_HOUR = 5
+COMPACTION_TARGET_CHARS = 4000
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over ``orders``: null count, distinct count and
+    min/max (as strings) per column, in long form. ONE scan computes every
+    per-column aggregate in a single global agg row (partial aggregation
+    map-side, a single-row exchange), then a stack() unpivots driver-side
+    metadata — at 100 TB this is exactly the ANALYZE-style shape you want:
+    no per-column rescans, no shuffle wider than one row."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detector: the TOP_KEYS most frequent join/aggregation keys
+    (o_custkey) with their exact share in basis points. This is the
+    pre-flight that decides whether operators/skew.py salting is needed.
+    Shape: one keyed partial-agg shuffle, a single-row total broadcast,
+    and a TakeOrdered top-k (never a global sort). Ties broken by key so
+    the emitted row set is deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    total = per_key.agg(F.sum("n_orders").alias("tot"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k
+    # then a TOP_KEYS-row merge) — never a global sort; the rank window
+    # then runs over TOP_KEYS rows only.
+    top = per_key.orderBy(F.desc("n_orders"), F.asc("o_custkey")).limit(TOP_KEYS)
+    ranked = top.join(F.broadcast(total)).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))),
+    )
+    return ranked.select(
+        "rank",
+        "o_custkey",
+        "n_orders",
+        F.expr("(10000 * n_orders) DIV tot").cast("bigint").alias("share_bp"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: groupBy(key, salt) then re-aggregate
+    by key alone. Output-identical to the plain groupBy (the oracle IS the
+    plain groupBy) — the point is the shape: when one key carries a
+    disproportionate share of a 100 TB table, the salt splits its partial
+    aggregation across SALT_BUCKETS reducers and the second stage combines
+    SALT_BUCKETS tiny rows per key. Only count/sum-style decomposable
+    aggregates survive this rewrite; both stages stay map-side-combinable."""
+    events = load(spark, sf_dir, "events")
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("event_id").alias("ps")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("ps").cast("bigint").alias("sum_event_id"),
+    )
+
+
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / upsert compaction: collapse an append-only change stream to
+    the latest record per (user_id, event_type) key — row_number over the
+    event-time order, ties broken by event_id so replays are idempotent.
+    One shuffle on the compaction key; at 100 TB this is the standing
+    dedup-on-read view a log-structured ingest needs before serving."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size-per-group sample: rank documents inside
+    each language by md5(doc_id) and keep SAMPLE_PER_GROUP. Equivalent in
+    distribution to a per-group reservoir but reproducible across engines
+    and runs (the md5 rank is the 'random' coin — functions/hashing.py
+    rules). One shuffle on lang; the window never sees more than one
+    group's rows per partition."""
+    docs = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+        )
+    )
+    return (
+        docs.withColumn("rk", rk)
+        .filter(F.col("rk") <= SAMPLE_PER_GROUP)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment + balance audit: route every doc
+    to one of N_SHARDS writers via the engine-portable 60-bit md5 hash,
+    then report per-shard row/char totals. The rollup is the writer-skew
+    check run before any fan-out to N_SHARDS output files/streams; the
+    hash is the same one the ES sink uses for its deterministic actions.
+    Map-only assignment + one tiny keyed agg."""
+    docs = load(spark, sf_dir, "documents")
+    assigned = docs.withColumn(
+        "shard", (hash60(F.col("doc_id").cast("string")) % N_SHARDS).cast("int")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key throttling: keep the first RATE_LIMIT_PER_HOUR events per
+    (user, hour) in arrival order (ts, then event_id), report per-user
+    total vs kept. The batch twin of a streaming token-bucket: the same
+    row_number-over-key-window expression runs under
+    applyInPandasWithState in streaming/stateful.py. One shuffle on
+    user_id serves both the window and the final per-user rollup."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    flagged = events.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum((F.col("rn") <= RATE_LIMIT_PER_HOUR).cast("bigint"))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: roll sources up to (n_docs,
+    sum_chars), then first-fit them in source order into bins of
+    COMPACTION_TARGET_CHARS via a running cumulative sum. The global
+    window runs over the SOURCE rollup (one row per source — bounded,
+    tiny), never over documents, so the single-partition window is safe at
+    any corpus size; the doc-level work is one keyed partial agg."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    return per_source.withColumn(
+        "cum_before", F.coalesce(F.sum("sum_chars").over(w), F.lit(0))
+    ).select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.expr(f"cum_before DIV {COMPACTION_TARGET_CHARS}")
+        .cast("bigint")
+        .alias("bin"),
+    )
+
+
+QUERIES = {
+    "q_profile_columns": q_profile_columns,
+    "q_key_skew_profile": q_key_skew_profile,
+    "q_salted_agg": q_salted_agg,
+    "q_cdc_latest": q_cdc_latest,
+    "q_reservoir_sample": q_reservoir_sample,
+    "q_shard_assignment": q_shard_assignment,
+    "q_rate_limit": q_rate_limit,
+    "q_compaction_plan": q_compaction_plan,
+}
+
+_PROFILE_SELECTS = " UNION ALL ".join(
+    f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               MIN(CAST({c} AS VARCHAR)) AS min_s,
+               MAX(CAST({c} AS VARCHAR)) AS max_s
+        FROM orders
+    """
+    for c in PROFILE_COLS
+)
+
+ORACLES = {
+    "q_profile_columns": _PROFILE_SELECTS,
+    "q_key_skew_profile": f"""
+        WITH per_key AS (
+          SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+        ), tot AS (SELECT SUM(n_orders) AS t FROM per_key),
+        ranked AS (
+          SELECT o_custkey, n_orders,
+                 ROW_NUMBER() OVER (ORDER BY n_orders DESC, o_custkey) AS rank
+          FROM per_key
+        )
+        SELECT rank, o_custkey, n_orders,
+               CAST((10000 * n_orders) // (SELECT t FROM tot) AS BIGINT)
+                 AS share_bp
+        FROM ranked WHERE rank <= {TOP_KEYS}
+    """,
+    "q_salted_agg": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        FROM events GROUP BY event_type
+    """,
+    "q_cdc_latest": """
+        SELECT user_id, event_type, event_id AS latest_event_id,
+               ts AS latest_ts, value AS latest_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    "q_reservoir_sample": f"""
+        SELECT doc_id, lang, rk FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= {SAMPLE_PER_GROUP}
+    """,
+    "q_shard_assignment": f"""
+        SELECT CAST({hash60_sql("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS INT)
+                 AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents GROUP BY shard
+    """,
+    "q_rate_limit": f"""
+        WITH flagged AS (
+          SELECT user_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rn <= {RATE_LIMIT_PER_HOUR} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM flagged GROUP BY user_id
+    """,
+    "q_compaction_plan": f"""
+        WITH per_source AS (
+          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT)
+                   AS sum_chars
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, sum_chars,
+               CAST(COALESCE(SUM(sum_chars) OVER (
+                 ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING
+               ), 0) // {COMPACTION_TARGET_CHARS} AS BIGINT) AS bin
+        FROM per_source
+    """,
+}
