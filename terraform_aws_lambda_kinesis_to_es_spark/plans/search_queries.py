@@ -158,11 +158,102 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = "the table"
+TOP_PAIRS = 25
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search via padded-string containment: normalize runs
+    of whitespace, pad with sentinels, then locate ' PHRASE '. First hit
+    position plus the non-overlapping occurrence count from the
+    length-delta-of-replace identity — pure string ops, map-only, zero
+    shuffle (position-aware search without building a positional index;
+    the repeated-query answer is the q_tfidf posting-list shape plus
+    token positions)."""
+    docs = load_split(spark, sf_dir, "documents")
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), F.lit(" ")
+    )
+    needle = f" {PHRASE} "
+    first_pos = F.instr(padded, needle)
+    n_occ = F.expr(
+        f"(length(padded) - length(replace(padded, ' {PHRASE} ', '')))"
+        f" DIV {len(needle)}"
+    )
+    return (
+        docs.withColumn("padded", padded)
+        .withColumn("first_pos", first_pos.cast("bigint"))
+        .withColumn("n_occ", n_occ.cast("bigint"))
+        .filter(F.col("n_occ") > 0)
+        .select("doc_id", "first_pos", "n_occ")
+    )
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence mining with PMI: for every unordered token
+    pair appearing in the same document, the document co-count, per-token
+    document frequencies and pointwise mutual information
+    ln(n_ab * N / (n_a * n_b)). Pairs are generated ROW-LOCALLY from the
+    distinct-token array with a HOF double-loop (bounded by per-doc
+    vocabulary, never corpus size), aggregated once on the pair key;
+    top-k uses orderBy+limit (TakeOrdered). The per-row pair expansion is
+    the same candidate-bounded discipline as dedup.py's in-bucket pair
+    expansion (dedup.py:117)."""
+    docs = load_split(spark, sf_dir, "documents")
+    arr = F.array_sort(F.array_distinct(tokens(F.lower(F.col("text")))))
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)), lambda y: F.struct(
+                    x.alias("w1"), y.alias("w2")
+                )
+            ),
+        )
+    )
+    pair_counts = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(tokens(F.lower(F.col("text"))))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        pair_counts.join(F.broadcast(dfreq.withColumnRenamed("w", "w1")), "w1")
+        .withColumnRenamed("n_w", "n_a")
+        .join(F.broadcast(dfreq.withColumnRenamed("w", "w2")), "w2")
+        .withColumnRenamed("n_w", "n_b")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("n_ab"), F.asc("w1"), F.asc("w2"))
+        .limit(TOP_PAIRS)
+        .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi")
+    )
+
+
 QUERIES = {
     "q_keyword_search": q_keyword_search,
     "q_bm25": q_bm25,
     "q_length_histogram": q_length_histogram,
     "q_bigram_topk": q_bigram_topk,
+    "q_phrase_search": q_phrase_search,
+    "q_cooccurrence": q_cooccurrence,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -188,6 +279,41 @@ _BM25_SCORE = " + ".join(
 )
 
 ORACLES = {
+    "q_phrase_search": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' '
+                   AS padded
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(position(' {PHRASE} ' IN padded) AS BIGINT) AS first_pos,
+               CAST((length(padded) - length(replace(padded, ' {PHRASE} ', '')))
+                    // {len(PHRASE) + 2} AS BIGINT) AS n_occ
+        FROM p
+        WHERE (length(padded) - length(replace(padded, ' {PHRASE} ', ''))) > 0
+    """,
+    "q_cooccurrence": f"""
+        WITH w AS (
+          SELECT DISTINCT doc_id, unnest({_TOKS}) AS w FROM documents
+        ), pc AS (
+          SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+          FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY 1, 2
+        ), df AS (
+          SELECT w, COUNT(*) AS n_w FROM w GROUP BY w
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT w1, w2, n_ab, da.n_w AS n_a, db.n_w AS n_b,
+               round(ln((CAST(n_ab AS DOUBLE) *
+                         CAST((SELECT n_docs FROM nd) AS DOUBLE))
+                        / (CAST(da.n_w AS DOUBLE) * CAST(db.n_w AS DOUBLE))),
+                     4) AS pmi
+        FROM pc
+        JOIN df da ON pc.w1 = da.w
+        JOIN df db ON pc.w2 = db.w
+        ORDER BY n_ab DESC, w1, w2
+        LIMIT {TOP_PAIRS}
+    """,
     "q_keyword_search": f"""
         SELECT doc_id, lang, source
         FROM (

@@ -464,6 +464,122 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WORD_LEN_MIN = 3
+GOPHER_WORD_LEN_MAX = 10
+GOPHER_REQUIRED_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_SYMBOL_MAX_BP = 1000  # (# + ellipsis) per word > 10% => flagged
+GOPHER_DUP_TOKEN_MAX_BP = 3000  # duplicate-token fraction > 30% => flagged
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filters (Rae et al. 2021 §A1.1), the second
+    rule family next to q_c4_filters: word-count window, mean-word-length
+    window, symbol-to-word ratio (# and ellipsis), required-stopword
+    presence (>=2 distinct of the canonical 8), and a duplicate-token
+    ceiling standing in for the duplicate-line rules (the corpus is
+    single-line). Same scale shape as C4: row-local integer HOF folds,
+    map-only, zero shuffle — the cheap pre-dedup prune."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    hash_cnt = F.length("text") - F.length(F.regexp_replace(F.col("text"), r"#", ""))
+    ell_cnt = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / F.lit(3)
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(toks), lambda t: t.isin(*GOPHER_REQUIRED_STOPS)
+        )
+    )
+    too_few = n < GOPHER_MIN_WORDS
+    too_many = n > GOPHER_MAX_WORDS
+    word_len_out = ~(
+        (F.lit(GOPHER_WORD_LEN_MIN) * n <= sum_len)
+        & (sum_len <= F.lit(GOPHER_WORD_LEN_MAX) * n)
+    )
+    symbol_high = F.lit(10_000) * (hash_cnt + ell_cnt).cast("bigint") > F.lit(
+        GOPHER_SYMBOL_MAX_BP
+    ) * n
+    stops_missing = stop_hits < GOPHER_MIN_STOP_HITS
+    dup_high = F.lit(10_000) * (n - n_distinct) > F.lit(GOPHER_DUP_TOKEN_MAX_BP) * n
+    return docs.select(
+        "doc_id",
+        too_few.alias("too_few_words"),
+        too_many.alias("too_many_words"),
+        word_len_out.alias("word_len_out"),
+        symbol_high.alias("symbol_high"),
+        stops_missing.alias("stops_missing"),
+        dup_high.alias("dup_token_high"),
+        (
+            ~(too_few | too_many | word_len_out | symbol_high | stops_missing | dup_high)
+        ).alias("keep"),
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the step before any exact-dedup /
+    fingerprint pass): lowercase, non-alphanumerics to spaces, whitespace
+    collapsed, trimmed — emitted as length + engine-portable md5-derived
+    fingerprint so the oracle checks the exact normalized bytes without
+    shipping them. Map-only, zero shuffle."""
+    docs = load_split(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "), r" +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        hash60(norm).alias("norm_h"),
+    )
+
+
+def q_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / CCNet-style difficulty binning on an exact integer
+    rarity score: each token instance contributes T DIV c_w (corpus
+    tokens over the token's corpus count), so rare-token-heavy docs score
+    high. Docs are then placed in quartile buckets against exact
+    percentile thresholds computed in a tiny aggregate and broadcast —
+    bucketing by threshold comparison instead of a global ntile window
+    keeps the corpus-wide pass map-only (a single-partition ntile sort
+    would be the classic 100 TB scale-killer here)."""
+    docs = load_split(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("cw"))
+    tot = vocab.agg(F.sum("cw").alias("t"))
+    rarity = (
+        words.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("t DIV cw")).cast("bigint").alias("rarity"))
+    )
+    qs = rarity.agg(
+        F.percentile("rarity", F.lit(0.25)).alias("q1"),
+        F.percentile("rarity", F.lit(0.5)).alias("q2"),
+        F.percentile("rarity", F.lit(0.75)).alias("q3"),
+    )
+    return rarity.join(F.broadcast(qs)).select(
+        "doc_id",
+        "rarity",
+        (
+            F.lit(1)
+            + (F.col("rarity") > F.col("q1")).cast("int")
+            + (F.col("rarity") > F.col("q2")).cast("int")
+            + (F.col("rarity") > F.col("q3")).cast("int")
+        ).alias("bucket"),
+    )
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
     "q_repetition": q_repetition,
@@ -479,6 +595,9 @@ QUERIES = {
     "q_boilerplate_strip": q_boilerplate_strip,
     "q_c4_filters": q_c4_filters,
     "q_unigram_ppl": q_unigram_ppl,
+    "q_gopher_filters": q_gopher_filters,
+    "q_text_normalize": q_text_normalize,
+    "q_difficulty_buckets": q_difficulty_buckets,
 }
 
 
@@ -527,6 +646,70 @@ _PII_ENRICH = (
 )
 
 ORACLES = {
+    "q_gopher_filters": f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n,
+                 len(list_distinct(toks)) AS n_distinct,
+                 list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                             (a, b) -> a + b) AS sum_len,
+                 length(text) - length(replace(text, '#', '')) AS hash_cnt,
+                 (length(text) - length(replace(text, '...', ''))) // 3 AS ell_cnt,
+                 len(list_filter(list_distinct(toks),
+                     t -> t IN ({_in_list(GOPHER_REQUIRED_STOPS)}))) AS stop_hits
+          FROM t
+        ), fl AS (
+          SELECT doc_id,
+                 n < {GOPHER_MIN_WORDS} AS too_few_words,
+                 n > {GOPHER_MAX_WORDS} AS too_many_words,
+                 NOT ({GOPHER_WORD_LEN_MIN} * n <= sum_len
+                      AND sum_len <= {GOPHER_WORD_LEN_MAX} * n) AS word_len_out,
+                 10000 * (hash_cnt + ell_cnt) > {GOPHER_SYMBOL_MAX_BP} * n
+                   AS symbol_high,
+                 stop_hits < {GOPHER_MIN_STOP_HITS} AS stops_missing,
+                 10000 * (n - n_distinct) > {GOPHER_DUP_TOKEN_MAX_BP} * n
+                   AS dup_token_high
+          FROM m
+        )
+        SELECT doc_id, too_few_words, too_many_words, word_len_out, symbol_high,
+               stops_missing, dup_token_high,
+               NOT (too_few_words OR too_many_words OR word_len_out
+                    OR symbol_high OR stops_missing OR dup_token_high) AS keep
+        FROM fl
+    """,
+    "q_text_normalize": f"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents
+        )
+        SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               {hash60_sql("norm")} AS norm_h
+        FROM n
+    """,
+    "q_difficulty_buckets": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+        vocab AS (SELECT w, COUNT(*) AS cw FROM words GROUP BY w),
+        tot AS (SELECT SUM(cw) AS t FROM vocab),
+        rarity AS (
+          SELECT doc_id,
+                 CAST(SUM((SELECT t FROM tot) // cw) AS BIGINT) AS rarity
+          FROM words JOIN vocab USING (w) GROUP BY doc_id
+        ),
+        qs AS (
+          SELECT quantile_cont(rarity, 0.25) AS q1,
+                 quantile_cont(rarity, 0.5) AS q2,
+                 quantile_cont(rarity, 0.75) AS q3
+          FROM rarity
+        )
+        SELECT doc_id, rarity,
+               1 + CAST(rarity > (SELECT q1 FROM qs) AS INT)
+                 + CAST(rarity > (SELECT q2 FROM qs) AS INT)
+                 + CAST(rarity > (SELECT q3 FROM qs) AS INT) AS bucket
+        FROM rarity
+    """,
     "q_c4_filters": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents
