@@ -224,6 +224,44 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization audit: per-vector L2 norm plus the first unit
+    component, emitted as FLOORed basis points (floor, not round — floor
+    of a double is exact in both engines, round-half-up at a float
+    midpoint is not). Map-only HOF fold per row, zero shuffle — the
+    hygiene pass run before any cosine machinery downstream assumes unit
+    vectors."""
+    vecs = _vec(spark, sf_dir)
+    nrm = S.norm(F.col("v"))
+    return vecs.select(
+        "vec_id",
+        F.floor(F.lit(10000.0) * nrm).cast("bigint").alias("norm_bp"),
+        F.when(nrm > 0, F.floor(F.lit(10000.0) * (F.col("v")[0] / nrm)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("unit0_bp"),
+    )
+
+
+def q_embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: min/max (order-independent — safe
+    float aggregates, unlike sums) and sign counts for each of the 64
+    dimensions. posexplode + one keyed agg whose key cardinality is the
+    dimensionality, not the corpus — the dead-dimension / scale-drift
+    check run before quantization or hyperplane bucketing."""
+    vecs = _vec(spark, sf_dir)
+    return (
+        vecs.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min("x").alias("min_v"),
+            F.max("x").alias("max_v"),
+            F.sum((F.col("x") > 0).cast("bigint")).cast("bigint").alias("n_pos"),
+            F.sum((F.col("x") < 0).cast("bigint")).cast("bigint").alias("n_neg"),
+        )
+    )
+
+
 QUERIES = {
     "q_knn_cosine": q_knn_cosine,
     "q_knn_classify": q_knn_classify,
@@ -235,6 +273,8 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_centroid_sim": q_centroid_sim,
     "q_quantize": q_quantize,
+    "q_embed_normalize": q_embed_normalize,
+    "q_embed_dims": q_embed_dims,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -433,6 +473,28 @@ FROM (
 """
 
 ORACLES = {
+    "q_embed_normalize": f"""
+        WITH vec AS ({_VEC_CTE})
+        SELECT vec_id,
+               CAST(floor(10000.0 * sqrt({_dot_sql("v", "v")})) AS BIGINT)
+                 AS norm_bp,
+               CAST(CASE WHEN sqrt({_dot_sql("v", "v")}) > 0
+                    THEN floor(10000.0 * (v[1] / sqrt({_dot_sql("v", "v")})))
+                    ELSE 0 END AS BIGINT) AS unit0_bp
+        FROM vec
+    """,
+    "q_embed_dims": f"""
+        WITH vec AS ({_VEC_CTE}),
+        idx AS (SELECT unnest(range(1, {S.EMBED_DIM} + 1)) AS i)
+        SELECT CAST(i - 1 AS INT) AS dim,
+               MIN(v[i]) AS min_v, MAX(v[i]) AS max_v,
+               CAST(SUM(CASE WHEN v[i] > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos,
+               CAST(SUM(CASE WHEN v[i] < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_neg
+        FROM vec CROSS JOIN idx
+        GROUP BY i
+    """,
     "q_quantize": _QUANTIZE_SQL,
     "q_knn_classify": _KNN_CLASSIFY_SQL,
     "q_knn_cosine": _KNN_SQL,

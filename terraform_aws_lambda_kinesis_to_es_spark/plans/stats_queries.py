@@ -192,6 +192,71 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3.0
+VALUE_BUCKETS = 10
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier accounting per event_type: median via
+    the exact percentile aggregate, MAD as the median absolute deviation,
+    outliers = |value - med| > MAD_K * mad. Three keyed passes over the
+    events scan, each a 5-group aggregate with the tiny result broadcast
+    back — no global sort, no window; the robust twin of q_anomaly_days'
+    z-score. med/mad are continuous quantile values (never decimal
+    midpoints), so round(4) is formatting only."""
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("adev") > F.lit(MAD_K) * F.col("mad")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per type: bucket bounds from a
+    tiny per-type min/max aggregate broadcast back over the scan,
+    bucket = clamp(floor(B * (v - min) / (max - min)), 0, B-1). Two scans
+    + one keyed agg whose cardinality is types x buckets — the
+    standard distributed-histogram shape (floor of a double is exact, so
+    the bucket ids are engine-portable)."""
+    events = load(spark, sf_dir, "events")
+    rng = events.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucketed = events.join(F.broadcast(rng), "event_type").withColumn(
+        "bucket",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(VALUE_BUCKETS - 1),
+                F.floor(
+                    F.lit(float(VALUE_BUCKETS))
+                    * (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+        ).cast("bigint"),
+    )
+    return bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
 QUERIES = {
     "q_order_gaps": q_order_gaps,
     "q_rank_functions": q_rank_functions,
@@ -201,9 +266,46 @@ QUERIES = {
     "q_running_total": q_running_total,
     "q_percentiles": q_percentiles,
     "q_corr_stats": q_corr_stats,
+    "q_mad_outliers": q_mad_outliers,
+    "q_value_buckets": q_value_buckets,
 }
 
 ORACLES = {
+    "q_mad_outliers": f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ), dev AS (
+          SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+          FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               round(any_value(d.med), 4) AS med,
+               round(any_value(ma.mad), 4) AS mad,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN d.adev > {MAD_K!r} * ma.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad ma USING (event_type)
+        GROUP BY d.event_type
+    """,
+    "q_value_buckets": f"""
+        WITH rng AS (
+          SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(CASE WHEN r.hi = r.lo THEN 0
+                    ELSE least({VALUE_BUCKETS - 1},
+                               floor({float(VALUE_BUCKETS)!r} * (e.value - r.lo)
+                                     / (r.hi - r.lo)))
+                    END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events e JOIN rng r USING (event_type)
+        GROUP BY 1, 2
+    """,
     "q_rank_functions": """
         SELECT s_nationkey, s_suppkey,
                CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,

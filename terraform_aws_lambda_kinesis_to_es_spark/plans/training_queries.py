@@ -402,6 +402,45 @@ def q_clean_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPEAT_MAX_EPOCHS = 4
+
+
+def q_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat upsampling: when a training mix calls for more tokens
+    from a small source than it has, the source is repeated whole-epochs —
+    factor = clamp(max_source_docs DIV n_docs, 1..REPEAT_MAX_EPOCHS)
+    (integer, deterministic), then each doc explodes into (doc_id, epoch)
+    rows. The factor table is a per-source rollup (tiny, broadcast); the
+    corpus pass is one map-side sequence-explode — row count multiplies,
+    but no shuffle is introduced, which is exactly how a 100 TB mix
+    materialization should behave."""
+    docs = load_split(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    max_n = per_source.agg(F.max("n_docs").alias("max_n"))
+    factors = (
+        per_source.join(F.broadcast(max_n))
+        .select(
+            "source",
+            F.least(
+                F.lit(REPEAT_MAX_EPOCHS),
+                F.greatest(F.lit(1), F.expr("max_n DIV n_docs")),
+            )
+            .cast("bigint")
+            .alias("factor"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(factors), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("factor"))).alias(
+                "epoch"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_bigram_lm": q_bigram_lm,
     "q_clean_stream": q_clean_stream,
@@ -416,6 +455,7 @@ QUERIES = {
     "q_clean_corpus": q_clean_corpus,
     "q_stratified_sample": q_stratified_sample,
     "q_temperature_mix": q_temperature_mix,
+    "q_repeat_upsample": q_repeat_upsample,
 }
 
 _H = hash60_sql("CAST(doc_id AS VARCHAR)")
@@ -578,6 +618,21 @@ def _clean_stream_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_repeat_upsample": f"""
+        WITH per_source AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), mx AS (SELECT MAX(n_docs) AS max_n FROM per_source),
+        factors AS (
+          SELECT source,
+                 CAST(least({REPEAT_MAX_EPOCHS},
+                            greatest(1, (SELECT max_n FROM mx) // n_docs))
+                      AS BIGINT) AS factor
+          FROM per_source
+        )
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, factor)) AS BIGINT) AS epoch
+        FROM documents JOIN factors USING (source)
+    """,
     "q_importance_sample": _importance_sample_sql(),
     "q_clean_stream": _clean_stream_oracle_sql(),
     "q_bpe_pairs": f"""
