@@ -144,6 +144,10 @@ _INTENTIONAL_PRODUCT = {
     "q_bm25",            # x broadcast(single-row corpus stats)
     "q_wealthy_inactive",  # x broadcast(single-row avg-balance threshold)
     "q_valuable_parts",    # x broadcast(single-row global revenue total)
+    "q_key_skew_profile",  # top-k rows x broadcast(single-row total)
+    "q_difficulty_buckets",  # x broadcast(single-row total + quartile row)
+    "q_cooccurrence",      # pair counts x broadcast(single-row doc count)
+    "q_repeat_upsample",   # per-source rollup x broadcast(single-row max)
 }
 
 
@@ -207,6 +211,65 @@ def test_contamination_broadcasts_eval_grams(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_contamination")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_one_scan_one_exchange(spark, sf_dir):
+    # every per-column stat comes from ONE FileScan: the multi-distinct
+    # agg is planned as a single Expand (gid) + two aggregations — a
+    # per-column rescan (4 scans) would show here. Exactly the expand
+    # shuffle + the single-row final exchange; unprofiled columns pruned.
+    plan = plan_of(spark, sf_dir, "q_profile_columns")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 2
+    assert "o_totalprice" not in plan
+
+
+def test_key_skew_profile_take_ordered(spark, sf_dir):
+    # hot-key top-k must be TakeOrdered (per-partition heads + k-row
+    # merge), never a global sort of the key histogram
+    plan = plan_of(spark, sf_dir, "q_key_skew_profile")
+    assert "TakeOrdered" in plan
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    # the whole point of the rewrite: a (key, salt) partial shuffle then a
+    # key-only re-aggregation — exactly two exchanges, no window
+    plan = plan_of(spark, sf_dir, "q_salted_agg")
+    assert plan.count("Exchange") == 2
+    assert "Window" not in plan
+
+
+def test_cdc_latest_single_exchange(spark, sf_dir):
+    # one shuffle on the compaction key serves the row_number window
+    plan = plan_of(spark, sf_dir, "q_cdc_latest")
+    assert plan.count("Exchange") == 1
+
+
+def test_difficulty_buckets_no_corpus_window(spark, sf_dir):
+    # bucketing is threshold-comparison against a broadcast quartile row —
+    # a global ntile window (single-partition sort of the corpus) must
+    # never reappear here
+    plan = plan_of(spark, sf_dir, "q_difficulty_buckets")
+    assert "Window" not in plan
+
+
+def test_cooccurrence_pairs_expand_row_local(spark, sf_dir):
+    # pair generation must be a row-local Generate (HOF expansion +
+    # explode), aggregated once; top-k via TakeOrdered. A corpus-keyed
+    # self-join here would be the quadratic scale-killer.
+    plan = plan_of(spark, sf_dir, "q_cooccurrence")
+    assert "Generate" in plan
+    assert "TakeOrdered" in plan
+
+
+def test_gopher_and_phrase_stay_map_side(spark, sf_dir):
+    # rule filters and phrase search are scan + project only (the one
+    # permitted exchange is load_split's round-robin re-parallelization)
+    for name in ("q_gopher_filters", "q_phrase_search", "q_text_normalize"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Exchange") <= 1, name
+        assert "Join" not in plan and "Window" not in plan, name
 
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
