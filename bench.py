@@ -57,6 +57,11 @@ HEADLINE = (
     "q_semdedup_bucketed",
     "q_clean_corpus",
     "q_clean_stream",
+    # pipeline ops (round 3)
+    "q_gopher_filters",
+    "q_cdc_latest",
+    "q_cooccurrence",
+    "q_profile_columns",
 )
 
 
