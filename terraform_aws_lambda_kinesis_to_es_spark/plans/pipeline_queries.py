@@ -170,10 +170,11 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key throttling: keep the first RATE_LIMIT_PER_HOUR events per
     (user, hour) in arrival order (ts, then event_id), report per-user
-    total vs kept. The batch twin of a streaming token-bucket: the same
-    row_number-over-key-window expression runs under
-    applyInPandasWithState in streaming/stateful.py. One shuffle on
-    user_id serves both the window and the final per-user rollup."""
+    total vs kept. The batch twin of streaming/stateful.py's
+    quota_per_key stateful processor (same keep-first-N-per-key
+    semantics; the hourly window is the batch refinement of its
+    unbounded quota). One shuffle on user_id serves both the window and
+    the final per-user rollup."""
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts"))).orderBy(
         "ts", "event_id"
