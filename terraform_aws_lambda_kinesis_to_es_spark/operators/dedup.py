@@ -77,7 +77,11 @@ def with_hashed_shingles(df: DataFrame, text_col: str = "text", n: int = 5) -> D
 
 
 def with_minhash_signature(
-    df: DataFrame, shingle_col: str = "shingles", *, prehashed: bool = False
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    *,
+    prehashed: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """64-permutation MinHash signature, computed row-locally with a SINGLE
     fold: each shingle is md5-hashed exactly once, and all 64 permutation
@@ -95,8 +99,15 @@ def with_minhash_signature(
     # the fast hash. (fingerprint/simhash keep hash60: their oracles check
     # the hash values themselves.) pmod: xxhash64 is signed. With
     # ``prehashed`` the column already holds xxhash64 values.
+    # ``portable`` switches to the md5-based hash60 so a DuckDB oracle can
+    # recompute the SIGNATURE itself (q_minhash_est checks estimate
+    # quality, so the signature values are part of the contract there).
     if prehashed:
         hashed = F.transform(F.col(shingle_col), lambda h: F.pmod(h, F.lit(MOD31)))
+    elif portable:
+        from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60
+
+        hashed = F.transform(F.col(shingle_col), lambda s: hash60(s) % F.lit(MOD31))
     else:
         hashed = F.transform(
             F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MOD31))

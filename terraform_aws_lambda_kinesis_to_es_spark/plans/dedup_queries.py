@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60_sql
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+    MOD31,
+    N_PERM,
+    hash60_sql,
+    perm_hash_sql,
+)
 from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
 from terraform_aws_lambda_kinesis_to_es_spark.operators.text import STOPWORDS
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
@@ -158,8 +163,76 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation: for every banded candidate pair, the
+    MinHash ESTIMATE of Jaccard (signature agreement fraction, bp) next
+    to the exact value — the standing audit that tells you whether the
+    band/row configuration still holds on a drifting corpus. Uses the
+    PORTABLE (md5-based) signature so the DuckDB oracle recomputes the
+    64-permutation signatures themselves — the estimate, not just the
+    ground truth, is oracle-checked. Same plan shape as q_minhash_dedup:
+    row-local signature fold, one banded shuffle, candidate-bounded pair
+    work."""
+    docs = load_split(spark, sf_dir, "documents")
+    sh = D.with_shingles(docs).select("doc_id", "shingles")
+    sig = D.with_minhash_signature(
+        sh.filter(F.size("shingles") > 0), portable=True
+    ).persist()
+    cands = D.lsh_candidate_pairs(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("mh").alias("mh_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("mh").alias("mh_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.expr(
+                "CAST((10000 * size(filter(zip_with(mh_a, mh_b,"
+                " (x, y) -> x = y), b -> b))) DIV size(mh_a) AS BIGINT)"
+            ).alias("est_bp"),
+            F.expr(
+                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance view of near-duplication: the per-source-pair count of
+    near-dup pairs (unordered source pair, least/greatest normalized) —
+    the report that drives source-level dedup policy ('which feeds copy
+    each other?'). Adds two id-keyed joins and a tiny rollup on top of
+    the minhash pipeline."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
+    "q_minhash_est": q_minhash_est,
+    "q_dup_source_matrix": q_dup_source_matrix,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_chain": q_dup_clusters_chain,
     "q_minhash_dedup": q_minhash_dedup,
@@ -299,7 +372,65 @@ def _dedup_keep_best_oracle_sql() -> str:
     )
 
 
+def _minhash_est_oracle_sql() -> str:
+    """Recomputes the PORTABLE 64-perm signatures (md5 hash60 → mod 2^31 →
+    64 universal-hash mins), mirrors the 32x2 banding via a band-key
+    equi-join (the same shape as lsh_candidate_pairs, not an O(n^2)
+    filter), then emits estimate + exact Jaccard per candidate pair."""
+    mins = ",\n                 ".join(
+        f"MIN({perm_hash_sql('h', i)}) AS m{i}" for i in range(N_PERM)
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(N_PERM))
+    bands = D.LSH_BANDS
+    rows = D.LSH_ROWS
+    agree = f"len(list_filter(range({N_PERM}), i -> sa.sig[i + 1] = sb.sig[i + 1]))"
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS s FROM documents
+        ), hs AS (
+          SELECT doc_id, ({hash60_sql("g")}) % {MOD31} AS h
+          FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+        ), sigs AS (
+          SELECT doc_id,
+                 {mins}
+          FROM hs GROUP BY doc_id
+        ), sigl AS (
+          SELECT doc_id, [{sig_list}] AS sig FROM sigs
+        ), bands AS (
+          SELECT doc_id, j,
+                 sig[{rows} * j + 1] AS r0, sig[{rows} * j + 2] AS r1
+          FROM sigl, range({bands}) t(j)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.r0 = b.r0 AND a.r1 = b.r1
+           AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST((10000 * {agree}) // {N_PERM} AS BIGINT) AS est_bp,
+               CAST((10000 * len(list_intersect(ha.s, hb.s)))
+                    // len(list_distinct(ha.s || hb.s)) AS BIGINT) AS jaccard_bp
+        FROM cand c
+        JOIN sigl sa ON sa.doc_id = c.doc_a
+        JOIN sigl sb ON sb.doc_id = c.doc_b
+        JOIN sh ha ON ha.doc_id = c.doc_a
+        JOIN sh hb ON hb.doc_id = c.doc_b
+    """
+
+
 ORACLES = {
+    "q_minhash_est": _minhash_est_oracle_sql(),
+    "q_dup_source_matrix": _PAIR_JACCARD
+    + f"""
+        SELECT least(da.source, db.source) AS source_lo,
+               greatest(da.source, db.source) AS source_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        WHERE p.jaccard_bp >= {JACCARD_THRESHOLD_BP}
+        GROUP BY 1, 2
+    """,
     "q_dup_clusters": _dup_clusters_oracle_sql(),
     "q_dup_clusters_chain": f"""
         WITH RECURSIVE base AS (

@@ -213,6 +213,146 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dead_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification / liveness monitoring: (event_type, hour)
+    cells with ZERO events across the stream's observed span. The hour
+    spine is generated from a single min/max aggregate (sequence explode
+    of a tiny single-row frame x the distinct type set), then an anti-join
+    against observed hours — the missing-data report an ingest pipeline
+    alerts on. The spine is bounded by the time span, never the event
+    count, so the anti-join's build side stays small at any volume."""
+    events = load(spark, sf_dir, "events")
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    spine = (
+        types.join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    observed = events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).distinct()
+    return spine.join(observed, ["event_type", "hour"], "left_anti")
+
+
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over the semi-structured props column: per JSON
+    key, presence count, how many values parse as integers, distinct
+    value count, and the integer min/max. explode(map_keys) + one keyed
+    agg whose cardinality is the KEY vocabulary — the schema-on-read
+    profiling pass run before hardening a props contract (the reference
+    trusts its JSON shape blindly, main.py:91)."""
+    events = load(spark, sf_dir, "events")
+    kv = events.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("k", "v")
+    )
+    vi = F.col("v").cast("bigint")
+    return kv.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(vi.isNotNull().cast("bigint")).cast("bigint").alias("n_int"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct_vals"),
+        F.min(vi).alias("min_int"),
+        F.max(vi).alias("max_int"),
+    )
+
+
+def q_cohort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over orders: customers grouped by first-order
+    month, distinct active customers per (cohort_month, months_since).
+    Month arithmetic on exact integer year*12+month — no float date math.
+    One shuffle keyed by customer (first-order window == min aggregate),
+    then a cells-sized rollup."""
+    orders = load(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        om.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            F.format_string(
+                "%04d-%02d", F.expr("m0 DIV 12"), F.expr("m0 % 12 + 1")
+            ).alias("cohort_month"),
+            (F.col("m") - F.col("m0")).cast("bigint").alias("months_since"),
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
+    )
+
+
+def q_doc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source manifest: row count, char total and a deterministic
+    5-id sample (sorted-prefix, emitted as a CSV string so the value is
+    engine-portable). collect_list stays bounded per group only because
+    the sample slice is taken AFTER an array_sort of the group's ids —
+    at true scale the same manifest uses the q_reservoir_sample md5-rank
+    pattern instead; this variant is the small-group (metadata) shape."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5)
+        ).alias("id_sample"),
+    )
+
+
+def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: per user, how many events arrived (by
+    event_id sequence — the arrival proxy) with an event time EARLIER
+    than the previous arrival's. This measures exactly the late-data
+    rate that sizes streaming watermarks (SURVEY.md T5: the reference
+    accepts late data forever; this query tells you how much there is).
+    One user-keyed shuffle serves the lag window and the rollup."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = events.withColumn("prev_ts", F.lag("ts").over(w))
+    # coalesce(0): a single-event user has only a NULL comparison — emit
+    # 0, not NULL (same null-free-output rule as q_order_gaps)
+    return lagged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.coalesce(
+            F.sum((F.col("ts") < F.col("prev_ts")).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_out_of_order"),
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution: per user, the first and last event
+    type by event time. The ordering key is a fixed-width string
+    (zero-padded micros, then event_id) so ties are broken
+    deterministically and min_by/max_by stay engine-portable (DuckDB
+    arg_min has no composite-key overload). Pure min_by/max_by
+    aggregation — partial-aggregable, one shuffle, NO window sort: the
+    aggregate form beats row_number-then-filter at scale because it
+    never materializes per-row ranks."""
+    events = load(spark, sf_dir, "events")
+    ord_key = F.concat_ws(
+        "_",
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    ).alias("ord_key")
+    e = events.select("user_id", "event_type", ord_key)
+    return e.groupBy("user_id").agg(
+        F.expr("min_by(event_type, ord_key)").alias("first_type"),
+        F.expr("max_by(event_type, ord_key)").alias("last_type"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_key_skew_profile": q_key_skew_profile,
@@ -222,6 +362,12 @@ QUERIES = {
     "q_shard_assignment": q_shard_assignment,
     "q_rate_limit": q_rate_limit,
     "q_compaction_plan": q_compaction_plan,
+    "q_dead_hours": q_dead_hours,
+    "q_json_schema_infer": q_json_schema_infer,
+    "q_cohort_orders": q_cohort_orders,
+    "q_doc_manifest": q_doc_manifest,
+    "q_out_of_order": q_out_of_order,
+    "q_attribution": q_attribution,
 }
 
 _PROFILE_SELECTS = " UNION ALL ".join(
@@ -297,6 +443,92 @@ ORACLES = {
                CAST(SUM(CASE WHEN rn <= {RATE_LIMIT_PER_HOUR} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept
         FROM flagged GROUP BY user_id
+    """,
+    "q_dead_hours": """
+        WITH span AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events
+        ),
+        spine AS (
+          SELECT t.event_type, h.hour
+          FROM (SELECT DISTINCT event_type FROM events) t
+          CROSS JOIN (
+            SELECT unnest(generate_series(
+              (SELECT lo FROM span), (SELECT hi FROM span),
+              INTERVAL 1 HOUR)) AS hour
+          ) h
+        ),
+        observed AS (
+          SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+          FROM events
+        )
+        SELECT s.event_type, s.hour
+        FROM spine s
+        LEFT JOIN observed o
+          ON o.event_type = s.event_type AND o.hour = s.hour
+        WHERE o.event_type IS NULL
+    """,
+    "q_json_schema_infer": """
+        WITH kv AS (
+          SELECT k, json_extract_string(props, '$.' || k) AS v
+          FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        )
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN TRY_CAST(v AS BIGINT) IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_vals,
+               MIN(TRY_CAST(v AS BIGINT)) AS min_int,
+               MAX(TRY_CAST(v AS BIGINT)) AS max_int
+        FROM kv GROUP BY k
+    """,
+    "q_cohort_orders": """
+        WITH om AS (
+          SELECT o_custkey,
+                 year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+          FROM orders
+        ), first AS (
+          SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY o_custkey
+        )
+        SELECT printf('%04d-%02d', CAST(m0 // 12 AS INT),
+                      CAST(m0 % 12 + 1 AS INT)) AS cohort_month,
+               CAST(m - m0 AS BIGINT) AS months_since,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active
+        FROM om JOIN first USING (o_custkey)
+        GROUP BY 1, 2
+    """,
+    "q_doc_manifest": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               array_to_string(list_sort(list(doc_id))[1:5], ',') AS id_sample
+        FROM documents GROUP BY source
+    """,
+    "q_out_of_order": """
+        WITH lagged AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_ts
+          FROM events
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_out_of_order
+        FROM lagged GROUP BY user_id
+    """,
+    "q_attribution": """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '_' ||
+                 lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+          FROM events
+        )
+        SELECT user_id,
+               arg_min(event_type, ord_key) AS first_type,
+               arg_max(event_type, ord_key) AS last_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY user_id
     """,
     "q_compaction_plan": f"""
         WITH per_source AS (

@@ -148,6 +148,7 @@ _INTENTIONAL_PRODUCT = {
     "q_difficulty_buckets",  # x broadcast(single-row total + quartile row)
     "q_cooccurrence",      # pair counts x broadcast(single-row doc count)
     "q_repeat_upsample",   # per-source rollup x broadcast(single-row max)
+    "q_dead_hours",        # type set x broadcast(single-row hour span)
 }
 
 
