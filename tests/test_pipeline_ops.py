@@ -1,0 +1,97 @@
+"""Invariant tests for the round-3 pipeline-ops surface: properties the
+DuckDB oracle equality cannot express — partition invariance, estimator
+accuracy, structural monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrypoint
+
+QUERIES = entrypoint.queries()
+
+
+def test_reservoir_sample_partition_invariant(spark):
+    """The md5-rank sample must pick the SAME rows no matter how the
+    input is partitioned — the reproducibility claim that separates it
+    from rand()/sampleBy."""
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    picks = []
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(
+            nparts
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+            )
+        )
+        got = (
+            df.withColumn("rk", rk)
+            .filter(F.col("rk") <= 20)
+            .select("doc_id", "lang", "rk")
+            .collect()
+        )
+        picks.append(sorted(map(tuple, got)))
+    assert picks[0] == picks[1] == picks[2]
+    per_group = {}
+    for _, lang, _ in picks[0]:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    assert all(v == 20 for v in per_group.values())
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """64-permutation estimate vs exact Jaccard on every LSH candidate
+    pair: |est - exact| must stay within 9 sigma of the binomial error
+    (sd <= 0.0625 at p=0.5, so 0.35 absolute — a failure means the
+    signature fold or the permutation family is broken, not bad luck)."""
+    rows = QUERIES["q_minhash_est"](spark, sf_dir).collect()
+    assert rows, "expected candidate pairs at this SF"
+    for r in rows:
+        assert abs(r.est_bp - r.jaccard_bp) <= 3500, r
+
+
+def test_compaction_bins_monotone_and_bounded(spark, sf_dir):
+    """Bins must be non-decreasing in source order and each bin's
+    CONTENT must start below the target (first-fit by running size)."""
+    rows = sorted(
+        QUERIES["q_compaction_plan"](spark, sf_dir).collect(),
+        key=lambda r: r.source,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.pipeline_queries import (
+        COMPACTION_TARGET_CHARS,
+    )
+
+    cum = 0
+    prev_bin = -1
+    for r in rows:
+        assert r.bin >= prev_bin
+        assert r.bin == cum // COMPACTION_TARGET_CHARS
+        cum += r.sum_chars
+        prev_bin = r.bin
+
+
+def test_attribution_matches_window_form(spark, sf_dir):
+    """The aggregate (min_by/max_by) form must equal the
+    row_number-window formulation it replaces."""
+    agg = {
+        (r.user_id): (r.first_type, r.last_type, r.n_events)
+        for r in QUERIES["q_attribution"](spark, sf_dir).collect()
+    }
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.withColumn("rn", F.row_number().over(w)).withColumn(
+        "rmax", F.max("rn").over(Window.partitionBy("user_id"))
+    )
+    first = {
+        r.user_id: r.event_type for r in ranked.filter("rn = 1").collect()
+    }
+    last = {
+        r.user_id: r.event_type for r in ranked.filter("rn = rmax").collect()
+    }
+    assert set(agg) == set(first)
+    for u, (ft, lt, _) in agg.items():
+        assert first[u] == ft and last[u] == lt, u
