@@ -90,16 +90,114 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.mapInPandas(gen, "doc_id long, width long, height long, px_sum long")
 
 
+AUDIO_BYTES = 64  # 32 mono int16 samples per synthesized clip
+AUDIO_RATE = 8000
+
+
+def _wav_header(data_bytes: int, rate: int = AUDIO_RATE) -> bytes:
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_bytes)
+        + b"WAVEfmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_bytes)
+    )
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the declared surface: each document's
+    text bytes are framed as a valid RIFF/WAVE mono 16-bit PCM clip
+    (constant header + byte-wise rpad-to-64 body, X'20' pad), then
+    ``operators.multimodal.decode_audio`` — the actual chunk-walking WAV
+    parser — decodes it inside the Arrow mapInPandas plumbing, emitting
+    frame count, sample rate, and integer signal stats (sum |s|, peak).
+    The oracle re-derives every little-endian int16 sample arithmetically
+    from hex(encode(text)), so the decoder's sample values are
+    hash-verified by the driver on arbitrary text."""
+    docs = load_split(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(substring(encode(text, 'UTF-8'), 1, {AUDIO_BYTES}),"
+        f" {AUDIO_BYTES}, X'20')"
+    )
+    framed = docs.select(
+        "doc_id", F.concat(F.lit(_wav_header(AUDIO_BYTES)), body).alias("payload")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, sr, sa, pk = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = M.decode_audio(bytes(payload))
+                s = np.abs(samples.astype(np.int64))
+                ids.append(doc_id)
+                nf.append(samples.shape[0])
+                sr.append(rate)
+                sa.append(int(s.sum()))
+                pk.append(int(s.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "sample_rate": pd.Series(sr, dtype="int64"),
+                    "sum_abs": pd.Series(sa, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int64"),
+                }
+            )
+
+    return framed.mapInPandas(
+        gen, "doc_id long, n_frames long, sample_rate long, sum_abs long, peak long"
+    )
+
+
 QUERIES = {
     "q_media_features": q_media_features,
     "q_media_frames": q_media_frames,
     "q_media_resize": q_media_resize,
     "q_media_decode": q_media_decode,
+    "q_media_audio_stats": q_media_audio_stats,
 }
 
 _STEP = M.FRAME_SIZE * M.FRAME_EVERY_N
 
 ORACLES = {
+    "q_media_audio_stats": f"""
+        -- hex(encode(text)) is 2 chars/byte; pad with '20' (space) to the
+        -- fixed clip length, then parse each little-endian int16: sample i
+        -- is bytes (2i, 2i+1) -> lo + 256*hi, wrapped to signed.
+        WITH body AS (
+          SELECT doc_id,
+                 rpad(substring(hex(encode(text)), 1, {AUDIO_BYTES * 2}),
+                      {AUDIO_BYTES * 2}, '20') AS hx
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, {AUDIO_BYTES // 2}), i ->
+                   CASE WHEN CAST(('0x' || substring(hx, 4*i - 3, 2)) AS INT)
+                           + 256 * CAST(('0x' || substring(hx, 4*i - 1, 2)) AS INT)
+                          >= 32768
+                        THEN CAST(('0x' || substring(hx, 4*i - 3, 2)) AS INT)
+                           + 256 * CAST(('0x' || substring(hx, 4*i - 1, 2)) AS INT)
+                           - 65536
+                        ELSE CAST(('0x' || substring(hx, 4*i - 3, 2)) AS INT)
+                           + 256 * CAST(('0x' || substring(hx, 4*i - 1, 2)) AS INT)
+                   END) AS samples
+          FROM body
+        )
+        SELECT doc_id,
+               CAST({AUDIO_BYTES // 2} AS BIGINT) AS n_frames,
+               CAST({AUDIO_RATE} AS BIGINT) AS sample_rate,
+               CAST(list_sum(list_transform(samples, x -> abs(x))) AS BIGINT)
+                 AS sum_abs,
+               CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT)
+                 AS peak
+        FROM s
+    """,
     "q_media_decode": f"""
         -- byte-wise mirror of the Spark framing: hex(encode(text)) is 2
         -- chars per BYTE (not per codepoint), so slicing/rpadding the hex

@@ -353,6 +353,60 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CAMPAIGNS = 20
+CAMPAIGN_LEN_H = 6
+CAMPAIGN_STRIDE_H = 37
+
+
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (theta) join rewritten as an equi-join on hour buckets —
+    THE scale technique for point-in-interval joins: a naive
+    ``ts BETWEEN start AND end`` join is a nested-loop product, but
+    exploding each interval into its covered hour buckets (bounded by
+    interval length) turns it into a hash join on the bucket, with the
+    exact range predicate re-applied as a post-filter. Campaign windows
+    are derived deterministically from the stream's own span (tiny
+    single-row aggregate x range), so the query is self-contained.
+    Output: per campaign, event count + distinct users."""
+    events = load(spark, sf_dir, "events")
+    span = events.agg(F.date_trunc("hour", F.min("ts")).alias("lo"))
+    campaigns = (
+        spark.range(N_CAMPAIGNS)
+        .withColumnRenamed("id", "campaign_id")
+        .join(F.broadcast(span))
+        .select(
+            "campaign_id",
+            F.expr(
+                f"lo + INTERVAL '1' HOUR * ({CAMPAIGN_STRIDE_H} * campaign_id)"
+            ).alias("start"),
+            F.expr(
+                f"lo + INTERVAL '1' HOUR * ({CAMPAIGN_STRIDE_H} * campaign_id"
+                f" + {CAMPAIGN_LEN_H})"
+            ).alias("end"),
+        )
+    )
+    buckets = campaigns.select(
+        "campaign_id",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.col("start"),
+                F.expr("end - INTERVAL '1' HOUR"),
+                F.expr("INTERVAL '1' HOUR"),
+            )
+        ).alias("hour"),
+    )
+    binned = events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    joined = binned.join(F.broadcast(buckets), "hour").filter(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") < F.col("end"))
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_key_skew_profile": q_key_skew_profile,
@@ -368,6 +422,7 @@ QUERIES = {
     "q_doc_manifest": q_doc_manifest,
     "q_out_of_order": q_out_of_order,
     "q_attribution": q_attribution,
+    "q_interval_join_binned": q_interval_join_binned,
 }
 
 _PROFILE_SELECTS = " UNION ALL ".join(
@@ -443,6 +498,26 @@ ORACLES = {
                CAST(SUM(CASE WHEN rn <= {RATE_LIMIT_PER_HOUR} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept
         FROM flagged GROUP BY user_id
+    """,
+    "q_interval_join_binned": f"""
+        -- ground truth: the plain theta join the binned rewrite replaces
+        WITH span AS (
+          SELECT date_trunc('hour', MIN(ts)) AS lo FROM events
+        ), campaigns AS (
+          SELECT t.range AS campaign_id,
+                 (SELECT lo FROM span)
+                   + INTERVAL 1 HOUR * ({CAMPAIGN_STRIDE_H} * t.range) AS start,
+                 (SELECT lo FROM span)
+                   + INTERVAL 1 HOUR * ({CAMPAIGN_STRIDE_H} * t.range
+                                        + {CAMPAIGN_LEN_H}) AS "end"
+          FROM range({N_CAMPAIGNS}) t
+        )
+        SELECT c.campaign_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN campaigns c
+          ON e.ts >= c.start AND e.ts < c."end"
+        GROUP BY c.campaign_id
     """,
     "q_dead_hours": """
         WITH span AS (

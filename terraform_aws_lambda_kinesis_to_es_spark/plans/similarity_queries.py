@@ -224,6 +224,53 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIM = 16
+
+
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: rank the corpus against each query
+    vector by TRUNCATED-prefix cosine (first MRL_DIM dims — the MRL
+    retrieval trick that cuts memory/bandwidth 4x) and emit the full-dim
+    cosine next to it, so recall degradation is measurable per pair.
+    Same broadcast-queries / zero-corpus-shuffle shape as q_knn_cosine;
+    the truncated fold walks 16 elements instead of 64."""
+    from pyspark.sql import Window
+
+    vecs = _vec(spark, sf_dir)
+    wide = vecs.select(
+        "vec_id", "v", F.slice("v", 1, MRL_DIM).alias("v16")
+    )
+    queries = (
+        wide.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("v16").alias("qv16"),
+        )
+    )
+    pairs = wide.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        S.cosine(F.col("v16"), F.col("qv16")).alias("c16"),
+        S.cosine(F.col("v"), F.col("qv")).alias("c64"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c16"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            "rank",
+            F.round("c16", 4).alias("cos_trunc"),
+            F.round("c64", 4).alias("cos_full"),
+        )
+    )
+
+
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalization audit: per-vector L2 norm plus the first unit
     component, emitted as FLOORed basis points (floor, not round — floor
@@ -275,6 +322,7 @@ QUERIES = {
     "q_quantize": q_quantize,
     "q_embed_normalize": q_embed_normalize,
     "q_embed_dims": q_embed_dims,
+    "q_matryoshka": q_matryoshka,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -472,7 +520,35 @@ FROM (
 ) WHERE rn = 1
 """
 
+def _cosine16_sql(a: str, b: str) -> str:
+    d = MRL_DIM
+    return (
+        f"({_dot_sql(a, b, d)} / (sqrt({_dot_sql(a, a, d)})"
+        f" * sqrt({_dot_sql(b, b, d)})))"
+    )
+
+
 ORACLES = {
+    "q_matryoshka": f"""
+        WITH vec AS ({_VEC_CTE}),
+        q AS (SELECT vec_id AS qid, v AS qv FROM vec
+              WHERE vec_id < {N_QUERY_VECS}),
+        scored AS (
+          SELECT q.qid, c.vec_id,
+                 {_cosine16_sql("c.v", "q.qv")} AS c16,
+                 {_cosine_sql("c.v", "q.qv")} AS c64
+          FROM vec c CROSS JOIN q
+          WHERE c.vec_id <> q.qid
+        ), ranked AS (
+          SELECT qid, vec_id, c16, c64,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY c16 DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT qid, vec_id, rank,
+               round(c16, 4) AS cos_trunc, round(c64, 4) AS cos_full
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
     "q_embed_normalize": f"""
         WITH vec AS ({_VEC_CTE})
         SELECT vec_id,

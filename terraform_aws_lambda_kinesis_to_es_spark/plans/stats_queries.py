@@ -257,6 +257,51 @@ def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.5  # dyadic: every pow() below is then EXACT in both libms
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the per-(type, day) event counts (alpha = 0.5,
+    adjust=True — pandas ewm semantics): the recursive filter rewritten
+    into the closed form
+        ewma_n = (1-a)^n * sum_i x_i (1-a)^(-i)  /  sum_{j<=n} (1-a)^j
+    so it becomes ONE running-window sum over a precomputed per-row term
+    — no recursion, no UDF, same shuffle as the daily rollup. The
+    (1-a)^(-i) growth bounds the usable window (~50 rows at alpha=0.5 in
+    double precision; segment-renormalize beyond that) — fine for the
+    bounded per-type daily series this smooths.
+
+    Cross-engine hazard, measured: with alpha=0.25 the two engines'
+    libm pow() differ by 1 ulp on some (0.75, n) inputs (JVM StrictMath
+    vs C libm — pow is not correctly-rounded), which flipped round(4) at
+    decimal boundaries. alpha=0.5 makes every pow argument/result a
+    power of two — exact in any libm — so the whole pipeline is
+    bit-deterministic again."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = daily.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "g", F.expr(f"n * pow(1.0 / (1.0 - {EWMA_ALPHA!r}), rn)")
+    )
+    return d.withColumn("s", F.sum("g").over(run)).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                f"s * pow(1.0 - {EWMA_ALPHA!r}, rn)"
+                f" / ((1.0 - pow(1.0 - {EWMA_ALPHA!r}, rn + 1)) / {EWMA_ALPHA!r})"
+            ),
+            4,
+        ).alias("ewma"),
+    )
+
+
 QUERIES = {
     "q_order_gaps": q_order_gaps,
     "q_rank_functions": q_rank_functions,
@@ -268,9 +313,34 @@ QUERIES = {
     "q_corr_stats": q_corr_stats,
     "q_mad_outliers": q_mad_outliers,
     "q_value_buckets": q_value_buckets,
+    "q_ewma_daily": q_ewma_daily,
 }
 
 ORACLES = {
+    "q_ewma_daily": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), d AS (
+          SELECT event_type, day, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+                   AS rn
+          FROM daily
+        ), g AS (
+          SELECT event_type, day, n, rn,
+                 n * pow(1.0 / (1.0 - {EWMA_ALPHA!r}), rn) AS g
+          FROM d
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n,
+               ROUND(SUM(g) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     * pow(1.0 - {EWMA_ALPHA!r}, rn)
+                     / ((1.0 - pow(1.0 - {EWMA_ALPHA!r}, rn + 1))
+                        / {EWMA_ALPHA!r}), 4) AS ewma
+        FROM g
+    """,
     "q_mad_outliers": f"""
         WITH med AS (
           SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -464,6 +464,24 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KEYPHRASE_TOP = 3
+
+
+def q_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrase extraction: the top-KEYPHRASE_TOP TF-IDF terms per
+    document (rank ties broken alphabetically) — the per-doc tag set a
+    search/labeling pipeline materializes. Adds one doc-keyed window over
+    the q_tfidf plan; the per-doc partitions are vocabulary-bounded, so
+    the window never sorts more than a doc's distinct terms."""
+    scored = q_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KEYPHRASE_TOP)
+        .select("doc_id", "word", "tfidf", "rank")
+    )
+
+
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_WORD_LEN_MIN = 3
@@ -598,6 +616,7 @@ QUERIES = {
     "q_gopher_filters": q_gopher_filters,
     "q_text_normalize": q_text_normalize,
     "q_difficulty_buckets": q_difficulty_buckets,
+    "q_keyphrase": q_keyphrase,
 }
 
 
@@ -892,5 +911,25 @@ ORACLES = {
         SELECT tf.doc_id, tf.word, tf.tf, dfx.df,
                ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 4) AS tfidf
         FROM tf JOIN dfx USING (word) CROSS JOIN n
+    """,
+    "q_keyphrase": f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        ), dfx AS (
+          SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word,
+                 ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df), 4)
+                   AS tfidf
+          FROM tf JOIN dfx USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, word ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {KEYPHRASE_TOP}
     """,
 }

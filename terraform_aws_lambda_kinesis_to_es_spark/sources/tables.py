@@ -96,3 +96,14 @@ def load_split(
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so callers can run arbitrary
+    ``spark.sql`` over the same normalized frames the declared queries
+    use (NTZ/UTC handling included — a raw ``spark.read.parquet`` view
+    would NOT match). This is the ad-hoc SQL entry point: the engine's
+    whole declared surface stays expressible as plain SQL against these
+    views, and Catalyst sees identical plans either way."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

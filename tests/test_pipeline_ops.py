@@ -72,6 +72,46 @@ def test_compaction_bins_monotone_and_bounded(spark, sf_dir):
         prev_bin = r.bin
 
 
+def test_register_views_sql_passthrough(spark, sf_dir):
+    """Ad-hoc SQL entry point: after register_views, arbitrary spark.sql
+    over the normalized tables must agree with the DataFrame path."""
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import (
+        load,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT d.source, COUNT(*) AS n
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source
+        """
+    ).collect()
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    want = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("source")
+        .count()
+        .orderBy("source")
+        .collect()
+    )
+    assert [(r.source, r.n) for r in got] == [(r.source, r["count"]) for r in want]
+    assert len(got) > 0
+
+
+def test_interval_join_binned_is_hash_join(spark, sf_dir):
+    """The whole point of the binned rewrite: the events-side join must be
+    a hash join on the hour bucket, never a nested-loop theta join over
+    the fact table (the single-row span attach is the only NLJ)."""
+    from tests.test_plan_shape import plan_of
+
+    plan = plan_of(spark, sf_dir, "q_interval_join_binned")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_attribution_matches_window_form(spark, sf_dir):
     """The aggregate (min_by/max_by) form must equal the
     row_number-window formulation it replaces."""

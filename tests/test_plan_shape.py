@@ -138,6 +138,7 @@ _INTENTIONAL_PRODUCT = {
     "q_semdedup",        # corpus x broadcast(count-derived seed vecs) assignment pass
     "q_semdedup_bucketed",  # orphan fallback: seedless-bucket vecs x broadcast codebook
     "q_tfidf",           # x broadcast(single-row N)
+    "q_keyphrase",       # q_tfidf core x broadcast(single-row N)
     "q_source_mix",      # x broadcast(single-row totals)
     "q_temperature_mix", # x broadcast(single-row totals)
     "q_unigram_ppl",     # x broadcast(single-row corpus total)
@@ -149,6 +150,8 @@ _INTENTIONAL_PRODUCT = {
     "q_cooccurrence",      # pair counts x broadcast(single-row doc count)
     "q_repeat_upsample",   # per-source rollup x broadcast(single-row max)
     "q_dead_hours",        # type set x broadcast(single-row hour span)
+    "q_matryoshka",        # corpus x broadcast(5 query vecs) — knn family
+    "q_interval_join_binned",  # campaign spine x broadcast(single-row span)
 }
 
 
