@@ -192,6 +192,54 @@ def quota_per_key_tws(
     )
 
 
+LATEST_SCHEMA = "log_type string, log_id string, log_ts timestamp"
+_LATEST_STATE = "ord string, log_id string, ts_us long"
+
+
+def _latest_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming CDC compaction: keep only the LATEST record per key by
+    event time (fixed-width micros+id string as the ordering key — the
+    same portable tiebreak as batch q_cdc_latest/q_attribution), emit the
+    current winner each micro-batch (update mode). Late/out-of-order
+    arrivals lose against the stored ord and are absorbed without
+    re-emitting older state. One small state row per key; per-batch work
+    is a vectorized idxmax, never per-row Python."""
+    best = tuple(state.get) if state.exists else None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ts_us = pdf["log_ts"].astype("int64") // 1000
+        ords = ts_us.map("{:020d}".format) + "_" + pdf["log_id"].astype(str).str.zfill(12)
+        i = ords.idxmax()
+        cand = (str(ords.loc[i]), str(pdf["log_id"].loc[i]), int(ts_us.loc[i]))
+        if best is None or cand[0] > best[0]:
+            best = cand
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "log_type": [key[0]],
+                "log_id": [best[1]],
+                "log_ts": [pd.Timestamp(best[2], unit="us")],
+            }
+        )
+
+
+def latest_per_key(df: DataFrame, key_col: str = "log_type") -> DataFrame:
+    """Latest-record-per-key view over a change stream (streaming twin of
+    the batch ``q_cdc_latest`` compaction): update-mode
+    applyInPandasWithState with O(distinct keys) state."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        _latest_fn,
+        outputStructType=LATEST_SCHEMA,
+        stateStructType=_LATEST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 RUNNING_COUNT_SCHEMA = "log_type string, n_total long, n_batch long"
 _STATE_SCHEMA = "n long"
 

@@ -137,6 +137,40 @@ def _assert_quota_output(rows) -> None:
     assert {"1", "2"} <= set(by_type["app"])
 
 
+def test_latest_per_key_absorbs_late_arrivals(spark, tmp_path):
+    # streaming CDC: the late batch-2 record (11:00) must NOT displace the
+    # stored 12:00 winner; the emitted view converges to the true latest
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1",
+        [
+            {"log_id": "1", "log_type": "app", "log_ts": "2024-03-01T10:00:00"},
+            {"log_id": "2", "log_type": "app", "log_ts": "2024-03-01T12:00:00"},
+            {"log_id": "3", "log_type": "web", "log_ts": "2024-03-01T10:30:00"},
+        ],
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"log_id": "4", "log_type": "app", "log_ts": "2024-03-01T11:00:00"},
+            {"log_id": "5", "log_type": "web", "log_ts": "2024-03-01T13:00:00"},
+        ],
+    )
+    out = stateful.latest_per_key(_stream(spark, src))
+    _run_to_memory(out, "latest_t", str(tmp_path / "ck"), output_mode="update")
+    rows = spark.table("latest_t").collect()
+    # update mode re-emits per batch: the LAST row per key is the view
+    latest = {}
+    for r in rows:
+        latest[r.log_type] = r.log_id
+    assert latest == {"app": "2", "web": "5"}
+    # and the absorbed late row never surfaced as a winner
+    assert all(r.log_id != "4" for r in rows)
+
+
 def test_quota_per_key_caps_rows_across_batches(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
