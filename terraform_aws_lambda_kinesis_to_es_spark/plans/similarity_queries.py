@@ -54,17 +54,32 @@ def q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-wise, then cosine of each vector to its own label centroid.
     Demonstrates vector aggregation without any UDF.
 
-    No SQL oracle: the centroid averaging order is partition-dependent in
-    Spark (float sums differ at 1e-16 from DuckDB's), so the driver
-    records the rows-only check; pytest asserts numeric agreement with a
-    numpy reference at tolerance instead.
-    """
+    Oracle-exact since round 3: the per-position sum is an order-pinned
+    fold over the (vec_id-sorted) value list — the q_doc_entropy trick —
+    so every centroid double is partition-order independent and DuckDB
+    reproduces it bit-for-bit (list(x ORDER BY vec_id) + left fold). The
+    plain partial-aggregated avg() remains the 100 TB path (used by the
+    IVF/k-means helpers); this declared variant trades an O(group)
+    collect_list for driver-checkable determinism, exactly like the
+    semdedup declared/bucketed pair."""
     vecs = _vec(spark, sf_dir)
-    # position-wise mean: explode positions once, avg per (label, pos).
+    # position-wise mean: explode positions once, order-pinned sum per
+    # (label, pos), then assemble the centroid in position order.
     pos = vecs.select(
         "label", "vec_id", F.posexplode("v").alias("pos", "x")
     )
-    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "x"))),
+                F.lit(0.0),
+                lambda a, s: a + s["x"],
+            ).alias("sx"),
+            F.count("*").alias("nx"),
+        )
+        .withColumn("c", F.col("sx") / F.col("nx"))
+    )
     cent_vec = cent.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
     ).select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
@@ -528,7 +543,33 @@ def _cosine16_sql(a: str, b: str) -> str:
     )
 
 
+_CENTROID_COS = (
+    f"({_dot_sql('v.v', 'c.centroid')} / (sqrt({_dot_sql('v.v', 'v.v')})"
+    f" * sqrt({_dot_sql('c.centroid', 'c.centroid')})))"
+)
+
 ORACLES = {
+    "q_centroid_sim": f"""
+        WITH vec AS ({_VEC_CTE}),
+        pos AS (
+          SELECT label, vec_id, t.range AS pos, v[t.range + 1] AS x
+          FROM vec, range({S.EMBED_DIM}) t
+        ),
+        cent AS (
+          SELECT label, pos,
+                 list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+                             (a, b) -> a + b) AS sx,
+                 COUNT(*) AS nx
+          FROM pos GROUP BY 1, 2
+        ),
+        cvec AS (
+          SELECT label, list(sx / nx ORDER BY pos) AS centroid
+          FROM cent GROUP BY label
+        )
+        SELECT v.vec_id, v.label,
+               round({_CENTROID_COS}, 4) AS sim_to_centroid
+        FROM vec v JOIN cvec c USING (label)
+    """,
     "q_matryoshka": f"""
         WITH vec AS ({_VEC_CTE}),
         q AS (SELECT vec_id AS qid, v AS qv FROM vec
