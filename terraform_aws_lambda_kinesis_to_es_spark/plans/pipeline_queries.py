@@ -407,6 +407,23 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type freshness / lag monitor: latest event time per type and
+    how many whole minutes it trails the stream's global high-water mark
+    (exact integer micros arithmetic). The first dashboard row any
+    ingest pipeline needs; one keyed agg + a single-row broadcast."""
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    hwm = per_type.agg(F.max("latest_ts").alias("hwm"))
+    return per_type.join(F.broadcast(hwm)).select(
+        "event_type",
+        "latest_ts",
+        F.expr("(unix_micros(hwm) - unix_micros(latest_ts)) DIV 60000000")
+        .cast("bigint")
+        .alias("lag_minutes"),
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_key_skew_profile": q_key_skew_profile,
@@ -423,6 +440,7 @@ QUERIES = {
     "q_out_of_order": q_out_of_order,
     "q_attribution": q_attribution,
     "q_interval_join_binned": q_interval_join_binned,
+    "q_data_freshness": q_data_freshness,
 }
 
 _PROFILE_SELECTS = " UNION ALL ".join(
@@ -498,6 +516,15 @@ ORACLES = {
                CAST(SUM(CASE WHEN rn <= {RATE_LIMIT_PER_HOUR} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept
         FROM flagged GROUP BY user_id
+    """,
+    "q_data_freshness": """
+        WITH per_type AS (
+          SELECT event_type, MAX(ts) AS latest_ts FROM events GROUP BY 1
+        ), hwm AS (SELECT MAX(latest_ts) AS hwm FROM per_type)
+        SELECT event_type, latest_ts,
+               CAST((epoch_us((SELECT hwm FROM hwm)) - epoch_us(latest_ts))
+                    // 60000000 AS BIGINT) AS lag_minutes
+        FROM per_type
     """,
     "q_interval_join_binned": f"""
         -- ground truth: the plain theta join the binned rewrite replaces

@@ -286,6 +286,22 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH health audit: the occupancy histogram of the hyperplane
+    buckets (bucket-size -> how many buckets have that size). THE number
+    to watch before trusting q_embed_near_dup_lsh / q_ann_lsh at a new
+    corpus: a fat bucket means degenerate hyperplanes for this data and
+    quadratic in-bucket pair cost. Two tiny keyed aggregations after the
+    row-local bucket expression — strictly cheaper than the search it
+    audits."""
+    vecs = _vec(spark, sf_dir)
+    bucketed = S.with_bucket(vecs)
+    sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    return sizes.groupBy("bucket_size").agg(
+        F.count("*").cast("bigint").alias("n_buckets")
+    )
+
+
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalization audit: per-vector L2 norm plus the first unit
     component, emitted as FLOORed basis points (floor, not round — floor
@@ -338,6 +354,7 @@ QUERIES = {
     "q_embed_normalize": q_embed_normalize,
     "q_embed_dims": q_embed_dims,
     "q_matryoshka": q_matryoshka,
+    "q_bucket_occupancy": q_bucket_occupancy,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -549,6 +566,15 @@ _CENTROID_COS = (
 )
 
 ORACLES = {
+    "q_bucket_occupancy": f"""
+        WITH vec AS ({_VEC_CTE}),
+        bucketed AS (SELECT vec_id, {_bucket_sql("v")} AS bucket FROM vec),
+        sizes AS (
+          SELECT bucket, COUNT(*) AS bucket_size FROM bucketed GROUP BY bucket
+        )
+        SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM sizes GROUP BY bucket_size
+    """,
     "q_centroid_sim": f"""
         WITH vec AS ({_VEC_CTE}),
         pos AS (

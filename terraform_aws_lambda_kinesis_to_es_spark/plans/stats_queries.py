@@ -302,6 +302,37 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order status: monthly rollup,
+    LAG window for the prior month, delta in exact basis points
+    ((cur - prev) * 10000 DIV prev — integer, so no float-quotient
+    rounding can wobble the hash). NULL-free: the first month emits 0.
+    One keyed shuffle for the rollup; the window runs over months-per-
+    status (bounded)."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        # round-then-cast, never bare cast: the float sum sits within
+        # ~1e-3 of the exact integer cents total, so round() lands on it
+        # from either side while truncation would flip on the low bit
+        F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("rev_cents")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("month")
+    d = monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    return d.select(
+        "o_orderstatus",
+        "month",
+        "rev_cents",
+        F.coalesce(
+            F.expr("(rev_cents - prev_cents) * 10000 DIV prev_cents"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("mom_bp"),
+    )
+
+
 QUERIES = {
     "q_order_gaps": q_order_gaps,
     "q_rank_functions": q_rank_functions,
@@ -314,9 +345,26 @@ QUERIES = {
     "q_mad_outliers": q_mad_outliers,
     "q_value_buckets": q_value_buckets,
     "q_ewma_daily": q_ewma_daily,
+    "q_percent_change": q_percent_change,
 }
 
 ORACLES = {
+    "q_percent_change": """
+        WITH monthly AS (
+          SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(round(SUM(o_totalprice) * 100, 0) AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1, 2
+        ), d AS (
+          SELECT o_orderstatus, month, rev_cents,
+                 LAG(rev_cents) OVER (PARTITION BY o_orderstatus
+                                      ORDER BY month) AS prev_cents
+          FROM monthly
+        )
+        SELECT o_orderstatus, month, rev_cents,
+               CAST(COALESCE((rev_cents - prev_cents) * 10000 // prev_cents, 0)
+                    AS BIGINT) AS mom_bp
+        FROM d
+    """,
     "q_ewma_daily": f"""
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -152,6 +152,7 @@ _INTENTIONAL_PRODUCT = {
     "q_dead_hours",        # type set x broadcast(single-row hour span)
     "q_matryoshka",        # corpus x broadcast(5 query vecs) — knn family
     "q_interval_join_binned",  # campaign spine x broadcast(single-row span)
+    "q_data_freshness",    # per-type rollup x broadcast(single-row hwm)
 }
 
 
