@@ -66,6 +66,8 @@ _HEAD = (
     "q_percentiles", "q_cube_orders", "q_corr_stats", "q_grouping_sets",
     "q_array_math", "q_date_functions", "q_string_functions",
     "q_dup_clusters_chain", "q_semdedup",
+    # round-3 scale-technique showcase — worth a driver verdict this round
+    "q_interval_join_binned",
 )
 
 
