@@ -170,3 +170,26 @@ def test_connected_components_star_property(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.u: r.label for r in connected_components_star(df).collect()}
     assert got == ref
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200)
+def test_wav_framing_decodes_exact_samples(data):
+    """q_media_audio_stats framing contract: for ANY payload bytes, the
+    framed WAV decodes to exactly the little-endian int16 view of the
+    space-padded body (the arithmetic the DuckDB oracle re-derives)."""
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        AUDIO_BYTES,
+        AUDIO_RATE,
+        _wav_header,
+    )
+
+    body = (data + b"\x20" * AUDIO_BYTES)[:AUDIO_BYTES]
+    samples, rate = M.decode_audio(_wav_header(AUDIO_BYTES) + body)
+    ref = struct.unpack(f"<{AUDIO_BYTES // 2}h", body)
+    assert rate == AUDIO_RATE
+    assert samples.shape == (AUDIO_BYTES // 2, 1)
+    assert [int(s) for s in samples[:, 0]] == list(ref)
