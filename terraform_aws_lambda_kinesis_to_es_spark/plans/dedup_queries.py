@@ -229,10 +229,29 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph health: the degree distribution (degree -> node
+    count) of the verified near-dup pair graph. Degree 1-2 = pairwise
+    dups (cheap collapse); a heavy tail means dense templates and
+    quadratic in-cluster pair cost — the audit run before committing to
+    a cluster-then-keep-best strategy. Adds one symmetric explode + two
+    tiny aggs over the minhash pipeline's output."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = nodes.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return degrees.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_minhash_est": q_minhash_est,
     "q_dup_source_matrix": q_dup_source_matrix,
+    "q_graph_degree": q_graph_degree,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_chain": q_dup_clusters_chain,
     "q_minhash_dedup": q_minhash_dedup,
@@ -419,6 +438,20 @@ def _minhash_est_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_graph_degree": _PAIR_JACCARD
+    + f"""
+        , filt AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+        ), nodes AS (
+          SELECT doc_a AS doc_id FROM filt
+          UNION ALL SELECT doc_b FROM filt
+        ), degrees AS (
+          SELECT doc_id, COUNT(*) AS degree FROM nodes GROUP BY doc_id
+        )
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM degrees GROUP BY degree
+    """,
     "q_minhash_est": _minhash_est_oracle_sql(),
     "q_dup_source_matrix": _PAIR_JACCARD
     + f"""

@@ -424,6 +424,59 @@ def q_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join end-to-end: events (the skewed fact) joined to a
+    tiny per-user dimension through operators/skew.py:salted_join — the
+    big side salted by rand(seed), the dim replicated across all salts,
+    equi-join on (key, salt). The oracle is the PLAIN join: results are
+    salt-independent by construction, and the driver equality proves it
+    on real data (the pytest suite proves it on synthetic hot keys).
+    This is the manual fallback for joins AQE's skew splitting cannot
+    reach (hash-agg buildups, broadcast-ineligible dims)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import skew as SK
+
+    events = load(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.expr("min_by(event_type, event_id)").alias("first_type")
+    )
+    joined = SK.salted_join(events.select("user_id", "event_id"), dim, "user_id")
+    return joined.groupBy("first_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
+
+
+TREND_MIN_PREV = 5
+TREND_TOP = 20
+
+
+def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year demand movers: per part, lineitem count in the
+    latest ship-year vs the year before, exact growth in basis points,
+    top TREND_TOP gainers among parts with a minimum prior-year volume
+    (guards the ratio against tiny denominators). Conditional aggregation
+    against a broadcast latest-year row, then TakeOrdered — the standard
+    'trending entities' report at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    yr = li.select("l_partkey", F.year("l_shipdate").alias("y"))
+    latest = yr.agg(F.max("y").alias("ymax"))
+    counts = (
+        yr.join(F.broadcast(latest))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("y") == F.col("ymax")).cast("bigint")).alias("n_cur"),
+            F.sum((F.col("y") == F.col("ymax") - 1).cast("bigint")).alias("n_prev"),
+        )
+    )
+    scored = counts.filter(F.col("n_prev") >= TREND_MIN_PREV).select(
+        "l_partkey",
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.col("n_prev").cast("bigint").alias("n_prev"),
+        F.expr("(n_cur - n_prev) * 10000 DIV n_prev").cast("bigint").alias("growth_bp"),
+    )
+    return scored.orderBy(F.desc("growth_bp"), F.asc("l_partkey")).limit(TREND_TOP)
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_key_skew_profile": q_key_skew_profile,
@@ -441,6 +494,8 @@ QUERIES = {
     "q_attribution": q_attribution,
     "q_interval_join_binned": q_interval_join_binned,
     "q_data_freshness": q_data_freshness,
+    "q_salted_join": q_salted_join,
+    "q_trending_parts": q_trending_parts,
 }
 
 _PROFILE_SELECTS = " UNION ALL ".join(
@@ -516,6 +571,36 @@ ORACLES = {
                CAST(SUM(CASE WHEN rn <= {RATE_LIMIT_PER_HOUR} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept
         FROM flagged GROUP BY user_id
+    """,
+    "q_salted_join": """
+        -- ground truth: the plain (unsalted) join the rewrite must equal
+        WITH dim AS (
+          SELECT user_id, arg_min(event_type, event_id) AS first_type
+          FROM events GROUP BY user_id
+        )
+        SELECT d.first_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id
+        FROM events e JOIN dim d USING (user_id)
+        GROUP BY d.first_type
+    """,
+    "q_trending_parts": f"""
+        WITH yr AS (
+          SELECT l_partkey, year(l_shipdate) AS y FROM lineitem
+        ), latest AS (SELECT MAX(y) AS ymax FROM yr),
+        counts AS (
+          SELECT l_partkey,
+                 CAST(SUM(CASE WHEN y = (SELECT ymax FROM latest)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+                 CAST(SUM(CASE WHEN y = (SELECT ymax FROM latest) - 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_prev
+          FROM yr GROUP BY l_partkey
+        )
+        SELECT l_partkey, n_cur, n_prev,
+               CAST((n_cur - n_prev) * 10000 // n_prev AS BIGINT) AS growth_bp
+        FROM counts WHERE n_prev >= {TREND_MIN_PREV}
+        ORDER BY growth_bp DESC, l_partkey ASC
+        LIMIT {TREND_TOP}
     """,
     "q_data_freshness": """
         WITH per_type AS (
