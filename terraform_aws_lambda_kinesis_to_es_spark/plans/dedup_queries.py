@@ -247,11 +247,77 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PageRank (PAGERANK_ITERS fixed power iterations,
+    d = 0.85) over the verified near-dup graph — ranks the 'template'
+    documents that sit at the center of duplication clusters. The
+    iterative-numeric-graph showcase next to connected components and
+    k-means: each iteration is one edge join + one order-pinned float
+    fold per node (contributions summed in src order — the q_doc_entropy
+    trick again), so every double is partition-order independent and the
+    DuckDB oracle unrolls the SAME three iterations bit-for-bit. Fixed
+    iteration count keeps the lineage bounded (no checkpoint needed);
+    the per-iteration cost is one keyed shuffle on dst."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    sym = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    outdeg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    base = F.lit(1.0 - PAGERANK_DAMPING) / F.col("n").cast("double")
+    pr = nodes.join(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            sym.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    F.col("src"), (F.col("pr") / F.col("deg")).alias("c")
+                ).alias("sc"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("sc")),
+                F.lit(0.0),
+                lambda a, s: a + s["c"],
+            ).alias("s")
+        )
+        pr = (
+            nodes.join(summed, "node", "left")
+            .join(F.broadcast(nn))
+            .select(
+                "node",
+                (base + F.lit(PAGERANK_DAMPING) * F.coalesce("s", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 6).alias("pagerank")
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_minhash_est": q_minhash_est,
     "q_dup_source_matrix": q_dup_source_matrix,
     "q_graph_degree": q_graph_degree,
+    "q_pagerank": q_pagerank,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_chain": q_dup_clusters_chain,
     "q_minhash_dedup": q_minhash_dedup,
@@ -437,7 +503,54 @@ def _minhash_est_oracle_sql() -> str:
     """
 
 
+def _pagerank_oracle_sql() -> str:
+    """Unrolls the SAME PAGERANK_ITERS power iterations as the Spark
+    plan: per-node contribution lists ordered by src, left-folded from
+    0.0 — identical IEEE op sequence, so round(6) matches exactly."""
+    d = repr(PAGERANK_DAMPING)
+    bm = repr(1.0 - PAGERANK_DAMPING)
+    n = "CAST((SELECT n FROM nn) AS DOUBLE)"
+    ctes = [
+        f"""filt AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+        ), sym AS (
+          SELECT DISTINCT doc_a AS src, doc_b AS dst FROM (
+            SELECT doc_a, doc_b FROM filt
+            UNION ALL SELECT doc_b, doc_a FROM filt
+          )
+        ), outdeg AS (
+          SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+        ), nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        pr0 AS (SELECT node, 1.0 / {n} AS pr FROM nodes)"""
+    ]
+    for i in range(PAGERANK_ITERS):
+        ctes.append(f"""s{i} AS (
+          SELECT e.dst AS node,
+                 list_reduce(list_prepend(0.0,
+                   list(p.pr / d.deg ORDER BY e.src)), (a, b) -> a + b) AS s
+          FROM sym e
+          JOIN pr{i} p ON p.node = e.src
+          JOIN outdeg d ON d.src = e.src
+          GROUP BY e.dst
+        ), pr{i + 1} AS (
+          SELECT v.node,
+                 ({bm} / {n}) + ({d} * COALESCE(s.s, 0.0)) AS pr
+          FROM nodes v LEFT JOIN s{i} s USING (node)
+        )""")
+    return (
+        _PAIR_JACCARD
+        + ", "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node AS doc_id, round(pr, 6) AS pagerank FROM pr{PAGERANK_ITERS}
+    """
+    )
+
+
 ORACLES = {
+    "q_pagerank": _pagerank_oracle_sql(),
     "q_graph_degree": _PAIR_JACCARD
     + f"""
         , filt AS (

@@ -154,6 +154,7 @@ _INTENTIONAL_PRODUCT = {
     "q_interval_join_binned",  # campaign spine x broadcast(single-row span)
     "q_data_freshness",    # per-type rollup x broadcast(single-row hwm)
     "q_trending_parts",    # x broadcast(single-row latest-year)
+    "q_pagerank",          # node set x broadcast(single-row node count)
 }
 
 
