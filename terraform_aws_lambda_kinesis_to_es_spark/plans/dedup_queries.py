@@ -312,8 +312,95 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the shape a STANDING ingest
+    runs every batch: dedup the NEW batch against the EXISTING corpus,
+    never existing-vs-existing. Here the deterministic even/odd doc_id
+    split stands in for snapshot membership. Per new doc: exact-dup flag
+    (digest semi-join against the existing digest set), near-dup flag
+    (LSH band join restricted to new x existing, exact-Jaccard verified),
+    and the admit decision. At 100 TB the existing side's signatures/
+    digests are a precomputed table — the per-batch cost is the NEW
+    side's signatures plus two keyed joins, independent of corpus scans.
+    Oracle = exhaustive exact Jaccard new x existing (same
+    recall-is-provably-1 argument as q_minhash_dedup)."""
+    docs = load_split(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    digest = lambda d: d.select(  # noqa: E731 — tiny local projection
+        F.col("doc_id"), F.md5(F.col("text")).alias("dg")
+    )
+    exact_ids = (
+        digest(new)
+        .join(digest(existing).select("dg").distinct(), "dg", "left_semi")
+        .select("doc_id")
+    )
+
+    sh_all = D.with_shingles(docs).select("doc_id", "shingles")
+    sig = D.with_minhash_signature(sh_all)
+    bands = _bands_exploded(sig)
+    new_b = bands.filter(F.col("doc_id") % 2 == 1).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    old_b = bands.filter(F.col("doc_id") % 2 == 0).withColumnRenamed(
+        "doc_id", "old_id"
+    )
+    cand = new_b.join(old_b, ["band", "bkey"]).select("new_id", "old_id").distinct()
+    sa = sh_all.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    sb = sh_all.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_b"))
+    near_ids = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .filter(
+            F.expr(
+                "(10000 * size(array_intersect(sh_a, sh_b)))"
+                f" DIV size(array_union(sh_a, sh_b)) >= {JACCARD_THRESHOLD_BP}"
+            )
+        )
+        .select("new_id")
+        .distinct()
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    flagged = (
+        new.select("doc_id")
+        .join(exact_ids.withColumn("exact_dup", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+    )
+    return flagged.select(
+        "doc_id",
+        F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        (
+            ~(F.coalesce("exact_dup", F.lit(False)) | F.coalesce("near_dup", F.lit(False)))
+        ).alias("admit"),
+    )
+
+
+def _bands_exploded(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) rows from a signature frame — the reusable
+    half of operators/dedup.py:lsh_candidate_pairs for ASYMMETRIC
+    (new-vs-existing) candidate joins."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col("mh")[j * D.LSH_ROWS + r] for r in range(D.LSH_ROWS)],
+                ).alias("bkey"),
+            )
+            for j in range(D.LSH_BANDS)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
+    "q_incremental_dedup": q_incremental_dedup,
     "q_minhash_est": q_minhash_est,
     "q_dup_source_matrix": q_dup_source_matrix,
     "q_graph_degree": q_graph_degree,
@@ -550,6 +637,30 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_incremental_dedup": f"""
+        WITH sh AS (
+          SELECT doc_id, text, {_SHINGLES} AS s FROM documents
+        ),
+        new AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+        old AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        exact AS (
+          SELECT DISTINCT n.doc_id FROM new n
+          WHERE md5(n.text) IN (SELECT md5(text) FROM old)
+        ),
+        near AS (
+          SELECT DISTINCT n.doc_id
+          FROM new n JOIN old o
+            ON len(list_intersect(n.s, o.s)) > 0
+          WHERE (10000 * len(list_intersect(n.s, o.s)))
+                  // len(list_distinct(n.s || o.s)) >= {JACCARD_THRESHOLD_BP}
+        )
+        SELECT n.doc_id,
+               n.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+               n.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+               NOT (n.doc_id IN (SELECT doc_id FROM exact)
+                    OR n.doc_id IN (SELECT doc_id FROM near)) AS admit
+        FROM new n
+    """,
     "q_pagerank": _pagerank_oracle_sql(),
     "q_graph_degree": _PAIR_JACCARD
     + f"""
