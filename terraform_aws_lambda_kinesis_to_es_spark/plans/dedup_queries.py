@@ -398,9 +398,52 @@ def _bands_exploded(sig_df: DataFrame) -> DataFrame:
     )
 
 
+def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup evaluation: treat exact-Jaccard >= threshold
+    (over shared-shingle candidate pairs — complete, since jaccard > 0
+    requires a shared shingle) as ground truth and score the SimHash
+    banded detector against it: truth/detected/overlap counts plus exact
+    precision/recall in basis points. The audit that picks a detector
+    for a corpus instead of trusting folklore. One-row output; both pair
+    sets come from candidate-bounded plans already proven green."""
+    docs = load_split(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs)
+    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    cand = D.pairs_within_buckets(ex, ["g"], "doc_id")
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    truth = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.expr(
+                "(10000 * size(array_intersect(sh_a, sh_b)))"
+                f" DIV size(array_union(sh_a, sh_b)) >= {JACCARD_THRESHOLD_BP}"
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    sim = D.with_simhash(docs).select("doc_id", "simhash")
+    detected = D.simhash_near_pairs(sim).select("id_a", "id_b")
+    both = truth.join(detected, ["id_a", "id_b"], "left_semi")
+    counts = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .join(detected.agg(F.count("*").alias("n_detected")))
+        .join(both.agg(F.count("*").alias("n_both")))
+    )
+    return counts.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_detected").cast("bigint").alias("n_detected"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.expr("(10000 * n_both) DIV n_detected").cast("bigint").alias("precision_bp"),
+        F.expr("(10000 * n_both) DIV n_truth").cast("bigint").alias("recall_bp"),
+    )
+
+
 QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_dup_method_agreement": q_dup_method_agreement,
     "q_minhash_est": q_minhash_est,
     "q_dup_source_matrix": q_dup_source_matrix,
     "q_graph_degree": q_graph_degree,
@@ -637,6 +680,34 @@ def _pagerank_oracle_sql() -> str:
 
 
 ORACLES = {
+    "q_dup_method_agreement": _PAIR_JACCARD
+    + f"""
+        , truth AS (
+          SELECT doc_a, doc_b FROM pairs
+          WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+        ),
+        sims AS ({_simhash_sql()}),
+        det AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_MAX_DISTANCE}
+        ),
+        agree AS (
+          SELECT t.doc_a, t.doc_b FROM truth t
+          JOIN det d ON t.doc_a = d.doc_a AND t.doc_b = d.doc_b
+        ),
+        c AS (
+          SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                 (SELECT COUNT(*) FROM det) AS n_detected,
+                 (SELECT COUNT(*) FROM agree) AS n_both
+        )
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_detected AS BIGINT) AS n_detected,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST((10000 * n_both) // n_detected AS BIGINT) AS precision_bp,
+               CAST((10000 * n_both) // n_truth AS BIGINT) AS recall_bp
+        FROM c
+    """,
     "q_incremental_dedup": f"""
         WITH sh AS (
           SELECT doc_id, text, {_SHINGLES} AS s FROM documents

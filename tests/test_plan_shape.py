@@ -155,6 +155,7 @@ _INTENTIONAL_PRODUCT = {
     "q_data_freshness",    # per-type rollup x broadcast(single-row hwm)
     "q_trending_parts",    # x broadcast(single-row latest-year)
     "q_pagerank",          # node set x broadcast(single-row node count)
+    "q_dup_method_agreement",  # three single-row count aggregates joined
 }
 
 
