@@ -247,6 +247,36 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph: per-node triangle
+    counts (doc_id -> n_triangles, nodes in >= 1 triangle). Triangles
+    separate template families (cliques — every pair mutually similar)
+    from chain-shaped false merges (A~B~C with A!~C), the structural
+    signal behind local-clustering-coefficient audits.
+
+    Scale shape: the standard distributed triangle enumeration — edges
+    are oriented low-id -> high-id, so each triangle {a<b<c} is produced
+    exactly once by joining (a,b)x(b,c) on the shared middle vertex and
+    closing with an (a,c) edge-membership join; both are keyed hash joins
+    on vertex ids, never an all-pairs product. Edge count here is the
+    verified near-dup pair set — already candidate-bounded by LSH."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        ab.join(bc, F.col("b") == F.col("b2"))
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return nodes.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -447,6 +477,7 @@ QUERIES = {
     "q_minhash_est": q_minhash_est,
     "q_dup_source_matrix": q_dup_source_matrix,
     "q_graph_degree": q_graph_degree,
+    "q_graph_triangles": q_graph_triangles,
     "q_pagerank": q_pagerank,
     "q_dup_clusters": q_dup_clusters,
     "q_dup_clusters_chain": q_dup_clusters_chain,
@@ -733,6 +764,24 @@ ORACLES = {
         FROM new n
     """,
     "q_pagerank": _pagerank_oracle_sql(),
+    "q_graph_triangles": _PAIR_JACCARD
+    + f"""
+        , filt AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+        ), tri AS (
+          SELECT ab.u AS a, ab.v AS b, bc.v AS c
+          FROM filt ab
+          JOIN filt bc ON ab.v = bc.u
+          JOIN filt ac ON ac.u = ab.u AND ac.v = bc.v
+        ), nodes AS (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY doc_id
+    """,
     "q_graph_degree": _PAIR_JACCARD
     + f"""
         , filt AS (

@@ -477,8 +477,56 @@ def q_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("growth_bp"), F.asc("l_partkey")).limit(TREND_TOP)
 
 
+ZORDER_BITS = 8
+ZORDER_RANGE = 1024  # z-values per layout range (file/row-group analog)
+
+
+def _morton(x: str, y: str, div: str) -> str:
+    """Bit-interleaved (Morton / Z-order) key over two ZORDER_BITS-bit
+    dims, written as pure nonneg integer arithmetic (DIV/%/*) so the SAME
+    formula evaluates bit-identically in Spark (`DIV`) and DuckDB (`//`)
+    — no engine-specific bit operators."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave the bits of two query
+    dimensions — user bucket and event day — into one clustering key,
+    then summarize each ZORDER_RANGE-wide key range with its row count
+    and per-dimension bounding box. Sorting files by this key is how a
+    lakehouse gets multi-dimensional data skipping (small per-file
+    min/max boxes on BOTH dims) from a one-dimensional sort order; the
+    emitted bounding boxes ARE the skipping metadata. Map-only key
+    computation plus one keyed aggregation — at 100 TB this is the
+    repartitionByRange planning pass before a rewrite."""
+    events = load(spark, sf_dir, "events")
+    d = events.select(
+        F.expr("user_id % 256").cast("bigint").alias("x"),
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') % 256"
+        ).cast("bigint").alias("y"),
+    )
+    z = d.withColumn("z", F.expr(_morton("x", "y", "DIV")))
+    return (
+        z.withColumn("zrange", F.expr(f"z DIV {ZORDER_RANGE}").cast("bigint"))
+        .groupBy("zrange")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
+    "q_zorder_layout": q_zorder_layout,
     "q_key_skew_profile": q_key_skew_profile,
     "q_salted_agg": q_salted_agg,
     "q_cdc_latest": q_cdc_latest,
@@ -511,6 +559,21 @@ _PROFILE_SELECTS = " UNION ALL ".join(
 )
 
 ORACLES = {
+    "q_zorder_layout": f"""
+        WITH d AS (
+          SELECT CAST(user_id % 256 AS BIGINT) AS x,
+                 CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 256 AS BIGINT)
+                   AS y
+          FROM events
+        ), z AS (
+          SELECT x, y, {_morton("x", "y", "//")} AS z FROM d
+        )
+        SELECT CAST(z // {ZORDER_RANGE} AS BIGINT) AS zrange,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM z GROUP BY zrange
+    """,
     "q_profile_columns": _PROFILE_SELECTS,
     "q_key_skew_profile": f"""
         WITH per_key AS (

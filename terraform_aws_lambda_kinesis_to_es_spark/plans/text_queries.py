@@ -560,6 +560,133 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_quality_classifier: fastText-style hashed linear model. Weights are
+# DERIVED from the bucket id by the same md5 hash both engines share, so the
+# "model" needs no broadcast table at all — the classic hashing-trick scoring
+# shape (score = sum of weights of hashed token features) with zero shuffle.
+CLS_BUCKETS = 1024
+CLS_WEIGHT_SPAN = 17  # weights in [-8, 8]
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear classifier scoring (fastText-shape): each
+    token hashes into one of CLS_BUCKETS feature buckets, each bucket's
+    integer weight in [-8, 8] derives deterministically from the bucket id,
+    and the doc score is the sum over token instances. This is exactly how
+    a 100 TB pipeline runs a cheap learned quality model: map-only, the
+    model reached through arithmetic (or a broadcast array), no shuffle,
+    no UDF — the score fold is a JVM HOF over the token array."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    weights = F.transform(
+        toks,
+        lambda t: (
+            hash60(
+                F.concat(
+                    F.lit("w:"), (hash60(t) % CLS_BUCKETS).cast("string")
+                )
+            )
+            % CLS_WEIGHT_SPAN
+            - F.lit((CLS_WEIGHT_SPAN - 1) // 2)
+        ),
+    )
+    score = F.aggregate(
+        weights, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("pred_keep"),
+    )
+
+
+# q_doc_chunks: RAG-style sliding-window chunking.
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-corpus chunking: overlapping CHUNK_WORDS-token windows at
+    CHUNK_STRIDE spacing (the standard RAG ingest step), emitted as
+    (doc_id, chunk_idx, n_words, chunk fingerprint). Chunk count is
+    1 + ceil((n - C) / S) so the tail is always covered; the fingerprint
+    lets the oracle check the exact chunk text without shipping it.
+    Scale shape: a map-side 1-to-N Generate (explode of a tiny index
+    sequence) — no shuffle, pipelined with the scan."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    d = d.withColumn(
+        "k",
+        F.when(F.col("n") <= 0, F.lit(0))
+        .when(F.col("n") <= CHUNK_WORDS, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"(n - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}")
+        )
+        .cast("int"),
+    )
+    exploded = d.filter(F.col("k") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, F.lit(CHUNK_WORDS)
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        hash60(F.array_join(chunk, " ")).alias("chunk_h"),
+    )
+
+
+OOV_VOCAB_SIZE = 500
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-OOV_VOCAB_SIZE corpus
+    vocabulary (ties broken by token so the cut is deterministic), then
+    per-doc out-of-vocabulary token fraction in basis points — the number
+    that decides whether a tokenizer's vocab fits a new corpus. Two-pass
+    shape that survives 100 TB: one word-count shuffle feeding a TakeOrdered
+    vocab (bounded rows, broadcast), then a broadcast membership join and
+    one per-doc aggregation."""
+    docs = load_split(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .orderBy(F.desc("cw"), F.asc("w"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(10000 * n_oov) DIV n_tokens").cast("bigint").alias("oov_bp"),
+        )
+    )
+
+
 def q_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum / CCNet-style difficulty binning on an exact integer
     rarity score: each token instance contributes T DIV c_w (corpus
@@ -617,6 +744,9 @@ QUERIES = {
     "q_text_normalize": q_text_normalize,
     "q_difficulty_buckets": q_difficulty_buckets,
     "q_keyphrase": q_keyphrase,
+    "q_quality_classifier": q_quality_classifier,
+    "q_doc_chunks": q_doc_chunks,
+    "q_oov_rate": q_oov_rate,
 }
 
 
@@ -664,7 +794,71 @@ _PII_ENRICH = (
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 )
 
+_CLS_WEIGHT = (
+    hash60_sql(
+        f"'w:' || CAST({hash60_sql('t')} % {CLS_BUCKETS} AS VARCHAR)"
+    )
+    + f" % {CLS_WEIGHT_SPAN} - {(CLS_WEIGHT_SPAN - 1) // 2}"
+)
+
+_CHUNK_SLICE = (
+    f"toks[chunk_idx*{CHUNK_STRIDE}+1 : "
+    f"chunk_idx*{CHUNK_STRIDE}+{CHUNK_WORDS}]"
+)
+
 ORACLES = {
+    "q_quality_classifier": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_reduce(
+                   list_prepend(0, list_transform(toks, t -> ({_CLS_WEIGHT}))),
+                   (a, b) -> a + b) AS score
+          FROM t
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(score AS BIGINT) AS score, score > 0 AS pred_keep
+        FROM s
+    """,
+    "q_doc_chunks": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+        ), k AS (
+          SELECT doc_id, toks,
+                 CASE WHEN n <= 0 THEN 0
+                      WHEN n <= {CHUNK_WORDS} THEN 1
+                      ELSE 1 + (n - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE} END AS k
+          FROM t
+        ), c AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(0, k - 1)) AS chunk_idx
+          FROM k WHERE k > 0
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len({_CHUNK_SLICE}) AS BIGINT) AS n_words,
+               {hash60_sql(f"array_to_string({_CHUNK_SLICE}, ' ')")} AS chunk_h
+        FROM c
+    """,
+    "q_oov_rate": f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+        ), vocab AS (
+          SELECT w FROM (
+            SELECT w, COUNT(*) AS cw FROM words GROUP BY w
+            QUALIFY ROW_NUMBER() OVER (ORDER BY cw DESC, w)
+                      <= {OOV_VOCAB_SIZE}
+          )
+        ), j AS (
+          SELECT d.doc_id, v.w IS NOT NULL AS iv
+          FROM words d LEFT JOIN vocab v ON d.w = v.w
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+               CAST((10000 * SUM(CASE WHEN iv THEN 0 ELSE 1 END)) // COUNT(*)
+                    AS BIGINT) AS oov_bp
+        FROM j GROUP BY doc_id
+    """,
     "q_gopher_filters": f"""
         WITH t AS (
           SELECT doc_id, text, {_TOKS} AS toks FROM documents

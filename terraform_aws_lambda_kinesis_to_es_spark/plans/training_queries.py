@@ -441,8 +441,42 @@ def q_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier data selection: documents not strictly dominated on
+    (quality_bp, n_chars) — doc A dominates B when A >= B on both axes and
+    > on at least one. Multi-objective selection without collapsing the
+    axes into one weighted score.
+
+    Scale shape: the naive skyline is an O(n^2) NOT-EXISTS self-join (the
+    oracle runs exactly that); here it is two bounded passes — quality_bp
+    has at most 10001 distinct values, so per-quality max-chars is a tiny
+    aggregate, the strictly-higher-quality suffix max is a window over
+    that BOUNDED relation only, and the verdict is a broadcast join back.
+    No corpus-wide window, no pair join — survives any corpus size."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import with_quality
+
+    docs = with_quality(load_split(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_bp", F.col("n_chars_calc").alias("n_chars")
+    )
+    per_q = docs.groupBy("quality_bp").agg(F.max("n_chars").alias("max_c"))
+    w = (
+        Window.orderBy(F.desc("quality_bp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = per_q.withColumn("max_higher", F.max("max_c").over(w))
+    sky = docs.join(F.broadcast(bounds), "quality_bp").filter(
+        (F.col("n_chars") == F.col("max_c"))
+        & (
+            F.col("max_higher").isNull()
+            | (F.col("n_chars") > F.col("max_higher"))
+        )
+    )
+    return sky.select("doc_id", "quality_bp", "n_chars")
+
+
 QUERIES = {
     "q_bigram_lm": q_bigram_lm,
+    "q_skyline": q_skyline,
     "q_clean_stream": q_clean_stream,
     "q_span_mask": q_span_mask,
     "q_importance_sample": q_importance_sample,
@@ -646,6 +680,20 @@ ORACLES = {
         SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
         ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_PAIRS}
     """,
+    "q_skyline": f"""
+        WITH q AS ({{Q_QUALITY}}),
+        d AS (
+          SELECT doc_id, quality_bp,
+                 CAST(n_chars_calc AS BIGINT) AS n_chars
+          FROM q
+        )
+        SELECT a.doc_id, a.quality_bp, a.n_chars FROM d AS a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM d AS b
+          WHERE b.quality_bp >= a.quality_bp AND b.n_chars >= a.n_chars
+            AND (b.quality_bp > a.quality_bp OR b.n_chars > a.n_chars)
+        )
+    """,
     "q_bigram_lm": f"""
         WITH grams AS (
           SELECT unnest({_ngrams_sql(_TOKS, 2)}) AS g FROM documents
@@ -763,3 +811,13 @@ ORACLES = {
         FROM per_source CROSS JOIN totals
     """,
 }
+
+# q_skyline's oracle embeds the q_quality oracle verbatim as its CTE so the
+# two stay definitionally in lockstep (same trick as _importance_sample_sql).
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (  # noqa: E402
+    ORACLES as _TEXT_ORACLES,
+)
+
+ORACLES["q_skyline"] = ORACLES["q_skyline"].replace(
+    "{Q_QUALITY}", _TEXT_ORACLES["q_quality"]
+)

@@ -135,6 +135,28 @@ def test_round3_queries_nonvacuous(spark, sf_dir):
     assert inc.filter("admit").count() > 0
 
 
+def test_late_tranche_nonvacuous(spark, sf_dir):
+    """Same guard for the round-3 late tranche (declared after the
+    driver's head-50 window): empty outputs would make the oracle
+    equality vacuous."""
+    for name in (
+        "q_quality_classifier",
+        "q_doc_chunks",
+        "q_oov_rate",
+        "q_skyline",
+        "q_graph_triangles",
+        "q_zorder_layout",
+    ):
+        assert QUERIES[name](spark, sf_dir).count() > 0, name
+    # the classifier must actually separate: both predicted classes occur
+    cls = QUERIES["q_quality_classifier"](spark, sf_dir)
+    assert cls.filter("pred_keep").count() > 0
+    assert cls.filter("NOT pred_keep").count() > 0
+    # chunking must produce multi-chunk docs (the overlap path is exercised)
+    chunks = QUERIES["q_doc_chunks"](spark, sf_dir)
+    assert chunks.filter("chunk_idx >= 1").count() > 0
+
+
 def test_attribution_matches_window_form(spark, sf_dir):
     """The aggregate (min_by/max_by) form must equal the
     row_number-window formulation it replaces."""

@@ -280,6 +280,41 @@ def test_gopher_and_phrase_stay_map_side(spark, sf_dir):
         assert "Join" not in plan and "Window" not in plan, name
 
 
+def test_late_tranche_plan_shapes(spark, sf_dir):
+    # q_quality_classifier: hashed linear scoring is scan + HOF project
+    # only (one permitted load_split re-parallelization exchange)
+    plan = plan_of(spark, sf_dir, "q_quality_classifier")
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan and "Window" not in plan
+
+    # q_doc_chunks: chunking is a pipelined row-local Generate — no
+    # shuffle, no join
+    plan = plan_of(spark, sf_dir, "q_doc_chunks")
+    assert "Generate" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+    # q_oov_rate: the vocab cut must compile to TakeOrdered (bounded,
+    # never a global sort) and membership must be a broadcast hash join
+    plan = plan_of(spark, sf_dir, "q_oov_rate")
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # q_skyline: the ONLY window runs over the bounded per-quality
+    # relation; the corpus-side verdict is a broadcast join, and the
+    # O(n^2) NOT-EXISTS shape of the oracle must never appear here
+    plan = plan_of(spark, sf_dir, "q_skyline")
+    assert plan.count("Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # q_zorder_layout: key derivation is map-side arithmetic; exactly the
+    # one aggregation exchange
+    plan = plan_of(spark, sf_dir, "q_zorder_layout")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     """Sweep: no query may contain an unkeyed join product unless its
     semantics require one against a broadcast side. Catches the classic
