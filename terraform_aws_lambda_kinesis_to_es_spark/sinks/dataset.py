@@ -1,0 +1,93 @@
+"""Training-shard export: deterministic output-layout control.
+
+The batch analytics surface decides WHAT goes into a training set
+(dedup/quality/mixing queries); this sink controls HOW it lands on disk,
+which at 100 TB is as load-bearing as the query plan:
+
+* **Stable sharding** — each record routes to ``hash60(id) % n_shards``,
+  so shard membership is a pure function of the id: re-exports, resumed
+  jobs, and incremental appends all agree on where a document lives, and
+  a downstream trainer can address shard ``i`` of ``n`` without a
+  manifest.
+* **Deterministic epoch order** — within a shard, rows are laid down in
+  ``hash60(seed || ':' || id)`` order: a reproducible global permutation
+  (change ``order_seed`` per epoch to reshuffle, keep it to replay a run
+  bit-identically). No ``rand()`` anywhere, so the layout is independent
+  of partitioning, task retries, and speculative execution.
+* **Bounded files** — ``maxRecordsPerFile`` caps file size so a shard
+  never degenerates into one multi-GB parquet file; because rows arrive
+  at the writer already sorted, every file is a contiguous slice of the
+  epoch order (file N of a shard holds permutation positions before
+  file N+1's).
+
+Scale shape: one hash-repartition on the shard id (the only shuffle) +
+a per-partition sort. ``partitionBy`` emits one directory per shard;
+the writer's required partition-column-prefix ordering is already
+satisfied by our ``sortWithinPartitions``, so no second sort is planned.
+
+Reference parity note: the reference (lambda/main.py:76-84) controls its
+output layout only via the ES index name and S3 failed-log key; shard
+layout for training corpora is engine-supplied capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60
+
+SHARD_COL = "shard_id"
+ORDER_COL = "epoch_order"
+
+
+def with_shard_layout(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    order_seed: str = "epoch-0",
+) -> DataFrame:
+    """Attach the layout columns (pure plan, no write): stable shard id and
+    the per-epoch permutation key. Split out from :func:`write_training_shards`
+    so tests and audits can assert the assignment without touching disk."""
+    sid = F.col(id_col).cast("string")
+    return df.withColumn(
+        SHARD_COL, (hash60(sid) % F.lit(n_shards)).cast("int")
+    ).withColumn(
+        ORDER_COL, hash60(F.concat(F.lit(f"{order_seed}:"), sid))
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    records_per_file: int | None = None,
+    order_seed: str = "epoch-0",
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as ``n_shards`` shard directories of size-bounded parquet
+    files in deterministic epoch order (see module docstring)."""
+    out = (
+        with_shard_layout(df, id_col, n_shards=n_shards, order_seed=order_seed)
+        .repartition(n_shards, SHARD_COL)
+        .sortWithinPartitions(SHARD_COL, ORDER_COL)
+    )
+    writer = out.write.mode(mode)
+    if records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", records_per_file)
+    writer.partitionBy(SHARD_COL).parquet(path)
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read an exported shard set; ``shards`` selects a subset via partition
+    pruning (the filter hits the directory listing, not row groups)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col(SHARD_COL).isin(shards))
+    return df
