@@ -1,6 +1,7 @@
 """Quickstart: the LLM training-data pipeline surface end to end —
 clean a corpus (dedup + quality + language), scan it for benchmark
-contamination, cut a stratified mix, and pack it into token-budget bins.
+contamination, cut a stratified mix, pack it into token-budget bins,
+and export the result as deterministic training shards.
 
     python examples/training_data_pipeline.py [sf_dir]
 """
@@ -34,6 +35,29 @@ def main() -> None:
         print(f"== {label} [{name}] ==")
         df.show(5, truncate=False)
         print(f"   rows: {df.count()}")
+
+    # final mile: lay the cleaned corpus down as training shards —
+    # stable shard membership, reproducible epoch order, bounded files
+    import tempfile
+
+    from terraform_aws_lambda_kinesis_to_es_spark.sinks.dataset import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "shards")
+        write_training_shards(
+            queries["q_clean_corpus"](spark, sf_dir),
+            out,
+            "doc_id",
+            n_shards=4,
+            records_per_file=100,
+            order_seed="epoch-0",
+        )
+        back = read_training_shards(spark, out)
+        print("== training-shard export [sinks/dataset.py] ==")
+        back.groupBy("shard_id").count().orderBy("shard_id").show()
 
     spark.stop()
 

@@ -524,9 +524,121 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _integrity_leg(
+    child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str
+) -> DataFrame:
+    """One referential-integrity audit leg: child rows keyed by ``ckey``
+    against parent keys ``pkey``. Child rows are pre-aggregated to one row
+    per key BEFORE the join (the map-side shrink that makes this survive a
+    100 TB fact table), then a single full-outer key join yields orphan
+    rows (child key absent from parent) and childless parents in one pass.
+    No broadcast hint: both sides can be SF-proportional, AQE picks the
+    strategy."""
+    ck = child.groupBy(F.col(ckey).alias("k")).agg(F.count("*").alias("n_rows"))
+    pk = parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+        "is_parent", F.lit(1)
+    )
+    j = ck.join(pk, "k", "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_child_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_parent").isNull(), F.col("n_rows"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_orphan_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_rows").isNull() & F.col("is_parent").isNotNull(), 1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_childless_parents"),
+    ).select(F.lit(label).alias("relation"), "*")
+
+
+def q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the fact/dimension graph: per
+    foreign-key relation, total child rows, orphan child rows (FK value
+    with no parent — broken ingest), and childless parents (parent never
+    referenced — e.g. customers who never ordered, a real TPC-H property).
+    The standing data-quality gate a pipeline runs after every load; at
+    100 TB the per-leg cost is one child-side key rollup + one key join,
+    never a row-level pass over the join product."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    legs = [
+        _integrity_leg(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        _integrity_leg(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+        _integrity_leg(lineitem, "l_partkey", part, "p_partkey", "lineitem->part"),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation (partial-state merge): the standing-rollup
+    pattern where yesterday's stored per-(type, day) aggregates are merged
+    with today's increment instead of recomputing from raw history. Both
+    halves (split here deterministically on day-of-month parity) are
+    reduced to mergeable states — count, byte sum, min/max event-time as
+    epoch micros — then the union is re-aggregated with the states' merge
+    functions (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxs).
+    The DuckDB oracle computes the rollup DIRECTLY from the raw events, so
+    the driver's equality check proves merge == recompute — the algebraic
+    property that makes incremental maintenance sound. At 100 TB this is
+    the difference between scanning one day and scanning three years."""
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.length("props").alias("bytes"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n_events"),
+            F.sum("bytes").alias("bytes"),
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+        )
+
+    existing = partial(base.filter(F.dayofmonth("day") % 2 == 0))
+    increment = partial(base.filter(F.dayofmonth("day") % 2 == 1))
+    return (
+        existing.unionByName(increment)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.min("first_us").cast("bigint").alias("first_us"),
+            F.max("last_us").cast("bigint").alias("last_us"),
+        )
+        # dates render as strings (house rule: only types with identical
+        # cross-engine string forms in the output hash)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "bytes",
+            "first_us",
+            "last_us",
+        )
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_zorder_layout": q_zorder_layout,
+    "q_orphan_check": q_orphan_check,
+    "q_rollup_merge": q_rollup_merge,
     "q_key_skew_profile": q_key_skew_profile,
     "q_salted_agg": q_salted_agg,
     "q_cdc_latest": q_cdc_latest,
@@ -558,7 +670,43 @@ _PROFILE_SELECTS = " UNION ALL ".join(
     for c in PROFILE_COLS
 )
 
+def _integrity_leg_sql(child: str, ckey: str, parent: str, pkey: str, label: str) -> str:
+    return f"""
+        SELECT '{label}' AS relation,
+               CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+               CAST((SELECT COUNT(*) FROM {child} c
+                     WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                       WHERE p.{pkey} = c.{ckey}))
+                    AS BIGINT) AS n_orphan_rows,
+               CAST((SELECT COUNT(*) FROM {parent} p
+                     WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                                       WHERE c.{ckey} = p.{pkey}))
+                    AS BIGINT) AS n_childless_parents
+    """
+
+
 ORACLES = {
+    "q_orphan_check": " UNION ALL ".join(
+        (
+            _integrity_leg_sql(
+                "lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"
+            ),
+            _integrity_leg_sql(
+                "orders", "o_custkey", "customer", "c_custkey", "orders->customer"
+            ),
+            _integrity_leg_sql(
+                "lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"
+            ),
+        )
+    ),
+    "q_rollup_merge": """
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(length(props)) AS BIGINT) AS bytes,
+               CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_us,
+               CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+        FROM events GROUP BY 1, 2
+    """,
     "q_zorder_layout": f"""
         WITH d AS (
           SELECT CAST(user_id % 256 AS BIGINT) AS x,

@@ -62,6 +62,42 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 1000
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles with an oracle-checkable accuracy contract —
+    the q_approx_distinct pattern applied to percentiles. At 100 TB the
+    exact sort-based percentile of a hot group can outgrow an executor;
+    approx_percentile's mergeable sketch (bounded memory, map-side
+    combine) is the scale path. Sketch contents are engine-specific, so
+    like the HLL query this emits the EXACT p50 (both engines compute it
+    identically) plus a boolean asserting the sketch's estimate landed
+    inside the exact quantile bracket at p ± 5/accuracy — 5x the sketch's
+    published rank-error guarantee (eps = 1/accuracy), wide enough to be
+    deterministic in practice, tight enough to prove the sketch works.
+    The oracle checks the booleans are uniformly TRUE."""
+    orders = load(spark, sf_dir, "orders")
+    slack = 5.0 / APPROX_PCT_ACCURACY
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.5), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("ap50"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.5 - slack)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.5 + slack)).alias("hi"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round("p50", 4).alias("p50_exact"),
+        "n",
+        ((F.col("ap50") >= F.col("lo")) & (F.col("ap50") <= F.col("hi"))).alias(
+            "within_rank_bound"
+        ),
+    )
+
+
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / dispersion aggregates per return flag: Pearson corr of
     quantity vs extended price, sample stddev, min/max. Single partial-
@@ -341,6 +377,7 @@ QUERIES = {
     "q_top_doc_per_source": q_top_doc_per_source,
     "q_running_total": q_running_total,
     "q_percentiles": q_percentiles,
+    "q_approx_quantiles": q_approx_quantiles,
     "q_corr_stats": q_corr_stats,
     "q_mad_outliers": q_mad_outliers,
     "q_value_buckets": q_value_buckets,
@@ -349,6 +386,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_approx_quantiles": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS within_rank_bound
+        FROM orders GROUP BY o_orderpriority
+    """,
     "q_percent_change": """
         WITH monthly AS (
           SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,

@@ -157,6 +157,31 @@ def test_late_tranche_nonvacuous(spark, sf_dir):
     assert chunks.filter("chunk_idx >= 1").count() > 0
 
 
+def test_integrity_rollup_sketch_nonvacuous(spark, sf_dir):
+    """Second late-tranche wave: the audits must exercise their interesting
+    branches, not just return rows."""
+    ri = QUERIES["q_orphan_check"](spark, sf_dir)
+    rows = {r.relation: r for r in ri.collect()}
+    assert set(rows) == {"lineitem->orders", "orders->customer", "lineitem->part"}
+    # the fixture ships orders with no lineitems (27 at sf0.001) — the
+    # childless-parent branch must actually fire
+    assert rows["lineitem->orders"].n_childless_parents > 0
+    # clean fixture: no orphans (a nonzero here would mean broken testdata)
+    assert all(r.n_orphan_rows == 0 for r in rows.values())
+
+    rm = QUERIES["q_rollup_merge"](spark, sf_dir)
+    merged = rm.collect()
+    assert len(merged) > 0
+    # both halves of the parity split must be populated, else the merge
+    # degenerates to a plain rollup and proves nothing
+    assert any(int(r.day[8:10]) % 2 == 0 for r in merged)
+    assert any(int(r.day[8:10]) % 2 == 1 for r in merged)
+
+    aq = QUERIES["q_approx_quantiles"](spark, sf_dir).collect()
+    assert len(aq) > 0
+    assert all(r.within_rank_bound for r in aq)
+
+
 def test_attribution_matches_window_form(spark, sf_dir):
     """The aggregate (min_by/max_by) form must equal the
     row_number-window formulation it replaces."""

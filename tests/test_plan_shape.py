@@ -314,6 +314,69 @@ def test_late_tranche_plan_shapes(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
 
+    # q_orphan_check: every leg is a keyed join after a child-side key
+    # rollup — the oracle's O(n^2) NOT-EXISTS shape must never appear
+    plan = plan_of(spark, sf_dir, "q_orphan_check")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # q_rollup_merge: pure aggregation algebra, no join anywhere
+    plan = plan_of(spark, sf_dir, "q_rollup_merge")
+    assert "Join" not in plan
+
+    # q_approx_quantiles: one grouped aggregation (sketch + exact share the
+    # same shuffle), no join
+    plan = plan_of(spark, sf_dir, "q_approx_quantiles")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_fires_on_selective_fact_join(spark, sf_dir):
+    """100 TB posture: when a selective dimension predicate feeds a SHUFFLE
+    join, Spark injects a bloom filter built from the filtered side into the
+    fact-side scan (runtime row-level filtering) — at scale this is the
+    difference between shuffling the whole fact table and shuffling only
+    rows that can possibly match. Nothing in the engine session may disable
+    the rewrite; this pins that with the size thresholds scaled down to
+    fixture bytes (app-side scan threshold defaults to 10GB), the canonical
+    selective-dim ⋈ fact shape gets bloom_filter_agg + might_contain
+    injected."""
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force the shuffle-join regime the optimization targets (at real
+        # scale neither side broadcasts)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = load(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
 
 def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     """Sweep: no query may contain an unkeyed join product unless its
