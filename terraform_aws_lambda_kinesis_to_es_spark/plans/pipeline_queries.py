@@ -634,11 +634,71 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENTITY_LEV_MAX = 3
+K_ANON = 5
+
+
+def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: candidate match pairs whose names
+    are within edit distance ENTITY_LEV_MAX, found by BLOCKING on the name's
+    last token (the noun) so only same-block pairs are ever compared — the
+    declared contract is blocked-candidate + exact-verify, mirrored exactly
+    by the oracle (same recall trade as the LSH dedup family).
+
+    Scale shape: names are collapsed to DISTINCT values with support counts
+    BEFORE the pair join (the same |distinct|-node trick as the dedup
+    collapse), the self-join is keyed on the block token (never all-pairs),
+    and ordering a < b emits each pair once. Levenshtein runs only on
+    in-block candidates."""
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.select(
+        F.col("block"),
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+    )
+    b = names.select(
+        F.col("block").alias("block_b"),
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")),
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("lev"),
+        "n_a",
+        "n_b",
+    ).filter(F.col("lev") <= ENTITY_LEV_MAX)
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on the (nation, market-segment) quasi-identifier:
+    per equivalence class, its size and whether it violates k=K_ANON — the
+    privacy gate run before releasing a dataset keyed on indirect
+    identifiers. One grouped aggregation; the QI cardinality (25x5) bounds
+    the output regardless of corpus size."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        (F.count("*") < K_ANON).alias("at_risk"),
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_zorder_layout": q_zorder_layout,
     "q_orphan_check": q_orphan_check,
     "q_rollup_merge": q_rollup_merge,
+    "q_entity_match": q_entity_match,
+    "q_k_anonymity": q_k_anonymity,
     "q_key_skew_profile": q_key_skew_profile,
     "q_salted_agg": q_salted_agg,
     "q_cdc_latest": q_cdc_latest,
@@ -686,6 +746,25 @@ def _integrity_leg_sql(child: str, ckey: str, parent: str, pkey: str, label: str
 
 
 ORACLES = {
+    "q_entity_match": f"""
+        WITH names AS (
+          SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 list_extract(string_split(p_name, ' '), -1) AS block
+          FROM part GROUP BY p_name
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+               a.n_parts AS n_a, b.n_parts AS n_b
+        FROM names a JOIN names b
+          ON a.block = b.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= {ENTITY_LEV_MAX}
+    """,
+    "q_k_anonymity": f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               COUNT(*) < {K_ANON} AS at_risk
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
     "q_orphan_check": " UNION ALL ".join(
         (
             _integrity_leg_sql(

@@ -62,6 +62,47 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification with carry-forward fill: the per-(type,
+    hour) count series, densified over the observed span (hourly — the
+    granularity at which this stream actually has holes, see q_dead_hours)
+    and gap-filled with the last observed value (leading gaps -> 0), plus
+    a was_gap flag. The standard prep step before any rolling/longitudinal
+    analysis — a downstream window must see every cell exactly once.
+
+    Scale shape: the only corpus-size work is the hourly aggregation; the
+    spine (distinct types x hour sequence from one min/max row) and the
+    carry-forward window both run over the BOUNDED |types| x |hours|
+    relation, never the raw events."""
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = events.select("event_type").distinct()
+    spine = types.join(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    filled = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.last("n", ignorenulls=True).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("n_filled"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
 APPROX_PCT_ACCURACY = 1000
 
 
@@ -378,6 +419,7 @@ QUERIES = {
     "q_running_total": q_running_total,
     "q_percentiles": q_percentiles,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_gap_fill": q_gap_fill,
     "q_corr_stats": q_corr_stats,
     "q_mad_outliers": q_mad_outliers,
     "q_value_buckets": q_value_buckets,
@@ -386,6 +428,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_gap_fill": """
+        WITH hourly AS (
+          SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT date_trunc('hour', CAST(MIN(ts) AS TIMESTAMP)) AS lo,
+                 date_trunc('hour', CAST(MAX(ts) AS TIMESTAMP)) AS hi
+          FROM events
+        ), spine AS (
+          SELECT t.event_type,
+                 unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS hour
+          FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN span s
+        ), filled AS (
+          SELECT sp.event_type, sp.hour, h.n
+          FROM spine sp LEFT JOIN hourly h
+            ON sp.event_type = h.event_type AND sp.hour = h.hour
+        )
+        SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(COALESCE(last_value(n IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS BIGINT) AS n_filled,
+               n IS NULL AS was_gap
+        FROM filled
+    """,
     "q_approx_quantiles": """
         SELECT o_orderpriority,
                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,

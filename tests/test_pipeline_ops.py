@@ -182,6 +182,26 @@ def test_integrity_rollup_sketch_nonvacuous(spark, sf_dir):
     assert all(r.within_rank_bound for r in aq)
 
 
+def test_entity_anon_gapfill_nonvacuous(spark, sf_dir):
+    """Third late-tranche wave: matching, privacy, and fill branches must
+    actually fire on driver data."""
+    em = QUERIES["q_entity_match"](spark, sf_dir).collect()
+    assert len(em) > 0
+    # names are distinct by construction, so every candidate is a FUZZY
+    # match (lev >= 1) — the interesting branch, not exact-dup noise
+    assert all(1 <= r.lev <= 3 for r in em)
+
+    ka = QUERIES["q_k_anonymity"](spark, sf_dir)
+    assert ka.filter("at_risk").count() > 0
+    assert ka.filter("NOT at_risk").count() > 0
+
+    gf = QUERIES["q_gap_fill"](spark, sf_dir)
+    # real holes exist at hourly grain, and carry-forward (not just the
+    # leading-zero default) must fill some of them
+    assert gf.filter("was_gap").count() > 0
+    assert gf.filter("was_gap AND n_filled > 0").count() > 0
+
+
 def test_attribution_matches_window_form(spark, sf_dir):
     """The aggregate (min_by/max_by) form must equal the
     row_number-window formulation it replaces."""

@@ -156,6 +156,7 @@ _INTENTIONAL_PRODUCT = {
     "q_trending_parts",    # x broadcast(single-row latest-year)
     "q_pagerank",          # node set x broadcast(single-row node count)
     "q_dup_method_agreement",  # three single-row count aggregates joined
+    "q_gap_fill",          # type set x broadcast(single-row hour span)
 }
 
 
@@ -329,6 +330,25 @@ def test_late_tranche_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_approx_quantiles")
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+    # q_entity_match: names collapse to distinct BEFORE the pair join and
+    # the self-join is keyed on the block token, never all-pairs
+    plan = plan_of(spark, sf_dir, "q_entity_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+    # q_k_anonymity: one grouped aggregation over a bounded QI space
+    plan = plan_of(spark, sf_dir, "q_k_anonymity")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+    # q_gap_fill: the only product is the single-row span attach; the
+    # carry-forward window runs over the bounded spine join, and the raw
+    # events feed exactly one aggregation
+    plan = plan_of(spark, sf_dir, "q_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_runtime_bloom_filter_fires_on_selective_fact_join(spark, sf_dir):
