@@ -82,6 +82,44 @@ def write_training_shards(
     writer.partitionBy(SHARD_COL).parquet(path)
 
 
+def shard_sink(
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int = 8,
+    records_per_file: int | None = None,
+    order_seed: str = "epoch-0",
+):
+    """``foreachBatch`` adapter for INCREMENTAL shard export — the
+    standing-ingest twin of :func:`write_training_shards`. Each micro-batch
+    appends into the same shard directories; because membership is a pure
+    hash of the id, a document lands in the same shard no matter which
+    batch delivers it, so downstream shard-addressed consumers never need
+    re-export. Within a batch the epoch order applies; across batches the
+    order is arrival order (per-file sortedness still holds — each file is
+    one batch's contiguous slice).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            shard_sink(path, "doc_id", n_shards=8)
+        ).trigger(availableNow=True).start()
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        write_training_shards(
+            df,
+            path,
+            id_col,
+            n_shards=n_shards,
+            records_per_file=records_per_file,
+            order_seed=order_seed,
+            mode="append",
+        )
+
+    return write_batch
+
+
 def read_training_shards(
     spark: SparkSession, path: str, shards: list[int] | None = None
 ) -> DataFrame:

@@ -105,6 +105,50 @@ def test_epoch_reshuffle_is_deterministic(spark, docs, tmp_path):
     }
 
 
+def test_streaming_incremental_export(spark, docs, tmp_path):
+    """shard_sink appends micro-batches into a stable shard layout: every
+    record lands exactly once, in the shard the pure hash assigns it,
+    regardless of which batch delivered it."""
+    import json
+
+    from terraform_aws_lambda_kinesis_to_es_spark.sinks.dataset import shard_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"doc_id": r.doc_id, "source": r.source} for r in docs.collect()
+    ]
+    # two micro-batches via maxFilesPerTrigger=1
+    half = len(rows) // 2
+    for name, chunk in (("b0", rows[:half]), ("b1", rows[half:])):
+        with open(src / f"{name}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in chunk))
+    out = str(tmp_path / "shards")
+    q = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(
+            shard_sink(out, "doc_id", n_shards=N_SHARDS)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    back = read_training_shards(spark, out)
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    layout = {
+        r.doc_id: r[SHARD_COL]
+        for r in with_shard_layout(docs, "doc_id", n_shards=N_SHARDS).collect()
+    }
+    for r in back.select("doc_id", SHARD_COL).collect():
+        assert layout[r.doc_id] == r[SHARD_COL]
+
+
 def test_subset_read_prunes_partitions(spark, docs, tmp_path):
     path = str(tmp_path / "shards")
     write_training_shards(docs, path, "doc_id", n_shards=N_SHARDS)
