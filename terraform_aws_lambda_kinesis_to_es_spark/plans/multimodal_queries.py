@@ -90,6 +90,52 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.mapInPandas(gen, "doc_id long, width long, height long, px_sum long")
 
 
+PATCH = 2  # ViT-style patch edge; 8x4 image -> 2x4 = 8 patches
+
+
+def q_media_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-ingest patchify through the REAL decoder: the q_media_decode
+    P6 framing is decoded by ``operators.multimodal.decode_image``, the
+    pixel grid is split into PATCH x PATCH patches (the standard vision-
+    transformer tokenization), and each patch leaves as its own row with
+    its channel-sum — a 1->N mapInPandas explosion whose per-row payload
+    is the patch embedding stand-in. The oracle recomputes every patch
+    sum arithmetically from the hex-parsed framed bytes, so the
+    numpy reshape/transpose patch walk is hash-verified by the driver.
+    Scale shape: map-only Arrow batches, 1->8 Generate-like fan-out, no
+    shuffle."""
+    docs = load_split(spark, sf_dir, "documents")
+    n = IMG_W * IMG_H * 3
+    body = F.expr(f"rpad(substring(encode(text, 'UTF-8'), 1, {n}), {n}, X'78')")
+    header = F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode())
+    framed = docs.select("doc_id", F.concat(header, body).alias("payload"))
+    pw = IMG_W // PATCH
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = M.decode_image(bytes(payload))
+                patches = (
+                    px.reshape(IMG_H // PATCH, PATCH, IMG_W // PATCH, PATCH, 3)
+                    .sum(axis=(1, 3, 4))
+                )
+                for pr in range(IMG_H // PATCH):
+                    for pc in range(IMG_W // PATCH):
+                        ids.append(doc_id)
+                        idxs.append(pr * pw + pc)
+                        sums.append(int(patches[pr, pc]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_idx": pd.Series(idxs, dtype="int64"),
+                    "patch_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return framed.mapInPandas(gen, "doc_id long, patch_idx long, patch_sum long")
+
+
 AUDIO_BYTES = 64  # 32 mono int16 samples per synthesized clip
 AUDIO_RATE = 8000
 
@@ -160,6 +206,7 @@ QUERIES = {
     "q_media_frames": q_media_frames,
     "q_media_resize": q_media_resize,
     "q_media_decode": q_media_decode,
+    "q_media_patchify": q_media_patchify,
     "q_media_audio_stats": q_media_audio_stats,
 }
 
@@ -216,6 +263,32 @@ ORACLES = {
                                             i -> CAST(('0x' || substring(hx, 2*i-1, 2)) AS INT)))
                  AS BIGINT) AS px_sum
         FROM body
+    """,
+    "q_media_patchify": f"""
+        -- same byte-wise hex framing as q_media_decode; patch (p) covers
+        -- pixel rows 2*(p//{IMG_W // PATCH})+ and cols 2*(p%{IMG_W // PATCH})+,
+        -- byte j of the patch maps to global byte index
+        -- (r*{IMG_W} + c)*3 + ch with r,c,ch derived from j.
+        WITH body AS (
+          SELECT doc_id,
+                 rpad(substring(hex(encode(text)), 1, {IMG_W * IMG_H * 6}),
+                      {IMG_W * IMG_H * 6}, '78') AS hx
+          FROM documents
+        ), p AS (
+          SELECT doc_id, hx, unnest(generate_series(0,
+                 {(IMG_H // PATCH) * (IMG_W // PATCH) - 1})) AS patch_idx
+          FROM body
+        )
+        SELECT doc_id, CAST(patch_idx AS BIGINT) AS patch_idx,
+               CAST(list_sum(list_transform(
+                 generate_series(0, {PATCH * PATCH * 3 - 1}), j ->
+                   CAST(('0x' || substring(hx,
+                     2 * (((({PATCH} * (patch_idx // {IMG_W // PATCH}) + j // {PATCH * 3})
+                            * {IMG_W})
+                           + ({PATCH} * (patch_idx % {IMG_W // PATCH}) + (j % {PATCH * 3}) // 3))
+                          * 3 + j % 3) + 1, 2)) AS INT)))
+                 AS BIGINT) AS patch_sum
+        FROM p
     """,
     "q_media_resize": f"""
         WITH ds AS (

@@ -49,6 +49,64 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(vecs, queries, k=TOP_K)
 
 
+ANN_PROBE_RADIUS = 2
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: per-query recall of the LSH index against the
+    brute-force exact top-k ground truth, for BOTH probe settings — the
+    single-bucket probe (cheapest, recall-poor at 256 buckets) and the
+    Hamming-radius-2 multi-probe (37 of 256 buckets, the standard recall
+    knob). This is the pick-a-detector audit of the ANN family (next to
+    q_dup_method_agreement for SimHash): it yields the recall-vs-candidate
+    -cost curve that decides the production probe radius. Output is
+    ID-set arithmetic only (hit counts, integer basis points), exactly
+    reproducible cross-engine even though both inputs rank by float
+    cosine.
+
+    Scale shape: both detector legs are keyed bucket joins with broadcast
+    probes; the audit adds only (query, neighbor)-keyed semi joins and
+    tiny per-query aggregations."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = S.knn_bruteforce(vecs, queries, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+
+    def hits_of(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    h_bucket = hits_of(S.knn_lsh(vecs, queries, k=TOP_K), "n_hit_bucket")
+    h_probe = hits_of(
+        S.knn_lsh_multiprobe(vecs, queries, k=TOP_K, radius=ANN_PROBE_RADIUS),
+        "n_hit_probe",
+    )
+    n_true = exact.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    return (
+        n_true.join(h_bucket, "query_id", "left")
+        .join(h_probe, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hit_bucket", F.lit(0)).cast("bigint").alias("n_hit_bucket"),
+            F.coalesce("n_hit_probe", F.lit(0)).cast("bigint").alias("n_hit_probe"),
+            F.expr("(10000 * coalesce(n_hit_bucket, 0)) DIV n_true")
+            .cast("bigint")
+            .alias("recall_bucket_bp"),
+            F.expr("(10000 * coalesce(n_hit_probe, 0)) DIV n_true")
+            .cast("bigint")
+            .alias("recall_probe_bp"),
+        )
+    )
+
+
 def q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean-vector (centroid) pipeline: aggregate 64-dim arrays
     position-wise, then cosine of each vector to its own label centroid.
@@ -348,6 +406,7 @@ QUERIES = {
     "q_embed_near_dup": q_embed_near_dup,
     "q_embed_near_dup_lsh": q_embed_near_dup_lsh,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_recall": q_ann_recall,
     "q_ann_ivf": q_ann_ivf,
     "q_centroid_sim": q_centroid_sim,
     "q_quantize": q_quantize,
@@ -433,6 +492,35 @@ scored AS (
 SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+_ANN_MP_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+bucketed AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM vecs),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+      WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+  SELECT q.query_id, q.qv, CAST(xor(q.bucket, t.m) AS INT) AS bucket
+  FROM q, unnest({{MASKS}}) AS t(m)
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql("c.v", "p.qv")} AS sim_raw
+  FROM bucketed c JOIN probes p ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+# the probe-mask set is generated by the SAME python as the Spark side
+_ANN_MP_SQL = _ANN_MP_SQL.replace(
+    "{MASKS}", str(S.probe_masks(ANN_PROBE_RADIUS))
+)
 
 _NEAR_DUP_LSH_SQL = f"""
 WITH vecs AS ({_VEC_CTE}),
@@ -646,5 +734,33 @@ ORACLES = {
     "q_embed_near_dup": _NEAR_DUP_SQL,
     "q_embed_near_dup_lsh": _NEAR_DUP_LSH_SQL,
     "q_ann_lsh": _ANN_SQL,
+    "q_ann_recall": f"""
+        WITH exact AS ({_KNN_SQL}),
+        approx_bucket AS ({_ANN_SQL}),
+        approx_probe AS ({_ANN_MP_SQL}),
+        hb AS (
+          SELECT a.query_id, COUNT(*) AS n_hit_bucket
+          FROM approx_bucket a JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY 1
+        ),
+        hp AS (
+          SELECT a.query_id, COUNT(*) AS n_hit_probe
+          FROM approx_probe a JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+          GROUP BY 1
+        ),
+        t AS (SELECT query_id, COUNT(*) AS n_true FROM exact GROUP BY 1)
+        SELECT t.query_id, CAST(t.n_true AS BIGINT) AS n_true,
+               CAST(COALESCE(hb.n_hit_bucket, 0) AS BIGINT) AS n_hit_bucket,
+               CAST(COALESCE(hp.n_hit_probe, 0) AS BIGINT) AS n_hit_probe,
+               CAST((10000 * COALESCE(hb.n_hit_bucket, 0)) // t.n_true
+                 AS BIGINT) AS recall_bucket_bp,
+               CAST((10000 * COALESCE(hp.n_hit_probe, 0)) // t.n_true
+                 AS BIGINT) AS recall_probe_bp
+        FROM t
+        LEFT JOIN hb ON t.query_id = hb.query_id
+        LEFT JOIN hp ON t.query_id = hp.query_id
+    """,
     # q_centroid_sim: rows-only (float aggregation order differs by design).
 }

@@ -58,6 +58,22 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.2, recalls
 
 
+def test_ann_recall_audit_shows_probe_lift(spark, sf_dir):
+    """The dual-detector recall audit must (a) agree with the definition —
+    multi-probe candidates are a superset of single-bucket candidates, so
+    per-query probe recall >= bucket recall — and (b) be non-vacuous: the
+    radius-2 probe actually recovers ground-truth neighbors on driver
+    data."""
+    rows = entrypoint.queries()["q_ann_recall"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_true > 0
+        assert r.recall_probe_bp >= r.recall_bucket_bp, r
+    assert sum(r.n_hit_probe for r in rows) > 0
+    # the lift is the point of multi-probe: strictly better in aggregate
+    assert sum(r.n_hit_probe for r in rows) > sum(r.n_hit_bucket for r in rows)
+
+
 def test_simhash_pairs_verified_by_bruteforce(spark, sf_dir):
     """The banded simhash join must find exactly the pairs a brute-force
     hamming scan finds (pigeonhole guarantees recall for distance<=3)."""

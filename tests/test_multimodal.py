@@ -152,6 +152,32 @@ def test_frame_sampling_explosion(spark):
     assert got == {(1, 0): 64, (1, 1): 64, (1, 2): 64, (2, 0): 10}
 
 
+def test_patchify_covers_image_exactly(spark, sf_dir):
+    """ViT patchify: every doc yields the full patch grid exactly once,
+    the patch sums add back to the whole-image pixel sum (the reshape
+    walk drops/duplicates nothing), and patches differ within a doc
+    (real pixel data flows, not a constant fake)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        IMG_H,
+        IMG_W,
+        PATCH,
+        q_media_decode,
+        q_media_patchify,
+    )
+
+    n_patches = (IMG_H // PATCH) * (IMG_W // PATCH)
+    rows = q_media_patchify(spark, sf_dir).collect()
+    per_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, {})[r.patch_idx] = r.patch_sum
+    assert all(set(p) == set(range(n_patches)) for p in per_doc.values())
+    totals = {r.doc_id: r.px_sum for r in q_media_decode(spark, sf_dir).collect()}
+    assert set(per_doc) == set(totals)
+    for doc_id, patches in per_doc.items():
+        assert sum(patches.values()) == totals[doc_id], doc_id
+    assert any(len(set(p.values())) > 1 for p in per_doc.values())
+
+
 def test_fake_decode_frame_content():
     payload = bytes(range(256)) * 3  # 768 bytes
     frames = M.fake_decode_frames(payload)

@@ -157,6 +157,8 @@ _INTENTIONAL_PRODUCT = {
     "q_pagerank",          # node set x broadcast(single-row node count)
     "q_dup_method_agreement",  # three single-row count aggregates joined
     "q_gap_fill",          # type set x broadcast(single-row hour span)
+    "q_ann_recall",        # ground-truth leg IS knn_bruteforce (corpus x
+                           # broadcast query vecs); both LSH legs stay keyed
 }
 
 
