@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship daily-index routing query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the full declared surface from
 SURVEY.md §7.3 plus the training-data extensions (dedup, similarity
-search, text analysis). Every query with SQL-expressible semantics ships
-a DuckDB oracle; the only rows-only entries are the ones whose float
-aggregation order is engine-specific by design (documented inline).
+search, text analysis). Every declared query ships a DuckDB oracle —
+as of round 3 the rows-only class is empty (the two former members,
+q_centroid_sim and q_ann_ivf, were made value-checkable with
+order-pinned folds and explicit tiebreaks).
 """
 
 from __future__ import annotations

@@ -445,8 +445,14 @@ def with_ivf_list(df: DataFrame, centroids: DataFrame, vec_col: str = "v") -> Da
     scored = df.crossJoin(F.broadcast(c)).withColumn(
         "_csim", cosine(F.col(vec_col), F.col("cv"))
     )
+    # tiebreak on the (astronomically unlikely) bitwise-equal cosine:
+    # lowest list_id wins — struct max over (csim, -list_id) mirrors the
+    # oracle's ORDER BY csim DESC, list_id ASC rank-1 exactly, which is
+    # what lets q_ann_ivf be value-checked rather than rows-only.
     assign = scored.groupBy(*[F.col(x) for x in df.columns]).agg(
-        F.max_by("list_id", "_csim").alias("list_id")
+        F.max_by(
+            "list_id", F.struct(F.col("_csim"), (-F.col("list_id")).alias("nl"))
+        ).alias("list_id")
     )
     return assign
 

@@ -185,9 +185,11 @@ def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: inverted lists by nearest (deterministically seeded)
-    centroid, n_probes lists scanned per query. Rows-only at the driver
-    (the centroid argmax ties on float sims make a SQL mirror brittle);
-    pytest bounds recall@10 against the exact brute force instead."""
+    centroid, n_probes lists scanned per query. Oracle-exact since round
+    3: every stage is deterministic (lowest-id seeds, explicit list-id
+    tiebreaks on the assignment argmax / probe top-n / final rank), so
+    the SQL mirror reproduces the whole pipeline value-for-value; pytest
+    additionally bounds recall@10 against the exact brute force."""
     vecs = _vec(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
     return S.knn_ivf(vecs, queries, k=TOP_K)
@@ -522,6 +524,50 @@ _ANN_MP_SQL = _ANN_MP_SQL.replace(
     "{MASKS}", str(S.probe_masks(ANN_PROBE_RADIUS))
 )
 
+# q_ann_ivf: every stage of the IVF pipeline is deterministic (lowest-id
+# seed centroids, explicit list-id tiebreaks on assignment/probe/rank), so
+# the oracle can mirror it end to end — same left-associative cosine
+# arithmetic, same ORDER BY ... DESC, list_id ASC rank-1 semantics.
+_IVF_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+cents AS (
+  SELECT vec_id AS centroid_of, v AS cv,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id
+  FROM vecs ORDER BY vec_id LIMIT {S.N_IVF_LISTS}
+),
+assigned AS (
+  SELECT neighbor_id, av AS cv2, list_id FROM (
+    SELECT x.vec_id AS neighbor_id, x.v AS av, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                              ORDER BY {_cosine_sql("x.v", "c.cv")} DESC,
+                                       c.list_id ASC) AS rn
+    FROM vecs x CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_cosine_sql("q.v", "c.cv")} DESC,
+                                       c.list_id ASC) AS pr
+    FROM vecs q CROSS JOIN cents c WHERE q.vec_id < {N_QUERY_VECS}
+  ) WHERE pr <= {S.N_IVF_PROBES}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_cosine_sql("a.cv2", "p.qv")} AS sim_raw
+  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.neighbor_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_raw DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
 _NEAR_DUP_LSH_SQL = f"""
 WITH vecs AS ({_VEC_CTE}),
 bucketed AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM vecs)
@@ -762,5 +808,5 @@ ORACLES = {
         LEFT JOIN hb ON t.query_id = hb.query_id
         LEFT JOIN hp ON t.query_id = hp.query_id
     """,
-    # q_centroid_sim: rows-only (float aggregation order differs by design).
+    "q_ann_ivf": _IVF_SQL,
 }
