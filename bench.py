@@ -62,6 +62,10 @@ HEADLINE = (
     "q_cdc_latest",
     "q_cooccurrence",
     "q_profile_columns",
+    "q_orphan_check",
+    "q_rollup_merge",
+    "q_entity_match",
+    "q_ann_recall",
 )
 
 

@@ -636,6 +636,77 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENTITY_LEV_MAX = 3
 K_ANON = 5
+HLL_TOL_BP = 500  # 5% — ~3x the default-precision HLL rsd, belt-and-braces
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per-(type, day) HyperLogLog
+    sketches (Apache DataSketches via hll_sketch_agg) UNIONED up to
+    per-type distinct-user estimates — the incremental-rollup pattern
+    (q_rollup_merge) applied to an approximate state. This is how a
+    standing 100 TB pipeline answers "distinct users over any window"
+    without rescanning raw history: daily sketch partials are tiny,
+    mergeable, and associative. Like q_approx_distinct, sketch bytes are
+    engine-specific, so the output carries the exact distinct count plus
+    a boolean contract asserting the merged estimate landed within
+    HLL_TOL_BP basis points of it (uniformly TRUE for the oracle)."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            * F.lit(10000)
+            <= F.lit(HLL_TOL_BP) * F.col("exact_users")
+        ).alias("within_tol"),
+    )
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity formation: the blocked fuzzy match pairs (q_entity_match
+    semantics) closed into entity clusters via the SAME connected-
+    components operator the dedup pipeline uses — each matched name gets
+    an entity id (the min name-hash in its component) plus the total part
+    support behind the entity. The full record-linkage arc: block ->
+    verify -> cluster -> aggregate, every stage keyed and
+    candidate-bounded. Oracle = recursive-CTE closure over the identical
+    pair set."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = q_entity_match(spark, sf_dir)
+    edges = pairs.select(
+        hash60(F.col("name_a")).alias("id_a"),
+        hash60(F.col("name_b")).alias("id_b"),
+    )
+    labels = connected_components(edges)
+    part = load(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    named = names.withColumn("id", hash60("name")).join(
+        labels.withColumnRenamed("u", "id"), "id"
+    )
+    return (
+        named.groupBy(F.col("label").alias("entity_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_names"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            F.min("name").alias("canonical_name"),
+        )
+    )
 
 
 def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +769,9 @@ QUERIES = {
     "q_orphan_check": q_orphan_check,
     "q_rollup_merge": q_rollup_merge,
     "q_entity_match": q_entity_match,
+    "q_entity_clusters": q_entity_clusters,
     "q_k_anonymity": q_k_anonymity,
+    "q_hll_merge": q_hll_merge,
     "q_key_skew_profile": q_key_skew_profile,
     "q_salted_agg": q_salted_agg,
     "q_cdc_latest": q_cdc_latest,
@@ -745,7 +818,43 @@ def _integrity_leg_sql(child: str, ckey: str, parent: str, pkey: str, label: str
     """
 
 
+_ENTITY_CLUSTERS_SQL = f"""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             list_extract(string_split(p_name, ' '), -1) AS block,
+             {hash60_sql("p_name")} AS id
+      FROM part GROUP BY p_name
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= {ENTITY_LEV_MAX}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labels AS (
+      SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src
+    )
+    SELECT l.label AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           CAST(SUM(n.n_parts) AS BIGINT) AS n_parts,
+           MIN(n.name) AS canonical_name
+    FROM names n JOIN labels l ON n.id = l.id
+    GROUP BY l.label
+"""
+
 ORACLES = {
+    "q_hll_merge": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
+    """,
+    "q_entity_clusters": _ENTITY_CLUSTERS_SQL,
     "q_entity_match": f"""
         WITH names AS (
           SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,

@@ -202,6 +202,21 @@ def test_entity_anon_gapfill_nonvacuous(spark, sf_dir):
     assert gf.filter("was_gap AND n_filled > 0").count() > 0
 
 
+def test_hll_merge_and_entity_clusters_nonvacuous(spark, sf_dir):
+    hll = QUERIES["q_hll_merge"](spark, sf_dir).collect()
+    assert len(hll) > 0
+    assert all(r.within_tol for r in hll)
+    # the union path must actually merge multiple daily sketches
+    assert all(r.n_days > 1 for r in hll)
+
+    ec = QUERIES["q_entity_clusters"](spark, sf_dir).collect()
+    assert len(ec) > 0
+    # every entity groups at least two matched names, and the canonical
+    # name belongs to the corpus
+    assert all(r.n_names >= 2 for r in ec)
+    assert all(r.n_parts >= r.n_names for r in ec)
+
+
 def test_attribution_matches_window_form(spark, sf_dir):
     """The aggregate (min_by/max_by) form must equal the
     row_number-window formulation it replaces."""
