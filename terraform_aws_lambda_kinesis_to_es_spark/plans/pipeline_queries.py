@@ -559,6 +559,98 @@ def _integrity_leg(
     ).select(F.lit(label).alias("relation"), "*")
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Great-Expectations-style
+    contract a pipeline evaluates after every load): not-null, accepted
+    values, range, and key-uniqueness checks over ``orders``, each emitted
+    as (expectation, n_checked, n_failed, pass). All row-level checks fold
+    into ONE full scan via conditional sums (map-side partial agg, a
+    single-row exchange); the uniqueness check is the only keyed
+    aggregation, and its failure count is exact (rows beyond the first
+    per key). At 100 TB this is one pass over the table, not one pass per
+    expectation."""
+    orders = load(spark, sf_dir, "orders")
+    checks = {
+        "o_orderkey_not_null": F.col("o_orderkey").isNull(),
+        "o_custkey_not_null": F.col("o_custkey").isNull(),
+        "o_totalprice_positive": ~(F.col("o_totalprice") > 0),
+        "o_orderstatus_in_set": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "o_orderdate_in_range": ~F.col("o_orderdate").between(
+            "1990-01-01", "2099-12-31"
+        ),
+    }
+    row_level = orders.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+            for name, cond in checks.items()
+        ],
+    )
+    rows = row_level.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col(name).cast("bigint").alias("n_failed"),
+                    )
+                    for name in checks
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+    uniq = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.lit("o_orderkey_unique").alias("expectation"),
+            F.sum("c").cast("bigint").alias("n_checked"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_failed"),
+        )
+    )
+    return rows.unionByName(uniq).withColumn(
+        "pass", F.col("n_failed") == 0
+    )
+
+
+DRIFT_BUCKET = 10
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (population-stability-index shape) over
+    the numeric payload field props.k: bucket the value, compare each
+    bucket's share (bp) between an "old" and a "new" half of the stream
+    (deterministic event_id parity split), and report the per-bucket
+    shift — the monitor that catches a producer silently changing a
+    field's distribution before a downstream model degrades. One scan +
+    one bounded keyed agg; output rows = bucket count."""
+    events = load(spark, sf_dir, "events")
+    b = events.select(
+        (F.col("event_id") % 2 == 0).alias("is_old"),
+        F.expr(
+            f"CAST(get_json_object(props, '$.k') AS BIGINT) DIV {DRIFT_BUCKET}"
+        ).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    tot = b.agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("n_new"),
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("c_new"),
+    )
+    return per_bucket.join(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("(10000 * c_old) DIV n_old").cast("bigint").alias("old_bp"),
+        F.expr("(10000 * c_new) DIV n_new").cast("bigint").alias("new_bp"),
+        F.expr("(10000 * c_new) DIV n_new - (10000 * c_old) DIV n_old")
+        .cast("bigint")
+        .alias("shift_bp"),
+    )
+
+
 def q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the fact/dimension graph: per
     foreign-key relation, total child rows, orphan child rows (FK value
@@ -768,6 +860,8 @@ QUERIES = {
     "q_zorder_layout": q_zorder_layout,
     "q_orphan_check": q_orphan_check,
     "q_rollup_merge": q_rollup_merge,
+    "q_expectations": q_expectations,
+    "q_value_drift": q_value_drift,
     "q_entity_match": q_entity_match,
     "q_entity_clusters": q_entity_clusters,
     "q_k_anonymity": q_k_anonymity,
@@ -846,7 +940,63 @@ _ENTITY_CLUSTERS_SQL = f"""
     GROUP BY l.label
 """
 
+_EXPECT_ROW_CHECKS = {
+    "o_orderkey_not_null": "o_orderkey IS NULL",
+    "o_custkey_not_null": "o_custkey IS NULL",
+    "o_totalprice_positive": "NOT (o_totalprice > 0)",
+    "o_orderstatus_in_set": "o_orderstatus NOT IN ('O', 'F', 'P')",
+    "o_orderdate_in_range":
+        "NOT (o_orderdate BETWEEN '1990-01-01' AND '2099-12-31')",
+}
+
+_EXPECTATIONS_SQL = (
+    "WITH r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS f_{i}"
+        for i, cond in enumerate(_EXPECT_ROW_CHECKS.values())
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS expectation, n AS n_checked, "
+        f"f_{i} AS n_failed, f_{i} = 0 AS pass FROM r"
+        for i, name in enumerate(_EXPECT_ROW_CHECKS)
+    )
+    + """ UNION ALL
+      SELECT 'o_orderkey_unique',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             COUNT(*) = COUNT(DISTINCT o_orderkey)
+      FROM orders
+    """
+)
+
 ORACLES = {
+    "q_expectations": _EXPECTATIONS_SQL,
+    "q_value_drift": f"""
+        WITH b AS (
+          SELECT event_id % 2 = 0 AS is_old,
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   // {DRIFT_BUCKET} AS bucket
+          FROM events
+        ), f AS (
+          SELECT * FROM b WHERE bucket IS NOT NULL
+        ), tot AS (
+          SELECT SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_old,
+                 SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS n_new
+          FROM f
+        ), per_bucket AS (
+          SELECT bucket,
+                 SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+                 SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
+          FROM f GROUP BY bucket
+        )
+        SELECT bucket,
+               CAST((10000 * c_old) // n_old AS BIGINT) AS old_bp,
+               CAST((10000 * c_new) // n_new AS BIGINT) AS new_bp,
+               CAST((10000 * c_new) // n_new - (10000 * c_old) // n_old
+                    AS BIGINT) AS shift_bp
+        FROM per_bucket CROSS JOIN tot
+    """,
     "q_hll_merge": """
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

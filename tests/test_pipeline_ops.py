@@ -202,6 +202,27 @@ def test_entity_anon_gapfill_nonvacuous(spark, sf_dir):
     assert gf.filter("was_gap AND n_filled > 0").count() > 0
 
 
+def test_expectations_and_drift_nonvacuous(spark, sf_dir):
+    ex = {r.expectation: r for r in QUERIES["q_expectations"](spark, sf_dir).collect()}
+    assert set(ex) == {
+        "o_orderkey_not_null", "o_custkey_not_null", "o_totalprice_positive",
+        "o_orderstatus_in_set", "o_orderdate_in_range", "o_orderkey_unique",
+    }
+    assert all(r.n_checked > 0 for r in ex.values())
+    # clean fixture: every declared expectation holds (a failure here means
+    # broken testdata, not a broken query)
+    assert all(r.n_failed == 0 and r.__getattr__("pass") for r in ex.values())
+
+    vd = QUERIES["q_value_drift"](spark, sf_dir).collect()
+    assert len(vd) == 10  # payload values 0..99 over bucket width 10
+    assert all(0 <= r.old_bp <= 10000 and 0 <= r.new_bp <= 10000 for r in vd)
+    # the halves genuinely differ — drift signal is non-trivial
+    assert any(r.shift_bp != 0 for r in vd)
+    # shares sum to ~100% on each side (DIV truncation: <= 10000)
+    assert 9900 <= sum(r.old_bp for r in vd) <= 10000
+    assert 9900 <= sum(r.new_bp for r in vd) <= 10000
+
+
 def test_hll_merge_and_entity_clusters_nonvacuous(spark, sf_dir):
     hll = QUERIES["q_hll_merge"](spark, sf_dir).collect()
     assert len(hll) > 0

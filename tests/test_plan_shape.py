@@ -159,6 +159,7 @@ _INTENTIONAL_PRODUCT = {
     "q_gap_fill",          # type set x broadcast(single-row hour span)
     "q_ann_recall",        # ground-truth leg IS knn_bruteforce (corpus x
                            # broadcast query vecs); both LSH legs stay keyed
+    "q_value_drift",       # bucket shares x broadcast(single-row totals)
 }
 
 
