@@ -67,7 +67,7 @@ _LATE = frozenset(
         "q_orphan_check", "q_rollup_merge", "q_approx_quantiles",
         "q_entity_match", "q_k_anonymity", "q_gap_fill", "q_ann_recall",
         "q_media_patchify", "q_hll_merge", "q_entity_clusters",
-        "q_expectations", "q_value_drift",
+        "q_expectations", "q_value_drift", "q_inverted_index", "q_top_paths",
     }
 )
 

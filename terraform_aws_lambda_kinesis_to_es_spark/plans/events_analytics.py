@@ -283,7 +283,47 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("prev_type", "next_type", "n", "share_bp")
 
 
+PATH_LEN = 3
+PATH_TOP = 20
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis: the PATH_TOP most common first-PATH_LEN
+    event-type sequences across users (the "how do sessions start" product
+    question, one level up from q_event_transitions' first-order Markov
+    matrix). Fully deterministic: event-time ties break on event_id, the
+    path string is assembled in rank order inside the aggregate, and the
+    top-k ties break on the path text.
+
+    Scale shape: one user-keyed window (rank + filter to the first K
+    events — WindowGroupLimit prunes the rest), one user-keyed agg, one
+    bounded path-count agg, TakeOrdered for the cut."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+        .select("user_id", "rn", "event_type")
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+
+
 QUERIES = {
+    "q_top_paths": q_top_paths,
     "q_dedup": q_dedup,
     "q_retention": q_retention,
     "q_event_transitions": q_event_transitions,
@@ -299,6 +339,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_top_paths": f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), firstk AS (
+          SELECT * FROM seq WHERE rn <= {PATH_LEN}
+        ), paths AS (
+          SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM firstk GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path ASC LIMIT {PATH_TOP}
+    """,
     "q_approx_distinct": """
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

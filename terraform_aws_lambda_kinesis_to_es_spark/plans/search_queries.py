@@ -247,7 +247,60 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INDEX_VOCAB = 200
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the build step behind everything the
+    reference's ES cluster does at query time (K1 ships docs INTO the
+    index; this is the index): for the top-INDEX_VOCAB terms
+    (deterministic tie-break), the document frequency, total term
+    frequency, and a fingerprint of the doc-id-sorted posting list (the
+    oracle value-checks the POSTINGS themselves, compressed through the
+    shared md5 hash, without shipping megabytes of ids).
+
+    Scale shape: one word-count shuffle feeding a TakeOrdered vocab cut,
+    a broadcast semi join to keep only indexed terms, then one grouped
+    aggregation whose collect_list is bounded per term by document
+    frequency — the posting list is exactly what a search engine stores
+    per term. Sorting is by doc id inside the aggregate (array_sort), so
+    the fingerprint is partition-order independent."""
+    docs = load_split(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .orderBy(F.desc("cw"), F.asc("w"))
+        .limit(INDEX_VOCAB)
+        .select("w")
+    )
+    per_doc = words.join(F.broadcast(vocab), "w", "left_semi").groupBy(
+        "w", "doc_id"
+    ).agg(F.count("*").alias("tf"))
+    from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60
+
+    postings = per_doc.groupBy(F.col("w").alias("term")).agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("ttf"),
+        hash60(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("postings_h"),
+    )
+    return postings
+
+
 QUERIES = {
+    "q_inverted_index": q_inverted_index,
     "q_keyword_search": q_keyword_search,
     "q_bm25": q_bm25,
     "q_length_histogram": q_length_histogram,
@@ -278,7 +331,32 @@ _BM25_SCORE = " + ".join(
     for i in range(len(SEARCH_TERMS))
 )
 
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (  # noqa: E402
+    hash60_sql,
+)
+
 ORACLES = {
+    "q_inverted_index": f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+        ), vocab AS (
+          SELECT w FROM (
+            SELECT w, COUNT(*) AS cw FROM words GROUP BY w
+            QUALIFY ROW_NUMBER() OVER (ORDER BY cw DESC, w) <= {INDEX_VOCAB}
+          )
+        ), per_doc AS (
+          SELECT w, doc_id, COUNT(*) AS tf
+          FROM words WHERE w IN (SELECT w FROM vocab)
+          GROUP BY w, doc_id
+        ), p AS (
+          SELECT w AS term,
+                 CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS ttf,
+                 string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS s
+          FROM per_doc GROUP BY w
+        )
+        SELECT term, df, ttf, {hash60_sql("s")} AS postings_h FROM p
+    """,
     "q_phrase_search": f"""
         WITH p AS (
           SELECT doc_id,

@@ -223,6 +223,22 @@ def test_expectations_and_drift_nonvacuous(spark, sf_dir):
     assert 9900 <= sum(r.new_bp for r in vd) <= 10000
 
 
+def test_index_and_paths_nonvacuous(spark, sf_dir):
+    inv = QUERIES["q_inverted_index"](spark, sf_dir).collect()
+    # full vocab cut, bounded by the corpus's distinct-word count (31 at
+    # sf0.001)
+    assert 0 < len(inv) <= 200
+    assert all(r.ttf >= r.df >= 1 for r in inv)
+    # posting lists genuinely differ across terms
+    assert len({r.postings_h for r in inv}) == len(inv)
+
+    tp = QUERIES["q_top_paths"](spark, sf_dir).collect()
+    assert 0 < len(tp) <= 20
+    # multi-event journeys dominate — the sequence assembly is exercised
+    assert any(">" in r.path for r in tp)
+    assert all(r.n_users >= 1 for r in tp)
+
+
 def test_hll_merge_and_entity_clusters_nonvacuous(spark, sf_dir):
     hll = QUERIES["q_hll_merge"](spark, sf_dir).collect()
     assert len(hll) > 0

@@ -353,6 +353,19 @@ def test_late_tranche_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
+    # q_inverted_index: vocab cut compiles to TakeOrdered, term membership
+    # is a broadcast semi join — never a sort-merge of the word explosion
+    plan = plan_of(spark, sf_dir, "q_inverted_index")
+    assert "TakeOrdered" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+    # q_top_paths: the first-K filter must prune inside the window
+    # (WindowGroupLimit), and the final cut is TakeOrdered — no global sort
+    plan = plan_of(spark, sf_dir, "q_top_paths")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrdered" in plan
+
 
 def test_runtime_bloom_filter_fires_on_selective_fact_join(spark, sf_dir):
     """100 TB posture: when a selective dimension predicate feeds a SHUFFLE
