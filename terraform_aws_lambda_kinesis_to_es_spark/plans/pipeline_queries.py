@@ -651,6 +651,40 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORGET_MOD = 97
+
+
+def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report: given a deterministic deletion
+    request set (user_id % FORGET_MOD == 0 stands in for the request
+    table; in production it arrives as a small broadcast relation), the
+    per-type row/byte/user counts that a purge would remove versus retain
+    — the audit run BEFORE executing a GDPR delete, and the same
+    partition-pruned anti-join shape that executes it. One scan, one
+    bounded keyed agg."""
+    events = load(spark, sf_dir, "events")
+    flagged = events.select(
+        "event_type",
+        "user_id",
+        F.length("props").alias("bytes"),
+        (F.col("user_id") % FORGET_MOD == 0).alias("purge"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("purge"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purged"),
+        F.sum(F.when(~F.col("purge"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("purge"), F.col("bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("bytes_purged"),
+        F.count_distinct(F.when(F.col("purge"), F.col("user_id")))
+        .cast("bigint")
+        .alias("users_purged"),
+    )
+
+
 def q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the fact/dimension graph: per
     foreign-key relation, total child rows, orphan child rows (FK value
@@ -862,6 +896,7 @@ QUERIES = {
     "q_rollup_merge": q_rollup_merge,
     "q_expectations": q_expectations,
     "q_value_drift": q_value_drift,
+    "q_forget_users": q_forget_users,
     "q_entity_match": q_entity_match,
     "q_entity_clusters": q_entity_clusters,
     "q_k_anonymity": q_k_anonymity,
@@ -971,6 +1006,20 @@ _EXPECTATIONS_SQL = (
 )
 
 ORACLES = {
+    "q_forget_users": f"""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN user_id % {FORGET_MOD} = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purged,
+               CAST(SUM(CASE WHEN user_id % {FORGET_MOD} = 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN user_id % {FORGET_MOD} = 0
+                             THEN length(props) ELSE 0 END)
+                    AS BIGINT) AS bytes_purged,
+               CAST(COUNT(DISTINCT CASE WHEN user_id % {FORGET_MOD} = 0
+                                        THEN user_id END)
+                    AS BIGINT) AS users_purged
+        FROM events GROUP BY event_type
+    """,
     "q_expectations": _EXPECTATIONS_SQL,
     "q_value_drift": f"""
         WITH b AS (

@@ -103,6 +103,34 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit — the outlier-clipping preprocessing step: per
+    priority class, the exact p1/p99 clip bounds for order value and how
+    many rows each tail would clip. Bounds are exact interpolated
+    percentiles (identical IEEE doubles in both engines, see
+    q_percentiles); tail counts compare against the UNROUNDED bounds so
+    the integers cannot wobble; the reported bounds are round(4) for
+    display only. One grouped percentile aggregation + a broadcast join
+    back — no corpus-wide sort or window."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("hi"),
+    )
+    j = orders.join(F.broadcast(bounds), "o_orderpriority")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped_high"),
+        F.round(F.first("lo"), 4).alias("p01"),
+        F.round(F.first("hi"), 4).alias("p99"),
+    )
+
+
 APPROX_PCT_ACCURACY = 1000
 
 
@@ -419,6 +447,7 @@ QUERIES = {
     "q_running_total": q_running_total,
     "q_percentiles": q_percentiles,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_winsorize": q_winsorize,
     "q_gap_fill": q_gap_fill,
     "q_corr_stats": q_corr_stats,
     "q_mad_outliers": q_mad_outliers,
@@ -454,6 +483,24 @@ ORACLES = {
                AS BIGINT) AS n_filled,
                n IS NULL AS was_gap
         FROM filled
+    """,
+    "q_winsorize": """
+        WITH b AS (
+          SELECT o_orderpriority,
+                 quantile_cont(o_totalprice, 0.01) AS lo,
+                 quantile_cont(o_totalprice, 0.99) AS hi
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               ROUND(MIN(b.lo), 4) AS p01,
+               ROUND(MIN(b.hi), 4) AS p99
+        FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+        GROUP BY o.o_orderpriority
     """,
     "q_approx_quantiles": """
         SELECT o_orderpriority,

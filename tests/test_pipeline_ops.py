@@ -223,6 +223,23 @@ def test_expectations_and_drift_nonvacuous(spark, sf_dir):
     assert 9900 <= sum(r.new_bp for r in vd) <= 10000
 
 
+def test_winsorize_and_forget_nonvacuous(spark, sf_dir):
+    wz = QUERIES["q_winsorize"](spark, sf_dir).collect()
+    assert len(wz) > 0
+    for r in wz:
+        assert r.p01 < r.p99
+        # both tails actually clip (1% of each class is >= 1 row here)
+        assert r.n_clipped_low >= 1 and r.n_clipped_high >= 1
+        assert r.n_clipped_low + r.n_clipped_high < r.n
+
+    fu = QUERIES["q_forget_users"](spark, sf_dir).collect()
+    assert len(fu) > 0
+    assert sum(r.n_purged for r in fu) > 0
+    assert sum(r.n_retained for r in fu) > 0
+    assert all(r.bytes_purged > 0 for r in fu if r.n_purged > 0)
+    assert all(r.users_purged <= r.n_purged for r in fu)
+
+
 def test_index_and_paths_nonvacuous(spark, sf_dir):
     inv = QUERIES["q_inverted_index"](spark, sf_dir).collect()
     # full vocab cut, bounded by the corpus's distinct-word count (31 at
