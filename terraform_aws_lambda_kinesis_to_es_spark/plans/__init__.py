@@ -68,7 +68,7 @@ _LATE = frozenset(
         "q_entity_match", "q_k_anonymity", "q_gap_fill", "q_ann_recall",
         "q_media_patchify", "q_hll_merge", "q_entity_clusters",
         "q_expectations", "q_value_drift", "q_inverted_index", "q_top_paths",
-        "q_winsorize", "q_forget_users",
+        "q_winsorize", "q_forget_users", "q_functional_deps",
     }
 )
 

@@ -651,6 +651,45 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FD_PAIRS = (
+    ("o_orderkey", "o_custkey"),       # holds: orderkey is the PK
+    ("o_custkey", "o_orderpriority"),  # violated: customers use many priorities
+    ("o_orderstatus", "o_orderpriority"),  # violated: status doesn't fix priority
+)
+
+
+def q_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (profiling family, next to
+    q_profile_columns / q_json_schema_infer): for each candidate
+    determinant -> dependent pair, the determinant-key count, how many
+    keys map to MORE than one dependent value (violations), and whether
+    the FD holds — the check that finds denormalization opportunities and
+    broken natural keys before they break a join. Per pair: one keyed
+    distinct-count aggregation reduced to a single row; output rows =
+    candidate pairs."""
+    orders = load(spark, sf_dir, "orders")
+    legs = []
+    for det, dep in FD_PAIRS:
+        g = orders.groupBy(det).agg(F.count_distinct(dep).alias("nd"))
+        legs.append(
+            g.agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_keys"),
+            ).select(
+                F.lit(f"{det}->{dep}").alias("fd"),
+                "n_keys",
+                "n_violating_keys",
+                (F.col("n_violating_keys") == 0).alias("holds"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 FORGET_MOD = 97
 
 
@@ -897,6 +936,7 @@ QUERIES = {
     "q_expectations": q_expectations,
     "q_value_drift": q_value_drift,
     "q_forget_users": q_forget_users,
+    "q_functional_deps": q_functional_deps,
     "q_entity_match": q_entity_match,
     "q_entity_clusters": q_entity_clusters,
     "q_k_anonymity": q_k_anonymity,
@@ -1005,7 +1045,19 @@ _EXPECTATIONS_SQL = (
     """
 )
 
+_FD_LEG_SQL = """
+    SELECT '{det}->{dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_keys,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM orders GROUP BY {det})
+"""
+
 ORACLES = {
+    "q_functional_deps": " UNION ALL ".join(
+        _FD_LEG_SQL.format(det=det, dep=dep) for det, dep in FD_PAIRS
+    ),
     "q_forget_users": f"""
         SELECT event_type,
                CAST(SUM(CASE WHEN user_id % {FORGET_MOD} = 0 THEN 1 ELSE 0 END)

@@ -67,15 +67,21 @@ def write_training_shards(
     n_shards: int = 8,
     records_per_file: int | None = None,
     order_seed: str = "epoch-0",
+    order_col: str | None = None,
     mode: str = "error",
 ) -> None:
     """Write ``df`` as ``n_shards`` shard directories of size-bounded parquet
-    files in deterministic epoch order (see module docstring)."""
-    out = (
-        with_shard_layout(df, id_col, n_shards=n_shards, order_seed=order_seed)
-        .repartition(n_shards, SHARD_COL)
-        .sortWithinPartitions(SHARD_COL, ORDER_COL)
+    files in deterministic epoch order (see module docstring).
+
+    ``order_col`` overrides the seeded-permutation order with a caller
+    column — the curriculum-export path (e.g. sort each shard by a
+    difficulty score so the trainer reads easy-to-hard). Ties break on the
+    permutation key, so the layout stays fully deterministic either way."""
+    out = with_shard_layout(df, id_col, n_shards=n_shards, order_seed=order_seed)
+    sort_cols = (
+        [SHARD_COL, order_col, ORDER_COL] if order_col else [SHARD_COL, ORDER_COL]
     )
+    out = out.repartition(n_shards, SHARD_COL).sortWithinPartitions(*sort_cols)
     writer = out.write.mode(mode)
     if records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", records_per_file)

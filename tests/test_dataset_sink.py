@@ -105,6 +105,38 @@ def test_epoch_reshuffle_is_deterministic(spark, docs, tmp_path):
     }
 
 
+def test_curriculum_order_export(spark, docs, tmp_path):
+    """order_col: each shard's files must be sorted by the caller's
+    curriculum column (here: text length ascending), with membership
+    unchanged from the default layout."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "curriculum")
+    scored = docs.withColumn("difficulty", F.length("text"))
+    write_training_shards(
+        scored, path, "doc_id", n_shards=N_SHARDS, order_col="difficulty"
+    )
+    for files in _shard_files(path).values():
+        prev_max = None
+        for f in files:
+            vals = pq.read_table(f, columns=["difficulty"]).column(
+                "difficulty"
+            ).to_pylist()
+            assert vals == sorted(vals), f
+            if prev_max is not None and vals:
+                assert vals[0] >= prev_max
+            if vals:
+                prev_max = vals[-1]
+    # membership identical to the default (order never moves a record)
+    back = read_training_shards(spark, path)
+    layout = {
+        r.doc_id: r[SHARD_COL]
+        for r in with_shard_layout(docs, "doc_id", n_shards=N_SHARDS).collect()
+    }
+    for r in back.select("doc_id", SHARD_COL).collect():
+        assert layout[r.doc_id] == r[SHARD_COL]
+
+
 def test_streaming_incremental_export(spark, docs, tmp_path):
     """shard_sink appends micro-batches into a stable shard layout: every
     record lands exactly once, in the shard the pure hash assigns it,

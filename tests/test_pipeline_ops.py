@@ -223,6 +223,21 @@ def test_expectations_and_drift_nonvacuous(spark, sf_dir):
     assert 9900 <= sum(r.new_bp for r in vd) <= 10000
 
 
+def test_functional_deps_both_branches(spark, sf_dir):
+    fd = {r.fd: r for r in QUERIES["q_functional_deps"](spark, sf_dir).collect()}
+    assert set(fd) == {
+        "o_orderkey->o_custkey",
+        "o_custkey->o_orderpriority",
+        "o_orderstatus->o_orderpriority",
+    }
+    # the PK-backed FD holds; the behavioral ones are violated — both
+    # verdict branches fire
+    assert fd["o_orderkey->o_custkey"].holds
+    assert not fd["o_custkey->o_orderpriority"].holds
+    assert fd["o_custkey->o_orderpriority"].n_violating_keys > 0
+    assert all(r.n_keys > 0 for r in fd.values())
+
+
 def test_winsorize_and_forget_nonvacuous(spark, sf_dir):
     wz = QUERIES["q_winsorize"](spark, sf_dir).collect()
     assert len(wz) > 0
