@@ -69,6 +69,7 @@ _LATE = frozenset(
         "q_media_patchify", "q_hll_merge", "q_entity_clusters",
         "q_expectations", "q_value_drift", "q_inverted_index", "q_top_paths",
         "q_winsorize", "q_forget_users", "q_functional_deps",
+        "q_benford", "q_duplicate_payloads",
     }
 )
 

@@ -651,6 +651,73 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on order values: observed share of each
+    leading digit in basis points next to the Benford expectation
+    (round(log10(1+1/d), 4)) — the classic synthetic-data / fraud smoke
+    test a pipeline runs over money-like columns. Map-only digit
+    extraction + one 9-row aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    ).filter(F.col("digit").between(1, 9))
+    tot = d.agg(F.count("*").alias("n"))
+    per = d.groupBy("digit").agg(F.count("*").alias("c"))
+    return per.join(F.broadcast(tot)).select(
+        "digit",
+        F.col("c").cast("bigint").alias("n_orders"),
+        F.expr("(10000 * c) DIV n").cast("bigint").alias("observed_bp"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 4).alias("benford_expected"),
+    )
+
+
+RETRY_MOD = 211
+
+
+def q_duplicate_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-retry audit: byte-identical event payloads — same (type,
+    user, event-time, props) — arriving under DIFFERENT event ids, the
+    signature of producer retries that log_id-keyed dedup (P7) cannot
+    see. Per type: duplicated payload groups and the surplus rows a
+    payload-keyed dedup would drop. One digest hash-groupBy (the exact
+    dedup shape) + a bounded per-type rollup.
+
+    The driver fixture ships no retries, so (q_pii_redact's trick) a
+    deterministic retry storm is INJECTED in-query — every
+    event_id % RETRY_MOD == 0 row arrives twice — and the oracle mirrors
+    the injection, so the duplicate-detection branch is driver-exercised,
+    not just covered by the zero case."""
+    base = load(spark, sf_dir, "events")
+    events = base.unionByName(
+        base.filter(F.col("event_id") % RETRY_MOD == 0)
+    )
+    # event time enters the digest as epoch micros (integer strings render
+    # identically in both engines; timestamp-to-string formatting does not)
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+            F.unix_micros(F.col("ts")).cast("string"),
+            F.col("props"),
+        )
+    )
+    groups = events.select(
+        "event_type", digest.alias("h")
+    ).groupBy("event_type", "h").agg(F.count("*").alias("c"))
+    return groups.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_payloads"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_surplus_rows"),
+    )
+
+
 FD_PAIRS = (
     ("o_orderkey", "o_custkey"),       # holds: orderkey is the PK
     ("o_custkey", "o_orderpriority"),  # violated: customers use many priorities
@@ -937,6 +1004,8 @@ QUERIES = {
     "q_value_drift": q_value_drift,
     "q_forget_users": q_forget_users,
     "q_functional_deps": q_functional_deps,
+    "q_benford": q_benford,
+    "q_duplicate_payloads": q_duplicate_payloads,
     "q_entity_match": q_entity_match,
     "q_entity_clusters": q_entity_clusters,
     "q_k_anonymity": q_k_anonymity,
@@ -1055,6 +1124,41 @@ _FD_LEG_SQL = """
 """
 
 ORACLES = {
+    "q_benford": """
+        WITH d AS (
+          SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders
+        ), f AS (
+          SELECT digit FROM d WHERE digit BETWEEN 1 AND 9
+        ), tot AS (SELECT COUNT(*) AS n FROM f)
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST((10000 * COUNT(*)) // MIN(tot.n) AS BIGINT) AS observed_bp,
+               ROUND(log10(1 + 1.0 / digit), 4) AS benford_expected
+        FROM f CROSS JOIN tot GROUP BY digit
+    """,
+    "q_duplicate_payloads": f"""
+        WITH aug AS (
+          SELECT * FROM events
+          UNION ALL
+          SELECT * FROM events WHERE event_id % {RETRY_MOD} = 0
+        ), g AS (
+          SELECT event_type,
+                 md5(event_type || chr(31) || CAST(user_id AS VARCHAR)
+                     || chr(31)
+                     || CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+                     || chr(31) || props) AS h,
+                 COUNT(*) AS c
+          FROM aug GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_payloads,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_groups,
+               CAST(SUM(c - 1) AS BIGINT) AS n_surplus_rows
+        FROM g GROUP BY event_type
+    """,
     "q_functional_deps": " UNION ALL ".join(
         _FD_LEG_SQL.format(det=det, dep=dep) for det, dep in FD_PAIRS
     ),

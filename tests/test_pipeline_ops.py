@@ -223,6 +223,30 @@ def test_expectations_and_drift_nonvacuous(spark, sf_dir):
     assert 9900 <= sum(r.new_bp for r in vd) <= 10000
 
 
+def test_benford_and_retry_audit_nonvacuous(spark, sf_dir):
+    bf = QUERIES["q_benford"](spark, sf_dir).collect()
+    assert {r.digit for r in bf} <= set(range(1, 10)) and len(bf) > 0
+    # shares sum to ~100% (DIV truncation)
+    assert 9900 <= sum(r.observed_bp for r in bf) <= 10000
+    assert all(abs(r.benford_expected - 0.301) < 1e-3 for r in bf if r.digit == 1)
+
+    dp = QUERIES["q_duplicate_payloads"](spark, sf_dir).collect()
+    assert len(dp) > 0
+    # the injected retry storm must be detected: duplicates exist and the
+    # surplus equals the injected row count exactly
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.pipeline_queries import RETRY_MOD
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+    injected = (
+        load(spark, sf_dir, "events")
+        .filter(f"event_id % {RETRY_MOD} = 0")
+        .count()
+    )
+    assert injected > 0
+    assert sum(r.n_surplus_rows for r in dp) == injected
+    assert sum(r.n_dup_groups for r in dp) > 0
+
+
 def test_functional_deps_both_branches(spark, sf_dir):
     fd = {r.fd: r for r in QUERIES["q_functional_deps"](spark, sf_dir).collect()}
     assert set(fd) == {

@@ -160,6 +160,7 @@ _INTENTIONAL_PRODUCT = {
     "q_ann_recall",        # ground-truth leg IS knn_bruteforce (corpus x
                            # broadcast query vecs); both LSH legs stay keyed
     "q_value_drift",       # bucket shares x broadcast(single-row totals)
+    "q_benford",           # digit counts x broadcast(single-row total)
 }
 
 
