@@ -14,13 +14,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Queries the round-1/round-2 drivers already verified green (union of
-# CORRECTNESS_r01.json + CORRECTNESS_r02.json, every match field true).
+# Queries the round-1..3 drivers already verified green (union of
+# CORRECTNESS_r01/r02/r03.json, every match field true).
 # The driver checks ~50 queries per round in declaration order, so the
 # surface is re-ordered each round to put unverified (or just-fixed)
 # queries first; proven ones go last and get re-checked when budget allows.
 _PROVEN = frozenset(
     {
+        # r3-green (CORRECTNESS_r03.json, all 50 match)
+        "q_pivot_priority", "q_clean_corpus", "q_dedup_keep_best",
+        "q_ann_lsh", "q_ann_ivf", "q_quantize", "q_temperature_mix",
+        "q_contamination", "q_pack_sequences", "q_stratified_sample",
+        "q_token_budget", "q_source_mix", "q_unigram_ppl", "q_centroid_sim",
+        "q_set_ops", "q_percentiles", "q_cube_orders", "q_corr_stats",
+        "q_grouping_sets", "q_array_math", "q_date_functions",
+        "q_string_functions", "q_dup_clusters_chain", "q_semdedup",
+        "q_interval_join_binned", "q_gopher_filters", "q_incremental_dedup",
+        "q_embed_normalize", "q_media_audio_stats", "q_mad_outliers",
+        "q_repeat_upsample", "q_phrase_search", "q_profile_columns",
+        "q_text_normalize", "q_dup_method_agreement", "q_embed_dims",
+        "q_value_buckets", "q_cooccurrence", "q_key_skew_profile",
+        "q_difficulty_buckets", "q_minhash_est", "q_matryoshka",
+        "q_ewma_daily", "q_salted_agg", "q_keyphrase", "q_dup_source_matrix",
+        "q_bucket_occupancy", "q_percent_change", "q_cdc_latest",
+        "q_graph_degree",
+        # r1/r2-green
         "q_above_avg_orders", "q_anomaly_days", "q_approx_distinct",
         "q_asof_join", "q_big_spenders", "q_bigram_lm", "q_bigram_topk",
         "q_blame_supplier", "q_bm25", "q_boilerplate_strip", "q_bpe_pairs",
@@ -50,42 +68,38 @@ _PROVEN = frozenset(
         "q_unpivot_part", "q_user_stats", "q_validate_route",
         "q_valuable_parts", "q_volume_shipping", "q_wealthy_inactive",
         "q_whitelist", "q_wordcount",
-        # q_semdedup was green in r2 but its contract is reworked this round
-        # (cluster count now derived from corpus size) — re-verify first.
     }
 )
 
-# Added LATE in round 3, after the head-50 declaration order was frozen
-# against the driver's ~50-query/round budget. Declared at the TAIL so they
-# cannot displace a never-checked query from the driver's window; they are
-# parity-tested locally (pytest + sf0.01 sweep) and queue for a round-4
-# driver verdict.
-_LATE = frozenset(
-    {
-        "q_quality_classifier", "q_doc_chunks", "q_oov_rate",
-        "q_skyline", "q_graph_triangles", "q_zorder_layout",
-        "q_orphan_check", "q_rollup_merge", "q_approx_quantiles",
-        "q_entity_match", "q_k_anonymity", "q_gap_fill", "q_ann_recall",
-        "q_media_patchify", "q_hll_merge", "q_entity_clusters",
-        "q_expectations", "q_value_drift", "q_inverted_index", "q_top_paths",
-        "q_winsorize", "q_forget_users", "q_functional_deps",
-        "q_benford", "q_duplicate_payloads",
-    }
-)
-
-# Fixed/reworked this round — need fresh driver verdicts before anything else.
-# q_pivot_priority: oracle HUGEINT->BIGINT cast fix; q_semdedup: scale-honest
-# cluster-count contract; the rest: never driver-checked through round 2.
+# Round 4 is a close-the-loop round (VERDICT r3 #1): the head is EXACTLY the
+# 39 queries that have never received a driver verdict — the 25 declared
+# late in round 3 (after that round's head-50 order was frozen) plus the 14
+# mid-list names the r1-r3 windows never reached — followed by the two
+# ADVICE-reworked queries (q_rollup_merge now splits on event_id parity so
+# the merge is genuinely exercised; q_duplicate_payloads digests through
+# explicit NULL sentinels on both engines) and this round's single addition,
+# q_profile_columns_approx. 40 names, inside the driver's ~50 budget with
+# slack for re-verification of proven queries. New-query additions are
+# otherwise frozen until the surface is 184/184 driver-proven.
 _HEAD = (
-    "q_pivot_priority", "q_clean_corpus", "q_dedup_keep_best", "q_ann_lsh",
-    "q_ann_ivf", "q_quantize", "q_temperature_mix", "q_contamination",
-    "q_pack_sequences", "q_stratified_sample", "q_token_budget",
-    "q_source_mix", "q_unigram_ppl", "q_centroid_sim", "q_set_ops",
-    "q_percentiles", "q_cube_orders", "q_corr_stats", "q_grouping_sets",
-    "q_array_math", "q_date_functions", "q_string_functions",
-    "q_dup_clusters_chain", "q_semdedup",
-    # round-3 scale-technique showcase — worth a driver verdict this round
-    "q_interval_join_binned",
+    # ADVICE-fix re-verifies first (semantics changed this round)
+    "q_rollup_merge", "q_duplicate_payloads",
+    # the round-3 _LATE tranche (23 remaining)
+    "q_quality_classifier", "q_doc_chunks", "q_oov_rate",
+    "q_skyline", "q_graph_triangles", "q_zorder_layout",
+    "q_orphan_check", "q_approx_quantiles",
+    "q_entity_match", "q_k_anonymity", "q_gap_fill", "q_ann_recall",
+    "q_media_patchify", "q_hll_merge", "q_entity_clusters",
+    "q_expectations", "q_value_drift", "q_inverted_index", "q_top_paths",
+    "q_winsorize", "q_forget_users", "q_functional_deps", "q_benford",
+    # mid-list queries never reached by the r1-r3 driver windows (14)
+    "q_attribution", "q_cohort_orders", "q_compaction_plan",
+    "q_data_freshness", "q_dead_hours", "q_doc_manifest",
+    "q_json_schema_infer", "q_out_of_order", "q_pagerank", "q_rate_limit",
+    "q_reservoir_sample", "q_salted_join", "q_shard_assignment",
+    "q_trending_parts",
+    # this round's one addition (VERDICT r3 #6)
+    "q_profile_columns_approx",
 )
 
 
@@ -137,11 +151,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         if name in queries:
             ordered[name] = queries[name]
     pending = [
-        [
-            n
-            for n in mod.QUERIES
-            if n not in _PROVEN and n not in ordered and n not in _LATE
-        ]
+        [n for n in mod.QUERIES if n not in _PROVEN and n not in ordered]
         for mod in modules
     ]
     while any(pending):

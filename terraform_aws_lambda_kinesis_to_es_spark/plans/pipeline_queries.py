@@ -60,6 +60,59 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_ND_RSD = 0.02
+APPROX_ND_TOL_BP = 1000  # 10% — 5x the configured rsd; deterministic in practice
+
+
+def profile_columns_approx_agg(orders: DataFrame) -> DataFrame:
+    """The pure sketch profile: null counts + HLL++ distinct estimates for
+    every profiled column in ONE pass with NO Expand — multiple
+    approx_count_distinct aggregates accumulate as independent mergeable
+    sketch states, so the scan is never replicated per distinct aggregate
+    (plan pinned in tests/test_plan_shape.py). This is the 100 TB shape:
+    the exact profile (q_profile_columns) plans one Expand that multiplies
+    scanned rows by the number of distinct aggregates."""
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.approx_count_distinct(c, APPROX_ND_RSD).alias(f"{c}__ad"),
+        ]
+    return orders.agg(*aggs)
+
+
+def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based twin of q_profile_columns: distinct counts via
+    approx_count_distinct (HLL++), Expand-free (see
+    :func:`profile_columns_approx_agg`). Sketch estimates are
+    engine-specific, so per the house q_approx_distinct pattern the emitted
+    columns are the EXACT values plus a boolean contract asserting each
+    estimate landed within APPROX_ND_TOL_BP basis points of exact
+    (uniformly TRUE for the oracle). The exact leg exists only to express
+    the contract; the scale artifact is the approx leg's plan, and the
+    exact-vs-approx cost gap is measured at scale in PERF.md."""
+    orders = load(spark, sf_dir, "orders")
+    approx = profile_columns_approx_agg(orders)
+    exact = orders.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd")
+            for c in PROFILE_COLS
+        ]
+    )
+    wide = approx.join(F.broadcast(exact))  # 1-row x 1-row
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, "
+        f"10000 * abs({c}__ad - {c}__nd) <= {APPROX_ND_TOL_BP} * {c}__nd"
+        for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_null, n_distinct, approx_within_tol)"
+        )
+    )
+
+
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key detector: the TOP_KEYS most frequent join/aggregation keys
     (o_custkey) with their exact share in basis points. This is the
@@ -696,14 +749,21 @@ def q_duplicate_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("event_id") % RETRY_MOD == 0)
     )
     # event time enters the digest as epoch micros (integer strings render
-    # identically in both engines; timestamp-to-string formatting does not)
+    # identically in both engines; timestamp-to-string formatting does not).
+    # Every field is coalesced to an explicit NULL sentinel: concat_ws would
+    # silently DROP a NULL field and its separator (DuckDB's || would
+    # instead null the whole digest) — both a cross-engine divergence and a
+    # collision hazard (rows differing only in NULL-vs-absent hashing alike).
+    def _d(col):  # digest field: NULL -> sentinel, explicitly
+        return F.coalesce(col, F.lit("\x00"))
+
     digest = F.md5(
         F.concat_ws(
             "\x1f",
-            F.col("event_type"),
-            F.col("user_id").cast("string"),
-            F.unix_micros(F.col("ts")).cast("string"),
-            F.col("props"),
+            _d(F.col("event_type")),
+            _d(F.col("user_id").cast("string")),
+            _d(F.unix_micros(F.col("ts")).cast("string")),
+            _d(F.col("props")),
         )
     )
     groups = events.select(
@@ -818,20 +878,25 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregation (partial-state merge): the standing-rollup
     pattern where yesterday's stored per-(type, day) aggregates are merged
     with today's increment instead of recomputing from raw history. Both
-    halves (split here deterministically on day-of-month parity) are
-    reduced to mergeable states — count, byte sum, min/max event-time as
-    epoch micros — then the union is re-aggregated with the states' merge
-    functions (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxs).
-    The DuckDB oracle computes the rollup DIRECTLY from the raw events, so
-    the driver's equality check proves merge == recompute — the algebraic
-    property that makes incremental maintenance sound. At 100 TB this is
-    the difference between scanning one day and scanning three years."""
+    halves are reduced to mergeable states — count, byte sum, min/max
+    event-time as epoch micros — then the union is re-aggregated with the
+    states' merge functions (sum-of-counts, sum-of-sums, min-of-mins,
+    max-of-maxs). The split is on event_id parity, which is ORTHOGONAL to
+    the (event_type, day) group key, so every group's final state genuinely
+    combines two partials — the merge path is exercised for every row, not
+    vacuously (a day-parity split would route each group wholly to one
+    half). The DuckDB oracle computes the rollup DIRECTLY from the raw
+    events, so the driver's equality check proves merge == recompute — the
+    algebraic property that makes incremental maintenance sound. At 100 TB
+    this is the difference between scanning one day and scanning three
+    years."""
     events = load(spark, sf_dir, "events")
     base = events.select(
         "event_type",
         F.to_date("ts").alias("day"),
         F.unix_micros(F.col("ts")).alias("ts_us"),
         F.length("props").alias("bytes"),
+        "event_id",
     )
 
     def partial(df: DataFrame) -> DataFrame:
@@ -842,8 +907,8 @@ def q_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_us").alias("last_us"),
         )
 
-    existing = partial(base.filter(F.dayofmonth("day") % 2 == 0))
-    increment = partial(base.filter(F.dayofmonth("day") % 2 == 1))
+    existing = partial(base.filter(F.col("event_id") % 2 == 0))
+    increment = partial(base.filter(F.col("event_id") % 2 == 1))
     return (
         existing.unionByName(increment)
         .groupBy("event_type", "day")
@@ -997,6 +1062,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_profile_columns": q_profile_columns,
+    "q_profile_columns_approx": q_profile_columns_approx,
     "q_zorder_layout": q_zorder_layout,
     "q_orphan_check": q_orphan_check,
     "q_rollup_merge": q_rollup_merge,
@@ -1145,10 +1211,11 @@ ORACLES = {
           SELECT * FROM events WHERE event_id % {RETRY_MOD} = 0
         ), g AS (
           SELECT event_type,
-                 md5(event_type || chr(31) || CAST(user_id AS VARCHAR)
-                     || chr(31)
-                     || CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)
-                     || chr(31) || props) AS h,
+                 md5(COALESCE(event_type, chr(0)) || chr(31)
+                     || COALESCE(CAST(user_id AS VARCHAR), chr(0)) || chr(31)
+                     || COALESCE(CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                                      AS VARCHAR), chr(0))
+                     || chr(31) || COALESCE(props, chr(0))) AS h,
                  COUNT(*) AS c
           FROM aug GROUP BY 1, 2
         )
@@ -1266,6 +1333,16 @@ ORACLES = {
         FROM z GROUP BY zrange
     """,
     "q_profile_columns": _PROFILE_SELECTS,
+    "q_profile_columns_approx": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               TRUE AS approx_within_tol
+        FROM orders
+    """
+        for c in PROFILE_COLS
+    ),
     "q_key_skew_profile": f"""
         WITH per_key AS (
           SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey

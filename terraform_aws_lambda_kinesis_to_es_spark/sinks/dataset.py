@@ -88,6 +88,27 @@ def write_training_shards(
     writer.partitionBy(SHARD_COL).parquet(path)
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf — works
+    on any Spark-supported filesystem (local, HDFS, object stores)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def committed_batch_ids(spark: SparkSession, path: str) -> set[int]:
+    """Batch ids :func:`shard_sink` has durably committed under ``path``."""
+    fs, markers = _hadoop_path(spark, f"{path}/_batches")
+    if not fs.exists(markers):
+        return set()
+    return {
+        int(st.getPath().getName())
+        for st in fs.listStatus(markers)
+        if st.getPath().getName().isdigit()
+    }
+
+
 def shard_sink(
     path: str,
     id_col: str,
@@ -105,6 +126,17 @@ def shard_sink(
     order is arrival order (per-file sortedness still holds — each file is
     one batch's contiguous slice).
 
+    **Replay idempotence**: ``foreachBatch`` is at-least-once — a batch that
+    succeeded but crashed before the checkpoint commit is re-delivered with
+    the SAME ``batch_id``. Each committed batch drops a marker under
+    ``{path}/_batches/{batch_id}``; a replayed id is skipped, so replays do
+    not duplicate shard rows. Caveat (inherent to append-mode sinks without
+    a transaction log): a crash in the narrow window between the parquet
+    append finishing and the marker creation still duplicates that one
+    batch on replay — for exactly-once under that failure too, land shards
+    in a table format with atomic commits and make the marker part of the
+    same transaction.
+
     Usage::
 
         stream.writeStream.foreachBatch(
@@ -113,6 +145,10 @@ def shard_sink(
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        fs, marker = _hadoop_path(spark, f"{path}/_batches/{batch_id}")
+        if fs.exists(marker):
+            return  # replayed batch — already durably written, skip
         write_training_shards(
             df,
             path,
@@ -122,6 +158,8 @@ def shard_sink(
             order_seed=order_seed,
             mode="append",
         )
+        fs.mkdirs(marker.getParent())
+        fs.create(marker, True).close()
 
     return write_batch
 

@@ -181,6 +181,28 @@ def test_streaming_incremental_export(spark, docs, tmp_path):
         assert layout[r.doc_id] == r[SHARD_COL]
 
 
+def test_shard_sink_replay_is_idempotent(spark, docs, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered with the same
+    batch_id (failure between sink write and checkpoint commit) must not
+    duplicate shard rows. shard_sink records committed batch ids under
+    _batches/ and skips replays."""
+    from terraform_aws_lambda_kinesis_to_es_spark.sinks.dataset import (
+        committed_batch_ids,
+        shard_sink,
+    )
+
+    out = str(tmp_path / "shards")
+    sink = shard_sink(out, "doc_id", n_shards=N_SHARDS)
+    batch = docs.select("doc_id", "source")
+    sink(batch, 0)
+    n_once = read_training_shards(spark, out).count()
+    sink(batch, 0)  # replay of the SAME batch id — must be a no-op
+    assert read_training_shards(spark, out).count() == n_once
+    sink(batch, 1)  # a genuinely new batch still appends
+    assert read_training_shards(spark, out).count() == 2 * n_once
+    assert committed_batch_ids(spark, out) == {0, 1}
+
+
 def test_subset_read_prunes_partitions(spark, docs, tmp_path):
     path = str(tmp_path / "shards")
     write_training_shards(docs, path, "doc_id", n_shards=N_SHARDS)

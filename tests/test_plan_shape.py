@@ -155,6 +155,7 @@ _INTENTIONAL_PRODUCT = {
     "q_data_freshness",    # per-type rollup x broadcast(single-row hwm)
     "q_trending_parts",    # x broadcast(single-row latest-year)
     "q_pagerank",          # node set x broadcast(single-row node count)
+    "q_profile_columns_approx",  # 1-row approx agg x broadcast(1-row exact agg)
     "q_dup_method_agreement",  # three single-row count aggregates joined
     "q_gap_fill",          # type set x broadcast(single-row hour span)
     "q_ann_recall",        # ground-truth leg IS knn_bruteforce (corpus x
@@ -236,6 +237,23 @@ def test_profile_columns_one_scan_one_exchange(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("Exchange") == 2
     assert "o_totalprice" not in plan
+
+
+def test_profile_columns_approx_agg_has_no_expand(spark, sf_dir):
+    # the scale point of the sketch profile: multiple approx_count_distinct
+    # aggregates accumulate as independent HLL++ states in ONE pass — no
+    # Expand, so scanned rows are never multiplied by the distinct-agg
+    # count (q_profile_columns' exact plan pays a 4x Expand)
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.pipeline_queries import (
+        profile_columns_approx_agg,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load
+
+    agg = profile_columns_approx_agg(load(spark, sf_dir, "orders"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert plan.count("FileScan") == 1
+    assert "o_totalprice" not in plan  # unprofiled columns pruned
 
 
 def test_key_skew_profile_take_ordered(spark, sf_dir):
