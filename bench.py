@@ -72,6 +72,11 @@ HEADLINE = (
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Optional subset override (comma-separated names) for apples-to-apples
+    # A/B runs — e.g. re-timing exactly a prior round's query set.
+    headline = HEADLINE
+    if os.environ.get("SPARK_GRAFT_QUERIES"):
+        headline = tuple(os.environ["SPARK_GRAFT_QUERIES"].split(","))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
@@ -101,7 +106,7 @@ def main() -> None:
     spark.catalog.clearCache()
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         # One broken query must never zero the whole round's numbers:
         # record null + the error and keep going. Caches are cleared
         # between queries so persisted stages from one query can't
