@@ -20,10 +20,9 @@ client drops into the same protocol without touching the operator.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterable, Iterator
 from typing import Protocol
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
@@ -31,9 +30,20 @@ from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
 
 class BulkClient(Protocol):
     """One bulk call = one HTTP request (reference main.py:146-147).
-    Returns the rejected actions (empty list = all indexed)."""
+    ``_source`` arrives as the VERBATIM JSON string on the engine path
+    (bulk_index never parses it — the real HTTP client splices it straight
+    into the NDJSON body); direct unit calls may pass dicts. Returns the
+    rejected actions (empty list = all indexed)."""
 
     def bulk(self, actions: list[dict]) -> list[dict]: ...
+
+
+def _src_dict(a: dict) -> dict:
+    """Test-double helper: normalize an action's ``_source`` to a dict.
+    The parse cost lives HERE (doubles only) — the production client
+    (es_http.HttpElasticsearch) passes the string through untouched."""
+    src = a["_source"]
+    return {**a, "_source": json.loads(src) if isinstance(src, str) else src}
 
 
 class InMemoryElasticsearch:
@@ -47,7 +57,7 @@ class InMemoryElasticsearch:
     def bulk(self, actions: list[dict]) -> list[dict]:
         self.calls.append(len(actions))
         rejects = []
-        for a in actions:
+        for a in map(_src_dict, actions):
             if self._reject_if is not None and self._reject_if(a):
                 rejects.append(a)
             else:
@@ -75,7 +85,7 @@ class FileSystemElasticsearch:
 
         os.makedirs(self.base_dir, exist_ok=True)
         rejects, indexed = [], []
-        for a in actions:
+        for a in map(_src_dict, actions):
             if self._reject_if is not None and self._reject_if(a):
                 rejects.append(a)
             else:
@@ -133,17 +143,6 @@ REJECT_SCHEMA = T.StructType(
 )
 
 
-def _chunks(it: Iterable, n: int) -> Iterator[list]:
-    buf: list = []
-    for x in it:
-        buf.append(x)
-        if len(buf) == n:
-            yield buf
-            buf = []
-    if buf:
-        yield buf
-
-
 def bulk_index(
     actions_df: DataFrame,
     client_factory,
@@ -153,27 +152,62 @@ def bulk_index(
     ``_source`` as JSON string — routing.build_es_actions shape) and
     return the rejects as a DataFrame.
 
-    Executes via ``mapPartitions``-style Arrow-free iteration: each
-    partition opens ONE client (reference: one client per invocation,
-    main.py:76-84), sends ceil(n/500) bulk requests, yields rejects.
+    Executes via Arrow-batched ``mapInArrow``: rows cross the JVM->Python
+    boundary as Arrow columns (no per-row pickling), each partition opens
+    ONE client (reference: one client per invocation, main.py:76-84) and
+    sends ceil(n/chunk_size) bulk requests, chunked across Arrow-batch
+    boundaries so every request except a partition's last carries exactly
+    ``chunk_size`` actions (reference main.py:30,146-147). ``_source`` is
+    already the verbatim JSON string, and it stays a string end-to-end —
+    the real HTTP client splices it into the NDJSON body with zero
+    parse/re-serialize per row (the old path paid json.loads + json.dumps
+    on every record). Rejects stream back one Arrow batch per bulk call,
+    so reject memory is bounded by chunk_size, not partition size.
     """
     chunk_size = cfg.bulk_chunk_size
-    spark = actions_df.sparkSession
-
     has_id = "_id" in actions_df.columns
 
-    def _send(rows: Iterator[Row]) -> Iterator[Row]:
-        client = client_factory()
-        for chunk in _chunks(rows, chunk_size):
-            actions = []
-            for r in chunk:
-                a = {"_index": r["_index"], "_type": "_doc", "_source": json.loads(r["_source"])}
-                if has_id and r["_id"] is not None:
-                    a["_id"] = r["_id"]
-                actions.append(a)
-            for rej in client.bulk(actions):
-                yield Row(_index=rej["_index"], _source=json.dumps(rej["_source"]))
+    def _send(batches):
+        import pyarrow as pa
+
+        client = None
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal client
+            if client is None:
+                client = client_factory()
+            rejects = client.bulk(buf)
+            buf.clear()
+            if not rejects:
+                return None
+            return pa.RecordBatch.from_pydict(
+                {
+                    "_index": [r["_index"] for r in rejects],
+                    "_source": [
+                        s if isinstance(s, str) else json.dumps(s)
+                        for s in (r["_source"] for r in rejects)
+                    ],
+                }
+            )
+
+        for batch in batches:
+            idx = batch.column("_index").to_pylist()
+            src = batch.column("_source").to_pylist()
+            ids = batch.column("_id").to_pylist() if has_id else None
+            for i in range(len(idx)):
+                a = {"_index": idx[i], "_type": "_doc", "_source": src[i]}
+                if ids is not None and ids[i] is not None:
+                    a["_id"] = ids[i]
+                buf.append(a)
+                if len(buf) == chunk_size:
+                    rb = flush()
+                    if rb is not None:
+                        yield rb
+        if buf:
+            rb = flush()
+            if rb is not None:
+                yield rb
 
     cols = ["_index", "_source"] + (["_id"] if has_id else [])
-    rejects_rdd = actions_df.select(*cols).rdd.mapPartitions(_send)
-    return spark.createDataFrame(rejects_rdd, REJECT_SCHEMA)
+    return actions_df.select(*cols).mapInArrow(_send, REJECT_SCHEMA)

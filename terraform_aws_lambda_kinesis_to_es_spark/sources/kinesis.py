@@ -21,6 +21,35 @@ from terraform_aws_lambda_kinesis_to_es_spark.config import PipelineConfig
 _POSITIONS = {"TRIM_HORIZON": "trim_horizon", "LATEST": "latest"}
 
 
+def kinesis_options(
+    stream_name: str,
+    region: str,
+    cfg: PipelineConfig,
+    *,
+    endpoint_url: str | None = None,
+    starting_position: str = "TRIM_HORIZON",
+) -> dict[str, str]:
+    """The exact connector option map, as a pure function so the spelling
+    contract is testable without the (sandbox-absent) connector jar.
+    Option names follow the public spark-sql-kinesis connector docs:
+    ``streamName``, ``region``, ``endpointUrl``, ``startingPosition``
+    (lowercase values ``trim_horizon``/``latest``), and
+    ``maxFetchRecordsPerShard`` for the per-fetch cap (reference
+    ``batch_size``, main.tf:58-64). tests/test_config_routing.py pins this
+    map verbatim so it cannot drift silently."""
+    if starting_position not in _POSITIONS:
+        raise ValueError(f"starting_position must be one of {sorted(_POSITIONS)}")
+    opts = {
+        "streamName": stream_name,
+        "region": region,
+        "startingPosition": _POSITIONS[starting_position],
+        "maxFetchRecordsPerShard": str(cfg.batch_size),
+    }
+    if endpoint_url:
+        opts["endpointUrl"] = endpoint_url
+    return opts
+
+
 def kinesis_reader(
     spark: SparkSession,
     stream_name: str,
@@ -34,15 +63,13 @@ def kinesis_reader(
     connector jar is on the classpath. ``batch_size`` maps to the
     per-fetch record cap (the trigger interval completes the reference's
     one-invocation-per-batch semantics)."""
-    if starting_position not in _POSITIONS:
-        raise ValueError(f"starting_position must be one of {sorted(_POSITIONS)}")
-    reader = (
-        spark.readStream.format("kinesis")
-        .option("streamName", stream_name)
-        .option("region", region)
-        .option("startingPosition", _POSITIONS[starting_position])
-        .option("maxFetchRecordsPerShard", str(cfg.batch_size))
-    )
-    if endpoint_url:
-        reader = reader.option("endpointUrl", endpoint_url)
+    reader = spark.readStream.format("kinesis")
+    for k, v in kinesis_options(
+        stream_name,
+        region,
+        cfg,
+        endpoint_url=endpoint_url,
+        starting_position=starting_position,
+    ).items():
+        reader = reader.option(k, v)
     return reader

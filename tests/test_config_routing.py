@@ -93,3 +93,36 @@ def test_pipeline_facade_batch_roundtrip(spark):
     assert json.loads(actions[0]._source)["log_id"] == "1"  # verbatim passthrough
     failed_rows = failed.collect()
     assert len(failed_rows) == 1 and failed_rows[0].log_type == "unknown"
+
+
+def test_kinesis_option_contract():
+    """Pin the exact connector option map (S1/T2). The connector jar is
+    absent in this sandbox, so the spelling contract — documented
+    spark-sql-kinesis option names and lowercase position values — is the
+    only guard against silent drift in the untestable path."""
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.kinesis import (
+        kinesis_options,
+    )
+
+    cfg = PipelineConfig(index_name_prefix="logs", batch_size=100)
+    assert kinesis_options("raw-logs", "ap-northeast-1", cfg) == {
+        "streamName": "raw-logs",
+        "region": "ap-northeast-1",
+        "startingPosition": "trim_horizon",
+        "maxFetchRecordsPerShard": "100",
+    }
+    assert kinesis_options(
+        "raw-logs",
+        "us-east-1",
+        cfg,
+        endpoint_url="https://kinesis.local:4566",
+        starting_position="LATEST",
+    ) == {
+        "streamName": "raw-logs",
+        "region": "us-east-1",
+        "startingPosition": "latest",
+        "maxFetchRecordsPerShard": "100",
+        "endpointUrl": "https://kinesis.local:4566",
+    }
+    with pytest.raises(ValueError, match="starting_position"):
+        kinesis_options("raw-logs", "us-east-1", cfg, starting_position="AT_TIMESTAMP")
