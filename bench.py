@@ -62,6 +62,7 @@ HEADLINE = (
     "q_cdc_latest",
     "q_cooccurrence",
     "q_profile_columns",
+    "q_profile_columns_approx",
     "q_orphan_check",
     "q_rollup_merge",
     "q_entity_match",

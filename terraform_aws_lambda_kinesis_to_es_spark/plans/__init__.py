@@ -100,6 +100,9 @@ _HEAD = (
     "q_trending_parts",
     # this round's one addition (VERDICT r3 #6)
     "q_profile_columns_approx",
+    # reworked after the 10x sweep (count-derived codebook — sf0.01
+    # results unchanged, but the contract changed, so re-verify)
+    "q_semdedup_bucketed",
 )
 
 

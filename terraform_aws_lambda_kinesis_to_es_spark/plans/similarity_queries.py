@@ -241,9 +241,19 @@ def q_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully deterministic — hyperplane signs are fixed constants and the
     argmax tie-break is lowest cluster id — so the oracle mirrors the
     bucketed assignment exactly in SQL, proving the scale path, not just
-    the exhaustive one."""
+    the exhaustive one.
+
+    The codebook size is DERIVED from the corpus row count, exactly like
+    q_semdedup — greatest(SEM_BUCKETED_SEEDS, n // SEM_ROWS_PER_CLUSTER)
+    — so expected cluster size stays ~SEM_ROWS_PER_CLUSTER at any SF and
+    the intra-cluster pair pass stays linear in the corpus. (The round-4
+    10x whole-surface sweep caught the prior FIXED 32-seed form going
+    quadratic: 1.5 s -> 262 s at 10x vectors; count-derived seeds restore
+    the linear profile — PERF.md. At sf0.01 the derived count equals the
+    old constant, so driver results are unchanged there.)"""
     vecs = _vec(spark, sf_dir)
-    seeds = vecs.filter(F.col("vec_id") < SEM_BUCKETED_SEEDS).select(
+    n_seeds = max(SEM_BUCKETED_SEEDS, vecs.count() // SEM_ROWS_PER_CLUSTER)
+    seeds = vecs.filter(F.col("vec_id") < n_seeds).select(
         F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
     )
     # persisted: feeds both pair-join sides + the output (see semdedup);
@@ -611,7 +621,9 @@ WITH vecs AS ({_VEC_CTE}),
 vb AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM vecs),
 seeds AS (
   SELECT vec_id AS cluster, v AS sv, {{BUCKET}} AS sbucket
-  FROM vecs WHERE vec_id < {SEM_BUCKETED_SEEDS}
+  FROM vecs WHERE vec_id < GREATEST({SEM_BUCKETED_SEEDS},
+                                    (SELECT COUNT(*) FROM vecs)
+                                      // {SEM_ROWS_PER_CLUSTER})
 ),
 matched AS (
   SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
