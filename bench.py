@@ -53,6 +53,7 @@ HEADLINE = (
     "q_simhash",
     "q_knn_cosine",
     "q_ann_lsh",
+    "q_ann_pq",
     "q_semdedup",
     "q_semdedup_bucketed",
     "q_clean_corpus",

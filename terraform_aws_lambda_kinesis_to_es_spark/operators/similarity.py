@@ -604,3 +604,136 @@ def knn_lsh(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) — the
+# standard vector-compression layer under a 100 TB ANN index (Jégou, Douze,
+# Schmid, "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+# 33(1), 2011 — public method). A vector is stored as PQ_M one-byte codes
+# (one per subspace) instead of EMBED_DIM floats (64x compression here);
+# query-time distance is approximated by summing per-subspace lookup-table
+# entries, so ranking never touches the original vectors.
+#
+# House determinism rules: the codebook is the first PQ_K corpus vectors'
+# subvectors (no k-means float averaging — the same seed rule as semdedup),
+# argmin ties break on lowest code, distances are 0.0-seeded left-assoc
+# folds, and the ADC per-subspace terms re-sum in subspace order — all
+# bit-reproducible and exactly mirrorable in oracle SQL.
+
+PQ_M = 8                    # subspaces
+PQ_K = 16                   # codes per subspace codebook
+PQ_SUB = EMBED_DIM // PQ_M  # dims per subspace
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Order-pinned squared L2 between equal-length arrays: 0.0-seeded
+    left-assoc fold over the zipped squared differences — bit-identical to
+    the oracle's explicit (0.0 + t1 + t2 + ...) chain (see dot_const)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame, id_alias: str, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Explode each vector into its PQ_M subspace slices — a row-local 1->M
+    Generate, no shuffle. Output: (id_alias, m, sub)."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col), m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_alias), F.explode(subs).alias("s")).select(
+        id_alias, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def pq_codebook(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "v") -> DataFrame:
+    """Deterministic per-subspace codebook: the subvectors of the first
+    PQ_K corpus vectors (PQ_M x PQ_K rows — constant-size, broadcastable).
+    Production swaps in k-means-refined centroids per subspace; the seed
+    rule keeps the declared query bit-reproducible."""
+    return pq_subvectors(
+        corpus.filter(F.col(id_col) < PQ_K), "code", id_col, vec_col
+    ).select("m", "code", F.col("sub").alias("cv"))
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "v") -> DataFrame:
+    """Encode every vector as PQ_M codes: code[m] = argmin over the
+    subspace-m codebook of squared L2, ties to the lowest code. Shape:
+    row-local subspace explode (n x M rows), broadcast codebook join on m
+    (n x M x K scored rows — K is a constant), ONE keyed partial-agg
+    shuffle (min_by over a (d, code) struct — lexicographic, so the
+    tie-break is in the aggregate itself, no window). Output:
+    (vec_id, m, code)."""
+    scored = (
+        pq_subvectors(corpus, id_col, id_col, vec_col)
+        .join(F.broadcast(codebook), "m")
+        .select(
+            id_col, "m", "code", sq_l2(F.col("sub"), F.col("cv")).alias("d")
+        )
+    )
+    return scored.groupBy(id_col, "m").agg(
+        F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ADC top-k: per query, build the (m, code) -> squared-L2 lookup table
+    against the codebook (n_q x M x K rows — tiny, broadcast), join it to
+    the corpus CODES on (m, code), and re-sum the M per-subspace terms in
+    subspace order (array_sort on (m, d) structs + 0.0-seeded fold — the
+    order-pinned float-sum rule, m is unique per group so the sort order
+    is total). Rank by approximate distance, ties to the lowest neighbor
+    id. The corpus vectors themselves are never read at query time — only
+    their codes."""
+    from pyspark.sql import Window
+
+    lut = (
+        pq_subvectors(queries, "query_id", id_col, vec_col)
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "query_id", "m", "code", sq_l2(F.col("sub"), F.col("cv")).alias("d")
+        )
+    )
+    joined = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    summed = joined.groupBy("query_id", "neighbor_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", "d"))),
+            F.lit(0.0),
+            lambda a, s: a + s["d"],
+        ).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 4).alias("adist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

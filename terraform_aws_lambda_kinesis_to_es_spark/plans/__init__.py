@@ -78,9 +78,13 @@ _PROVEN = frozenset(
 # ADVICE-reworked queries (q_rollup_merge now splits on event_id parity so
 # the merge is genuinely exercised; q_duplicate_payloads digests through
 # explicit NULL sentinels on both engines) and this round's single addition,
-# q_profile_columns_approx. 40 names, inside the driver's ~50 budget with
-# slack for re-verification of proven queries. New-query additions are
-# otherwise frozen until the surface is 184/184 driver-proven.
+# q_profile_columns_approx. 40 names, inside the driver's ~50 budget.
+# The round's five NEW queries (q_ann_pq, q_shingle_containment,
+# q_lsh_eval, q_tokenizer_fertility, q_label_balance) are declared
+# immediately AFTER the head via the module interleave below — positions
+# 42-46, still inside the window — so they get verdicts this round without
+# displacing any never-checked query; remaining window slack re-verifies
+# proven queries.
 _HEAD = (
     # ADVICE-fix re-verifies first (semantics changed this round)
     "q_rollup_merge", "q_duplicate_payloads",

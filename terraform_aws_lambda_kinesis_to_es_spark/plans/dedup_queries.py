@@ -91,6 +91,95 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_MIN_BP = 5000
+
+
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment dedup: C(A in B) = |A∩B| / |A| over the
+    word-5-gram shingle sets, both directions per pair — the detector for
+    subset/quote-expansion duplicates that symmetric Jaccard dilutes (a
+    doc fully contained in a 10x-longer doc has J ≈ 0.1 but containment
+    1.0; Jaccard-threshold dedup ships both copies). Candidates share
+    >= 1 shingle (the q_ngram_jaccard generation: explode +
+    pairs_within_buckets — one keyed shuffle, cost tracks candidate
+    pairs, never corpus²); emitted when either direction clears
+    CONTAIN_MIN_BP. All math is integer basis points; docs with no
+    shingles (< 5 tokens) carry no candidates by construction."""
+    docs = load_split(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs)
+    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    pairs = D.pairs_within_buckets(ex, ["g"], "doc_id")
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "contain_a_bp",
+            F.expr("CAST((10000 * inter) DIV size(sh_a) AS BIGINT)"),
+        )
+        .withColumn(
+            "contain_b_bp",
+            F.expr("CAST((10000 * inter) DIV size(sh_b) AS BIGINT)"),
+        )
+        .filter(
+            F.greatest("contain_a_bp", "contain_b_bp") >= CONTAIN_MIN_BP
+        )
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "contain_a_bp",
+            "contain_b_bp",
+        )
+    )
+
+
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH detector evaluation: exact recall and precision of the banded
+    MinHash candidate generator against the TRUE near-dup pair set at the
+    Jaccard threshold — the dedup-QA gate a pipeline runs before trusting
+    an LSH band/row configuration on a new corpus. The truth set needs no
+    n² pass: share-a-shingle candidates (one keyed shuffle,
+    pairs_within_buckets) verified by exact Jaccard are EXACTLY the true
+    pairs (J >= thr > 0 implies a shared shingle, so the candidate set is
+    a superset of the truth). Signatures are PORTABLE (md5 hash60) so the
+    oracle recomputes the banding itself — recall/precision are checked
+    against an independently reconstructed detector, not trusted. Single
+    summary row; the three count legs are 1-row broadcasts."""
+    docs = load_split(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs)
+    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    share = D.pairs_within_buckets(ex, ["g"], "doc_id")
+    truth = D.verify_pairs_jaccard(
+        share, shingled, threshold_bp=JACCARD_THRESHOLD_BP
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    sig = D.with_minhash_signature(
+        shingled.filter(F.size("shingles") > 0).select("doc_id", "shingles"),
+        portable=True,
+    )
+    cands = D.lsh_candidate_pairs(sig)
+    hits = cands.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    nc = cands.agg(F.count("*").alias("n_lsh_candidates"))
+    nh = hits.agg(F.count("*").alias("n_true_found"))
+    return (
+        nt.join(F.broadcast(nc))
+        .join(F.broadcast(nh))
+        .select(
+            F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
+            F.col("n_lsh_candidates").cast("bigint").alias("n_lsh_candidates"),
+            F.col("n_true_found").cast("bigint").alias("n_true_found"),
+            F.expr("(10000 * n_true_found) DIV n_true_pairs")
+            .cast("bigint")
+            .alias("recall_bp"),
+            F.expr("(10000 * n_true_found) DIV n_lsh_candidates")
+            .cast("bigint")
+            .alias("precision_bp"),
+        )
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: minhash+LSH verified pairs -> connected
     components (iterative min-label propagation) -> (doc_id, cluster_id =
@@ -483,6 +572,8 @@ QUERIES = {
     "q_dup_clusters_chain": q_dup_clusters_chain,
     "q_minhash_dedup": q_minhash_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_shingle_containment": q_shingle_containment,
+    "q_lsh_eval": q_lsh_eval,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
     "q_dedup_keep_best": q_dedup_keep_best,
@@ -664,6 +755,62 @@ def _minhash_est_oracle_sql() -> str:
     """
 
 
+def _lsh_eval_oracle_sql() -> str:
+    """Same portable-signature + banding reconstruction as
+    _minhash_est_oracle_sql, plus the exact truth set (n² here is fine at
+    oracle SF; the Spark side uses the share-a-shingle superset instead)
+    reduced to the recall/precision summary row."""
+    mins = ",\n                 ".join(
+        f"MIN({perm_hash_sql('h', i)}) AS m{i}" for i in range(N_PERM)
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(N_PERM))
+    bands = D.LSH_BANDS
+    rows = D.LSH_ROWS
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS s FROM documents
+        ), hs AS (
+          SELECT doc_id, ({hash60_sql("g")}) % {MOD31} AS h
+          FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+        ), sigs AS (
+          SELECT doc_id,
+                 {mins}
+          FROM hs GROUP BY doc_id
+        ), sigl AS (
+          SELECT doc_id, [{sig_list}] AS sig FROM sigs
+        ), bands AS (
+          SELECT doc_id, j,
+                 sig[{rows} * j + 1] AS r0, sig[{rows} * j + 2] AS r1
+          FROM sigl, range({bands}) t(j)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.j = b.j AND a.r0 = b.r0 AND a.r1 = b.r1
+           AND a.doc_id < b.doc_id
+        ), truth AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND (10000 * len(list_intersect(a.s, b.s)))
+                // len(list_distinct(a.s || b.s)) >= {JACCARD_THRESHOLD_BP}
+        ), hits AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand c JOIN truth t
+            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        ), counts AS (
+          SELECT (SELECT COUNT(*) FROM truth) AS nt,
+                 (SELECT COUNT(*) FROM cand) AS nc,
+                 (SELECT COUNT(*) FROM hits) AS nh
+        )
+        SELECT CAST(nt AS BIGINT) AS n_true_pairs,
+               CAST(nc AS BIGINT) AS n_lsh_candidates,
+               CAST(nh AS BIGINT) AS n_true_found,
+               CAST((10000 * nh) // nt AS BIGINT) AS recall_bp,
+               CAST((10000 * nh) // nc AS BIGINT) AS precision_bp
+        FROM counts
+    """
+
+
 def _pagerank_oracle_sql() -> str:
     """Unrolls the SAME PAGERANK_ITERS power iterations as the Spark
     plan: per-node contribution lists ordered by src, left-folded from
@@ -797,6 +944,7 @@ ORACLES = {
         FROM degrees GROUP BY degree
     """,
     "q_minhash_est": _minhash_est_oracle_sql(),
+    "q_lsh_eval": _lsh_eval_oracle_sql(),
     "q_dup_source_matrix": _PAIR_JACCARD
     + f"""
         SELECT least(da.source, db.source) AS source_lo,
@@ -834,6 +982,24 @@ ORACLES = {
     "q_minhash_dedup": _minhash_oracle_sql(),
     "q_ngram_jaccard": _PAIR_JACCARD
     + "SELECT doc_a, doc_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp FROM pairs",
+    "q_shingle_containment": f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS s FROM documents
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.s, b.s)) AS inter,
+                 len(a.s) AS na, len(b.s) AS nb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) > 0
+        )
+        SELECT doc_a, doc_b,
+               CAST((10000 * inter) // na AS BIGINT) AS contain_a_bp,
+               CAST((10000 * inter) // nb AS BIGINT) AS contain_b_bp
+        FROM pairs
+        WHERE GREATEST((10000 * inter) // na, (10000 * inter) // nb)
+              >= {CONTAIN_MIN_BP}
+    """,
     "q_simhash": _simhash_sql(),
     # Exhaustive O(n^2) ground truth for the banded pigeonhole join:
     # every pair within hamming<=3 of the (independently recomputed)

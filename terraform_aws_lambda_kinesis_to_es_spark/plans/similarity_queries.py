@@ -195,6 +195,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_ivf(vecs, queries, k=TOP_K)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors compressed to
+    PQ_M one-byte codes (64x smaller than float32 here), queries ranked by
+    asymmetric distance — per-subspace lookup-table sums — so query-time
+    ranking never reads the original corpus vectors. THE storage/compute
+    compression layer under a 100 TB vector index, next to IVF (list
+    pruning) and LSH (bucket pruning).
+
+    Fully deterministic (seed-rule codebook = first PQ_K vectors'
+    subvectors, argmin ties to lowest code, 0.0-seeded left-assoc distance
+    folds, ADC terms re-summed in subspace order), so the oracle mirrors
+    encode + ADC value-for-value in SQL; pytest additionally bounds ADC
+    recall against the exact brute force. Shape: encode is one keyed
+    partial-agg shuffle over n x PQ_M rows with a broadcast constant-size
+    codebook; ADC joins the broadcast query LUT to the CODES (n x PQ_M
+    rows), never to the vectors."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    cb = S.pq_codebook(vecs)
+    codes = S.pq_encode(vecs, cb)
+    return S.pq_adc_topk(codes, cb, queries, k=TOP_K)
+
+
 SEM_MIN_CLUSTERS = 8
 SEM_ROWS_PER_CLUSTER = 64
 SEM_TAU = 0.35
@@ -261,6 +284,26 @@ def q_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clearCache between queries (bench.py) or LRU eviction.
     assigned = S.assign_bucketed_seeds(vecs, seeds).persist()
     return S.dedup_within_clusters(assigned, SEM_TAU)
+
+
+def q_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit + inverse-frequency reweighting over the
+    embedding labels: per label, count, corpus share, and the balanced
+    sampling weight 10000 * total / (n_labels * n) bp — the standard
+    rebalancing table computed before training on a labeled set (uniform
+    data lands near 10000 bp; rare classes upweight). One bounded keyed
+    agg + a single-row broadcast of the totals; integer bp throughout."""
+    vecs = _vec(spark, sf_dir)
+    per = vecs.groupBy("label").agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("total"), F.count("*").alias("n_labels"))
+    return per.join(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.expr("(10000 * n) DIV total").cast("bigint").alias("share_bp"),
+        F.expr("(10000 * total) DIV (n_labels * n)")
+        .cast("bigint")
+        .alias("weight_bp"),
+    )
 
 
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +463,8 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_recall": q_ann_recall,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_pq": q_ann_pq,
+    "q_label_balance": q_label_balance,
     "q_centroid_sim": q_centroid_sim,
     "q_quantize": q_quantize,
     "q_embed_normalize": q_embed_normalize,
@@ -587,6 +632,61 @@ FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND({_cosine_sql("a.v", "b.v")}, 4) >= {NEAR_DUP_THRESHOLD}
 """
+
+def _pq_dist_sql(vexpr: str, cvexpr: str, base: str) -> str:
+    """Squared L2 between an inline vector slice (1-based element indexing
+    offset by ``base``) and a codebook subvector — explicit 0.0-seeded
+    left-assoc chain, matching operators.similarity.sq_l2's fold exactly."""
+    terms = " + ".join(
+        f"({vexpr}[{base} + {i + 1}] - {cvexpr}[{i + 1}])"
+        f" * ({vexpr}[{base} + {i + 1}] - {cvexpr}[{i + 1}])"
+        for i in range(S.PQ_SUB)
+    )
+    return f"(0.0 + {terms})"
+
+
+_ANN_PQ_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+sub AS (SELECT unnest(range({S.PQ_M})) AS m),
+cb AS (
+  SELECT m, vec_id AS code,
+         v[m*{S.PQ_SUB}+1 : m*{S.PQ_SUB}+{S.PQ_SUB}] AS cv
+  FROM vecs CROSS JOIN sub WHERE vec_id < {S.PQ_K}
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT x.vec_id, cb.m, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.vec_id, cb.m
+             ORDER BY {_pq_dist_sql('x.v', 'cb.cv', f'cb.m*{S.PQ_SUB}')} ASC,
+                      cb.code ASC
+           ) AS rn
+    FROM vecs x CROSS JOIN cb
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code,
+         {_pq_dist_sql('q.v', 'cb.cv', f'cb.m*{S.PQ_SUB}')} AS d
+  FROM vecs q CROSS JOIN cb WHERE q.vec_id < {N_QUERY_VECS}
+),
+summed AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.m)),
+                     (a, b) -> a + b) AS adist
+  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM summed
+) WHERE rank <= {TOP_K}
+"""
+
 
 _SEMDEDUP_SQL = f"""
 WITH vecs AS ({_VEC_CTE}),
@@ -821,4 +921,17 @@ ORACLES = {
         LEFT JOIN hp ON t.query_id = hp.query_id
     """,
     "q_ann_ivf": _IVF_SQL,
+    "q_ann_pq": _ANN_PQ_SQL,
+    "q_label_balance": """
+        WITH per AS (
+          SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        ), tot AS (
+          SELECT SUM(n) AS total, COUNT(*) AS n_labels FROM per
+        )
+        SELECT label,
+               CAST(n AS BIGINT) AS n_vectors,
+               CAST((10000 * n) // total AS BIGINT) AS share_bp,
+               CAST((10000 * total) // (n_labels * n) AS BIGINT) AS weight_bp
+        FROM per CROSS JOIN tot
+    """,
 }

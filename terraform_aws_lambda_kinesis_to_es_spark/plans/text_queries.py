@@ -134,6 +134,31 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile per language: chars-per-token and
+    tokens-per-doc in basis points — the budget diagnostic that converts
+    a per-language TOKEN budget into a DOC/byte budget and flags scripts
+    the tokenizer shreds (fertility outliers). One scan, row-local token
+    counts, bounded keyed agg; all ratios integer bp."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens(F.lower(F.col("text")))).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr("(10000 * sum(n_chars)) DIV sum(n_toks)")
+        .cast("bigint")
+        .alias("chars_per_token_bp"),
+        F.expr("(10000 * sum(n_toks)) DIV count(*)")
+        .cast("bigint")
+        .alias("tokens_per_doc_bp"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: sorted-distinct-token md5 (key-collision
     fingerprint) + min rolling shingle hash (winnowing-style)."""
@@ -734,6 +759,7 @@ QUERIES = {
     "q_langid": q_langid,
     "q_quality": q_quality,
     "q_tokens": q_tokens,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_fingerprint": q_fingerprint,
     "q_tfidf": q_tfidf,
     "q_pii_redact": q_pii_redact,
@@ -1086,6 +1112,21 @@ ORACLES = {
                CAST(len({_TOKS_RAW}) AS BIGINT) AS n_ws_tokens,
                CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT) AS n_bpe_tokens
         FROM documents
+    """,
+    "q_tokenizer_fertility": f"""
+        WITH per_doc AS (
+          SELECT lang, len({_TOKS}) AS n_toks, length(text) AS n_chars
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST((10000 * SUM(n_chars)) // SUM(n_toks) AS BIGINT)
+                 AS chars_per_token_bp,
+               CAST((10000 * SUM(n_toks)) // COUNT(*) AS BIGINT)
+                 AS tokens_per_doc_bp
+        FROM per_doc GROUP BY lang
     """,
     "q_fingerprint": f"""
         SELECT doc_id,

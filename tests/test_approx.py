@@ -180,3 +180,56 @@ def test_bucketed_seed_assignment_covers_and_agrees(spark, sf_dir):
             agree += int(r.cluster == true_cluster)
     assert checked > 0
     assert agree == checked, f"{agree}/{checked}"
+
+
+def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
+    """PQ/ADC must (a) encode each codebook vector to its own code in
+    every subspace (distance-0 argmin, the basic encode sanity) and
+    (b) recover a solid fraction of the true L2 top-10 from codes alone
+    (random 64-dim data with a 16-code codebook is the hard case; the
+    bound guards the plumbing, not state-of-the-art recall)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        N_QUERY_VECS,
+        TOP_K,
+        _vec,
+    )
+
+    vecs = _vec(spark, sf_dir)
+    cb = S.pq_codebook(vecs)
+    codes = S.pq_encode(vecs, cb)
+    self_codes = codes.filter(
+        (F.col("vec_id") < S.PQ_K) & (F.col("vec_id") != F.col("code"))
+    )
+    assert self_codes.count() == 0
+
+    # exact squared-L2 top-k (brute force, test-only ground truth)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            S.sq_l2(F.col("v"), F.col("qv")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = {}
+    for r in scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    adc = {}
+    for r in entrypoint.queries()["q_ann_pq"](spark, sf_dir).collect():
+        adc.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(adc) == set(exact)
+    recalls = [len(adc[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls

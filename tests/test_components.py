@@ -128,3 +128,26 @@ def test_collapsed_clusters_synthetic_shapes(spark):
         for r in connected_components(raw_pairs, src="doc_a", dst="doc_b").collect()
     }
     assert raw == got
+
+
+def test_containment_detects_subset_jaccard_misses(spark):
+    """A doc fully contained in a much longer doc must score containment
+    10000 bp while its Jaccard stays under the dedup threshold — the case
+    q_shingle_containment exists for."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    sh = D.with_shingles(docs)
+    a, b = (
+        {r.doc_id: set(r.shingles) for r in sh.collect()}[1],
+        {r.doc_id: set(r.shingles) for r in sh.collect()}[2],
+    )
+    inter, union = len(a & b), len(a | b)
+    assert 10000 * inter // len(a) == 10000  # fully contained
+    assert 10000 * inter // union < 5000  # Jaccard-threshold dedup misses it

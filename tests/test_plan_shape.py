@@ -156,6 +156,8 @@ _INTENTIONAL_PRODUCT = {
     "q_trending_parts",    # x broadcast(single-row latest-year)
     "q_pagerank",          # node set x broadcast(single-row node count)
     "q_profile_columns_approx",  # 1-row approx agg x broadcast(1-row exact agg)
+    "q_lsh_eval",          # three 1-row count legs broadcast-joined
+    "q_label_balance",     # per-label rollup x broadcast(single-row totals)
     "q_dup_method_agreement",  # three single-row count aggregates joined
     "q_gap_fill",          # type set x broadcast(single-row hour span)
     "q_ann_recall",        # ground-truth leg IS knn_bruteforce (corpus x
