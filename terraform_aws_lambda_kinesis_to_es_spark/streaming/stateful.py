@@ -329,3 +329,131 @@ def clean_stream(
         .dropDuplicatesWithinWatermark(["content_key"])
         .drop("content_key")
     )
+
+
+NEAR_DUP_SCHEMA = "doc_id long, dup_of long, hamming long, blk int"
+_ND_STATE = "ids array<long>, sigs array<long>, ts_us array<long>"
+_ND_BLOCKS = 4
+
+
+def _near_dup_fn_factory(max_distance: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per simhash-block bucket: match each arriving signature against
+        the signatures seen in this bucket within the watermark horizon,
+        emit (doc, earlier dup, exact hamming) for hits, append the
+        arrival to state. Eviction: entries whose event time has fallen
+        behind the current watermark are dropped on every invocation, and
+        a bucket idle past the watermark times out and removes itself —
+        state per bucket is bounded by the horizon's arrival rate, never
+        the corpus."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, sigs, tss = (
+            (list(x) for x in state.get) if state.exists else ([], [], [])
+        )
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if wm_us > 0 and tss:
+            kept = [i for i, t in enumerate(tss) if t >= wm_us]
+            ids = [ids[i] for i in kept]
+            sigs = [sigs[i] for i in kept]
+            tss = [tss[i] for i in kept]
+        out_doc, out_dup, out_ham = [], [], []
+        blk = int(key[0].split(":", 1)[0])
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["doc_ts", "doc_id"])
+            for did, sig, ts in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["simhash"].astype("int64"),
+                pdf["doc_ts"].astype("int64") // 1000,
+            ):
+                for pid, psig in zip(ids, sigs):
+                    if pid == did:
+                        continue
+                    h = bin(sig ^ psig).count("1")
+                    if h <= max_distance:
+                        out_doc.append(int(did))
+                        out_dup.append(int(pid))
+                        out_ham.append(h)
+                ids.append(int(did))
+                sigs.append(int(sig))
+                tss.append(int(ts))
+        if tss:
+            state.update((ids, sigs, tss))
+            # re-arm eviction: time out once the watermark passes the
+            # newest entry (clamped above the current watermark — setting
+            # a timeout at/behind it is an error for late-data buckets)
+            state.setTimeoutTimestamp(max(max(tss) // 1000, wm_us // 1000) + 1)
+        elif state.exists:
+            state.remove()  # everything evicted and nothing new arrived
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "dup_of": out_dup,
+                    "hamming": out_ham,
+                    "blk": [blk] * len(out_doc),
+                }
+            )
+
+    return fn
+
+
+def near_dup_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "doc_ts",
+    watermark: str = "1 hour",
+    max_distance: int = 3,
+) -> DataFrame:
+    """STREAMING near-duplicate detection within a bounded horizon — the
+    missing middle between per-batch dedup and the batch LSH compaction
+    job (clean_stream's note stands: an unbounded pairwise similarity
+    graph is not streaming state; a WATERMARKED one is). Each document's
+    60-bit SimHash (row-local, operators.dedup.with_simhash) is banded
+    into 4 x 15-bit blocks (pigeonhole: hamming <= 3 guarantees an
+    identical block, so recall at the threshold is exact within the
+    horizon); each block value keys a stateful bucket holding the
+    signatures seen within the watermark horizon. Arrivals emit
+    (doc_id, dup_of, hamming, blk) for every horizon-mate within
+    max_distance — a pair matching in k blocks appears k times, labeled
+    by blk; consumers dedup on (doc_id, dup_of) or route to a kill list.
+
+    Scale posture: state per bucket is bounded by the horizon x the
+    bucket's arrival rate (watermark eviction on every invocation +
+    event-time timeout removes idle buckets); the per-arrival compare is
+    bounded by bucket occupancy, never the corpus. The batch twin with a
+    full-corpus view is q_simhash_pairs."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    block_bits = D.SIMHASH_BITS // _ND_BLOCKS
+    mask = (1 << block_bits) - 1
+    sim = D.with_simhash(df, text_col)
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), j * block_bits).bitwiseAND(F.lit(mask))
+            for j in range(_ND_BLOCKS)
+        ]
+    )
+    keyed = (
+        sim.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "simhash",
+            F.col(ts_col).alias("doc_ts"),
+            F.posexplode(blocks).alias("blk", "bval"),
+        )
+        .withColumn("bkey", F.concat_ws(":", "blk", "bval"))
+    )
+    return keyed.groupBy("bkey").applyInPandasWithState(
+        _near_dup_fn_factory(max_distance),
+        outputStructType=NEAR_DUP_SCHEMA,
+        stateStructType=_ND_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

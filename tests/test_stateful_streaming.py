@@ -364,3 +364,84 @@ def test_clean_stream_state_expires_past_watermark(spark, tmp_path):
     _run_to_memory(out, "clean_exp_t", str(tmp_path / "ck_clean_exp"))
     ids = sorted(r.doc_id for r in spark.table("clean_exp_t").collect())
     assert ids == [1, 3, 5]
+
+
+def test_near_dup_stream_matches_within_horizon(spark, tmp_path):
+    """Streaming near-dup: an identical doc arriving in a LATER
+    micro-batch within the watermark horizon is reported against the
+    earlier one (identical => hamming 0, matched in all 4 simhash blocks
+    => dedup the pair on (doc_id, dup_of)); an unrelated doc matches
+    nothing."""
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    text = "the cat and the dog run to the house and the tree is tall today"
+    other = "completely different words about spark shuffles and parquet row groups"
+    _write_batch(
+        src, "b1", [{"doc_id": 1, "text": text, "doc_ts": "2024-03-01T10:00:00"}]
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"doc_id": 2, "text": text, "doc_ts": "2024-03-01T10:10:00"},
+            {"doc_id": 3, "text": other, "doc_ts": "2024-03-01T10:11:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stateful.near_dup_stream(stream)
+    _run_to_memory(out, "nd_t", str(tmp_path / "ck_nd"))
+    rows = spark.table("nd_t").collect()
+    pairs = {(r.doc_id, r.dup_of) for r in rows}
+    assert pairs == {(2, 1)}
+    assert all(r.hamming == 0 for r in rows)
+    assert len(rows) == 4  # identical docs share all 4 blocks
+
+
+def test_near_dup_stream_state_expires_past_watermark(spark, tmp_path):
+    """Bounded-state contract: a duplicate arriving after the original's
+    event time has fallen behind the watermark does NOT match it (state
+    evicted), but matches a fresh in-horizon copy."""
+    import os
+    import time as _time
+
+    src = tmp_path / "nd_exp_src"
+    src.mkdir()
+    text = "the cat and the dog run to the house and the tree is tall today"
+    other = "completely different words about spark shuffles and parquet row groups"
+
+    def _stamp(name: str, offset: int) -> None:
+        t = _time.time() - 100 + offset
+        os.utime(f"{src}/{name}.json", (t, t))
+
+    _write_batch(
+        src, "b1", [{"doc_id": 1, "text": text, "doc_ts": "2024-03-01T10:00:00"}]
+    )
+    _stamp("b1", 0)
+    # advances the 1h watermark to 12:00 — doc1's bucket entries age out
+    _write_batch(
+        src, "b2", [{"doc_id": 2, "text": other, "doc_ts": "2024-03-01T13:00:00"}]
+    )
+    _stamp("b2", 10)
+    # same text as doc1, but doc1's state is gone: no pair vs 1
+    _write_batch(
+        src, "b3", [{"doc_id": 3, "text": text, "doc_ts": "2024-03-01T13:01:00"}]
+    )
+    _stamp("b3", 20)
+    # fresh in-horizon copy: pairs with doc3 only
+    _write_batch(
+        src, "b4", [{"doc_id": 4, "text": text, "doc_ts": "2024-03-01T13:02:00"}]
+    )
+    _stamp("b4", 30)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stateful.near_dup_stream(stream)
+    _run_to_memory(out, "nd_exp_t", str(tmp_path / "ck_nd_exp"))
+    pairs = {(r.doc_id, r.dup_of) for r in spark.table("nd_exp_t").collect()}
+    assert pairs == {(4, 3)}
