@@ -241,6 +241,16 @@ def test_profile_columns_one_scan_one_exchange(spark, sf_dir):
     assert "o_totalprice" not in plan
 
 
+def test_ann_pq_joins_all_broadcast(spark, sf_dir):
+    # PQ encode joins the corpus subvector stream to the CONSTANT-size
+    # codebook, and ADC joins the codes to the broadcast query LUT — the
+    # corpus must never be shuffle-joined (no SortMergeJoin anywhere;
+    # codebook + LUT arrive as broadcast hash joins)
+    plan = plan_of(spark, sf_dir, "q_ann_pq")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_profile_columns_approx_agg_has_no_expand(spark, sf_dir):
     # the scale point of the sketch profile: multiple approx_count_distinct
     # aggregates accumulate as independent HLL++ states in ONE pass — no
