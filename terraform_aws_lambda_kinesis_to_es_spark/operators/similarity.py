@@ -737,3 +737,79 @@ def pq_adc_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_probes: int = N_IVF_PROBES,
+) -> DataFrame:
+    """Composed IVF + PQ index (the FAISS IVFPQ shape): candidates come
+    from the query's n_probes nearest inverted lists — the codes table is
+    scanned at ~(n_probes/n_lists) selectivity via the list_id equi-join —
+    and are ranked by ADC over the PQ codes, so query time touches ONLY
+    the (id, list_id, 8 one-byte codes) index rows, never the original
+    vectors. This is the 100 TB serving shape: vectors are read once at
+    index-build (assignment + encode, both one keyed shuffle with
+    broadcast constant-size centroid/codebook sides); the per-query cost
+    is a pruned code scan plus 8 lookup-table adds per candidate.
+    Deterministic end to end (seed-rule centroids + codebook, argmin/
+    argmax tie-breaks, order-pinned folds)."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, id_col, vec_col)
+    corpus_l = with_ivf_list(corpus, cents, vec_col)
+    lists = corpus_l.select(F.col(id_col).alias("neighbor_id"), "list_id")
+    cb = pq_codebook(corpus, id_col, vec_col)
+    codes = (
+        pq_encode(corpus, cb, id_col, vec_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(lists, "neighbor_id")
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = cents.select("list_id", F.col(vec_col).alias("cv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(c))
+        .withColumn("_csim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probes)
+        .select("query_id", "list_id")
+    )
+    lut = (
+        pq_subvectors(queries, "query_id", id_col, vec_col)
+        .join(F.broadcast(pq_codebook(corpus, id_col, vec_col)), "m")
+        .select(
+            "query_id", "m", "code", sq_l2(F.col("sub"), F.col("cv")).alias("d")
+        )
+    )
+    cand = codes.join(F.broadcast(probes), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    summed = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("m", "d"))),
+                F.lit(0.0),
+                lambda a, s: a + s["d"],
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 4).alias("adist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

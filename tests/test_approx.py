@@ -233,3 +233,62 @@ def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
     assert set(adc) == set(exact)
     recalls = [len(adc[q] & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_ivfpq_recall_and_pruning(spark, sf_dir):
+    """Composed IVF+PQ index: (a) candidates really are pruned to the
+    probed lists (per query, candidates <= corpus rows in n_probes lists,
+    strictly less than the corpus); (b) ADC over codes from pruned lists
+    still recovers a useful fraction of the exact L2 top-10 (double
+    approximation on random data — the bound guards the plumbing)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        N_QUERY_VECS,
+        TOP_K,
+        _vec,
+    )
+
+    vecs = _vec(spark, sf_dir)
+    n_corpus = vecs.count()
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+
+    # structural pruning: every probed-list candidate set is a strict
+    # subset of the corpus
+    cents = S.ivf_centroids(vecs)
+    sizes = {
+        r.list_id: r.n
+        for r in S.with_ivf_list(vecs, cents)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sum(sizes.values()) == n_corpus
+    max_probed = sum(sorted(sizes.values(), reverse=True)[: S.N_IVF_PROBES])
+    assert max_probed < n_corpus
+
+    # exact L2 ground truth
+    qs = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    sc = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", S.sq_l2(F.col("v"), F.col("qv")).alias("d")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = {}
+    for r in sc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    ).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    got = {}
+    for r in S.knn_ivfpq(vecs, queries, k=TOP_K).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    recalls = [len(got[q] & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
