@@ -2,8 +2,19 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with
-the noop sink (full computation, no driver collect bottleneck).
+"queries": {name: sec}, "runs": {name: [sec, ...]}, "sf": ...}. Each
+query is forced end-to-end with the noop sink (full computation, no
+driver collect bottleneck).
+
+Round-5 methodology changes (VERDICT r4 #3 + ADVICE):
+- Each query runs SPARK_GRAFT_RUNS times (default 3); "queries" carries
+  the per-query MEDIAN and "value" the sum of medians. PERF.md documents
+  ±30% single-shot wall jitter on this host — bigger than most real
+  deltas — so medians make cross-round per-query comparisons signal.
+  The raw singles stay in "runs" so spread remains inspectable.
+- The timer starts BEFORE the query-construction call, so queries that
+  run an eager Spark job while building the plan (q_semdedup_bucketed's
+  codebook-sizing count) are no longer silently under-reported.
 """
 
 from __future__ import annotations
@@ -54,6 +65,7 @@ HEADLINE = (
     "q_knn_cosine",
     "q_ann_lsh",
     "q_ann_pq",
+    "q_ann_ivfpq",
     "q_semdedup",
     "q_semdedup_bucketed",
     "q_clean_corpus",
@@ -106,22 +118,32 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warmup must never break the bench
         print(f"warmup skipped ({type(exc).__name__}: {exc})", file=sys.stderr)
     spark.catalog.clearCache()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float | None] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in headline:
         # One broken query must never zero the whole round's numbers:
         # record null + the error and keep going. Caches are cleared
-        # between queries so persisted stages from one query can't
-        # distort (or subsidize) the next query's timing.
-        spark.catalog.clearCache()
-        try:
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
+        # between runs so persisted stages from one run can't distort
+        # (or subsidize) the next run's timing — each run pays its own
+        # full cost, including any eager plan-construction job.
+        singles: list[float] = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            try:
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                singles.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        if singles:
+            runs[name] = singles
+            timings[name] = sorted(singles)[len(singles) // 2]
+        else:
             timings[name] = None
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
@@ -130,6 +152,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "n_runs": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
             }

@@ -78,8 +78,11 @@ def materialize(spark, out_dir: str) -> None:
 
 def time_query(fn, spark, sf_dir: str) -> float:
     spark.catalog.clearCache()
-    df = fn(spark, sf_dir)
+    # timer wraps the query-construction call too (r4 ADVICE): queries
+    # that run an eager job while building the plan (codebook-sizing
+    # counts) must not have that cost silently excluded from the ratio
     t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
@@ -97,10 +100,15 @@ def main() -> None:
     import __spark_entry__ as entrypoint
 
     queries = entrypoint.queries()
-    # codegen warmup at the tiny sf
-    queries["q_daily_counts"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # codegen warmup at the tiny sf — defensive like bench.py's (r4
+    # ADVICE): a missing warmup dir must degrade to a cold first query,
+    # never crash the whole sweep before it times anything
+    try:
+        queries["q_daily_counts"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup skipped ({type(exc).__name__}: {exc})", file=sys.stderr)
 
     rows = []
     for name, fn in queries.items():

@@ -170,10 +170,19 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true_pairs").cast("bigint").alias("n_true_pairs"),
             F.col("n_lsh_candidates").cast("bigint").alias("n_lsh_candidates"),
             F.col("n_true_found").cast("bigint").alias("n_true_found"),
-            F.expr("(10000 * n_true_found) DIV n_true_pairs")
+            # zero-guarded on BOTH engines (r4 ADVICE): Spark DIV yields
+            # NULL on /0 while DuckDB // raises — a corpus with no true
+            # pairs or no candidates must degenerate to 0, identically
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN 0"
+                " ELSE (10000 * n_true_found) DIV n_true_pairs END"
+            )
             .cast("bigint")
             .alias("recall_bp"),
-            F.expr("(10000 * n_true_found) DIV n_lsh_candidates")
+            F.expr(
+                "CASE WHEN n_lsh_candidates = 0 THEN 0"
+                " ELSE (10000 * n_true_found) DIV n_lsh_candidates END"
+            )
             .cast("bigint")
             .alias("precision_bp"),
         )
@@ -554,8 +563,15 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_truth").cast("bigint").alias("n_truth"),
         F.col("n_detected").cast("bigint").alias("n_detected"),
         F.col("n_both").cast("bigint").alias("n_both"),
-        F.expr("(10000 * n_both) DIV n_detected").cast("bigint").alias("precision_bp"),
-        F.expr("(10000 * n_both) DIV n_truth").cast("bigint").alias("recall_bp"),
+        # zero-guarded like q_lsh_eval: degenerate corpora give 0, not a
+        # Spark-NULL / DuckDB-error divergence
+        F.expr(
+            "CASE WHEN n_detected = 0 THEN 0"
+            " ELSE (10000 * n_both) DIV n_detected END"
+        ).cast("bigint").alias("precision_bp"),
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN 0 ELSE (10000 * n_both) DIV n_truth END"
+        ).cast("bigint").alias("recall_bp"),
     )
 
 
@@ -805,8 +821,10 @@ def _lsh_eval_oracle_sql() -> str:
         SELECT CAST(nt AS BIGINT) AS n_true_pairs,
                CAST(nc AS BIGINT) AS n_lsh_candidates,
                CAST(nh AS BIGINT) AS n_true_found,
-               CAST((10000 * nh) // nt AS BIGINT) AS recall_bp,
-               CAST((10000 * nh) // nc AS BIGINT) AS precision_bp
+               CAST(CASE WHEN nt = 0 THEN 0
+                         ELSE (10000 * nh) // nt END AS BIGINT) AS recall_bp,
+               CAST(CASE WHEN nc = 0 THEN 0
+                         ELSE (10000 * nh) // nc END AS BIGINT) AS precision_bp
         FROM counts
     """
 
@@ -882,8 +900,12 @@ ORACLES = {
         SELECT CAST(n_truth AS BIGINT) AS n_truth,
                CAST(n_detected AS BIGINT) AS n_detected,
                CAST(n_both AS BIGINT) AS n_both,
-               CAST((10000 * n_both) // n_detected AS BIGINT) AS precision_bp,
-               CAST((10000 * n_both) // n_truth AS BIGINT) AS recall_bp
+               CAST(CASE WHEN n_detected = 0 THEN 0
+                         ELSE (10000 * n_both) // n_detected
+                    END AS BIGINT) AS precision_bp,
+               CAST(CASE WHEN n_truth = 0 THEN 0
+                         ELSE (10000 * n_both) // n_truth
+                    END AS BIGINT) AS recall_bp
         FROM c
     """,
     "q_incremental_dedup": f"""

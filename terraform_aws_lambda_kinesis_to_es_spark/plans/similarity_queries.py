@@ -218,6 +218,29 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(codes, cb, queries, k=TOP_K)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ index+serving (the FAISS IVFPQ shape, Jégou et al.
+    2011 §V): inverted-list pruning over product-quantized codes with ADC
+    ranking — THE 100 TB vector-serving artifact, composing the two
+    driver-proven halves (q_ann_ivf's probe pruning, q_ann_pq's
+    encode/ADC) into one index.
+
+    Index build is ONE corpus scan + ONE keyed shuffle (no corpus-sized
+    join): IVF centroids and the PQ codebook share the seed vectors, so
+    full-vector L2 to centroid j is the order-pinned sum over subspaces of
+    the per-(m, code=j) distances PQ encoding scores anyway — assignment
+    and codes fall out of the same 128 collected structs per vector.
+    Query time touches only (id, list_id, 8 codes) index rows. One metric
+    end to end (squared L2 for assignment, probing AND ranking — the
+    FAISS METRIC_L2 contract; fixes the r4-ADVICE cosine/L2 mix).
+    Deterministic: seed-rule codebook, argmin ties to lowest code/list,
+    0.0-seeded m-ordered folds, final ties to lowest neighbor id — the
+    oracle mirrors every stage value-for-value."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return S.knn_ivfpq(vecs, queries, k=TOP_K)
+
+
 SEM_MIN_CLUSTERS = 8
 SEM_ROWS_PER_CLUSTER = 64
 SEM_TAU = 0.35
@@ -464,6 +487,7 @@ QUERIES = {
     "q_ann_recall": q_ann_recall,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
+    "q_ann_ivfpq": q_ann_ivfpq,
     "q_label_balance": q_label_balance,
     "q_centroid_sim": q_centroid_sim,
     "q_quantize": q_quantize,
@@ -675,6 +699,86 @@ summed AS (
                      (a, b) -> a + b) AS adist
   FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
   WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM summed
+) WHERE rank <= {TOP_K}
+"""
+
+
+# q_ann_ivfpq: the composed index. `scored` mirrors ivfpq_index's one
+# (vector, m, code) -> d intermediate; enc is the per-(vec, m) argmin,
+# assignment the per-vec argmin over the m-ordered per-code sums (the
+# exact decomposition the Spark side exploits: full-vector L2 to seed j
+# = list_reduce over that seed's subspace distances in m order). The
+# query-side LUT is the same scored rows restricted to query ids —
+# exactly what the Spark side reuses for probing and ADC.
+_ANN_IVFPQ_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+sub AS (SELECT unnest(range({S.PQ_M})) AS m),
+cb AS (
+  SELECT m, vec_id AS code,
+         v[m*{S.PQ_SUB}+1 : m*{S.PQ_SUB}+{S.PQ_SUB}] AS cv
+  FROM vecs CROSS JOIN sub WHERE vec_id < {S.PQ_K}
+),
+scored AS (
+  SELECT x.vec_id, cb.m, cb.code,
+         {_pq_dist_sql('x.v', 'cb.cv', f'cb.m*{S.PQ_SUB}')} AS d
+  FROM vecs x CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, code AS list_id FROM (
+    SELECT vec_id, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY total ASC, code ASC) AS rn
+    FROM (
+      SELECT vec_id, code,
+             list_reduce(list_prepend(0.0, list(d ORDER BY m)),
+                         (a, b) -> a + b) AS total
+      FROM scored GROUP BY vec_id, code
+    )
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS query_id, m, code, d FROM scored
+  WHERE vec_id < {N_QUERY_VECS}
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT query_id, code AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY total ASC, code ASC) AS pr
+    FROM (
+      SELECT query_id, code,
+             list_reduce(list_prepend(0.0, list(d ORDER BY m)),
+                         (a, b) -> a + b) AS total
+      FROM lut GROUP BY query_id, code
+    )
+  ) WHERE pr <= {S.N_IVF_PROBES}
+),
+summed AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0, list(l.d ORDER BY l.m)),
+                     (a, b) -> a + b) AS adist
+  FROM enc e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = e.m AND l.code = e.code
+  WHERE e.vec_id <> p.query_id
   GROUP BY l.query_id, e.vec_id
 )
 SELECT query_id, neighbor_id, ROUND(adist, 4) AS adist,
@@ -922,6 +1026,7 @@ ORACLES = {
     """,
     "q_ann_ivf": _IVF_SQL,
     "q_ann_pq": _ANN_PQ_SQL,
+    "q_ann_ivfpq": _ANN_IVFPQ_SQL,
     "q_label_balance": """
         WITH per AS (
           SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label

@@ -251,6 +251,20 @@ def test_ann_pq_joins_all_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_ann_ivfpq_one_index_shuffle_no_smj(spark, sf_dir):
+    # the composed index: the ONLY corpus-keyed exchange is the
+    # ivfpq_index groupBy(id) — assignment and codes come out of the same
+    # collected structs, so there is no corpus-sized codes-to-lists join
+    # (zero SortMergeJoins anywhere in the plan). The probe pruning is a
+    # broadcast hash join of the index against the tiny probe set, and
+    # the ADC LUT arrives broadcast too.
+    plan = plan_of(spark, sf_dir, "q_ann_ivfpq")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # codebook, probes, LUT
+    # the codebook subtree carries its pushed seed filter to the scan
+    assert "LessThan(vec_id,16)" in plan
+
+
 def test_profile_columns_approx_agg_has_no_expand(spark, sf_dir):
     # the scale point of the sketch profile: multiple approx_count_distinct
     # aggregates accumulate as independent HLL++ states in ONE pass — no
