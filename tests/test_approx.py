@@ -258,26 +258,39 @@ def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.2, recalls
 
 
-def test_pq_refined_codebook_recall_not_worse(spark, sf_dir):
+def test_pq_refined_codebook_cuts_distortion_keeps_recall(spark, sf_dir):
     """k-means-refined PQ codebook (pq_codebook_refined — the production
-    FAISS training step) vs the seed rule: ADC recall@10 against the
-    exact L2 top-10 must not degrade, and the refined codebook must keep
-    exactly PQ_M x PQ_K entries (empty codes retain their previous
-    centroid). Measured on this fixture: seed 0.36 -> refined 0.60
-    mean recall@10 (PERF.md r5); the assertion bounds not-worse rather
-    than the exact gain because float means are partition-sum-order
-    sensitive."""
+    FAISS training step) vs the seed rule. The k-means OBJECTIVE is
+    quantization distortion, so that is the hard assertion: mean
+    per-subspace squared error must drop >= 15% (measured -25% after 3
+    iterations on this fixture: 0.094 -> 0.070). Recall@10 vs the exact
+    L2 top-10, measured over a 50-query panel (the 5-query panel is too
+    noisy to order codebooks: it showed 0.34 vs 0.26 while the 50-query
+    panel shows seed 0.234 -> refined 0.28, +20% relative — PERF.md r5),
+    must not degrade beyond noise. The codebook must also keep exactly
+    PQ_M x PQ_K entries (empty codes retain their previous centroid)."""
     from pyspark.sql import Window
 
     from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
     from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
-        N_QUERY_VECS,
         TOP_K,
         _vec,
     )
 
     vecs = _vec(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    n_queries = 50
+    queries = vecs.filter(F.col("vec_id") < n_queries)
+
+    def distortion(cb):
+        subs = S.pq_subvectors(vecs, "vec_id")
+        return (
+            subs.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", S.sq_l2(F.col("sub"), F.col("cv")).alias("d"))
+            .groupBy("vec_id", "m")
+            .agg(F.min("d").alias("d"))
+            .agg(F.avg("d"))
+            .collect()[0][0]
+        )
 
     qs = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     sc = (
@@ -308,8 +321,10 @@ def test_pq_refined_codebook_recall_not_worse(spark, sf_dir):
     seed_cb = S.pq_codebook(vecs)
     refined_cb = S.pq_codebook_refined(vecs, n_iter=3)
     assert refined_cb.count() == S.PQ_M * S.PQ_K
+    d_seed, d_refined = distortion(seed_cb), distortion(refined_cb)
+    assert d_refined <= 0.85 * d_seed, (d_seed, d_refined)
     r_seed, r_refined = adc_recall(seed_cb), adc_recall(refined_cb)
-    assert r_refined >= r_seed, (r_seed, r_refined)
+    assert r_refined >= r_seed - 0.03, (r_seed, r_refined)
 
 
 def test_ivfpq_recall_and_pruning(spark, sf_dir):
