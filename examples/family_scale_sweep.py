@@ -98,9 +98,21 @@ def materialize(spark, out_dir: str, replicas: int) -> None:
             lambda x, i: x
             + F.when(i == (r % 64), F.lit(0.001)).otherwise(F.lit(0.0)),
         )
+        # "far" must DECORRELATE, not translate: adding one constant
+        # offset vector to a whole replica biases every hyperplane
+        # (sign(w.v + w.c_r)) and collapses the replica into a few LSH
+        # buckets — measured 68.7x on q_embed_near_dup_lsh before this
+        # fix. A per-replica deterministic sign-flip pattern preserves
+        # within-replica pairwise geometry exactly (both sides flip) and
+        # is ~orthogonal across replicas, so bucket occupancy stays at
+        # base-corpus levels and candidates grow linearly. Patterns
+        # repeat at r = r' (mod 14) -> far-class cliques of ~2, like the
+        # few-copy dups of a real corpus.
         far_v = F.transform(
             base_v,
-            lambda x, i: x + ((i + 1) * (r + 3) % 5 - 2).cast("double") * 0.2,
+            lambda x, i: F.when(
+                ((i * (r + 3)) % 7 < 3) != ((i + r) % 2 == 0), -x
+            ).otherwise(x),
         )
         emb_reps.append(
             emb.withColumn(
@@ -157,8 +169,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"warmup skipped ({type(exc).__name__}: {exc})", file=sys.stderr)
 
+    family = FAMILY
+    if os.environ.get("SPARK_GRAFT_FAMILY"):
+        family = tuple(os.environ["SPARK_GRAFT_FAMILY"].split(","))
     rows = []
-    for name in FAMILY:
+    for name in family:
         fn = queries[name]
         try:
             base_s = time_query(fn, spark, SRC)

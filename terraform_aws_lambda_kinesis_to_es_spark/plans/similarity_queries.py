@@ -263,9 +263,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism/scale notes: seeds are the first k vectors (no float
     averaging, so assignment is bit-reproducible and the SQL oracle
     mirrors the count-derived k as a scalar subquery); assignment is a
-    broadcast cross-join + window argmax. At 100 TB the broadcast n×k
-    seed scoring itself becomes the bottleneck — the bucketed codebook
-    probe (q_semdedup_bucketed / assign_bucketed_seeds) is that path."""
+    broadcast cross-join + window argmax. DECLARED BASELINE CONTRACT:
+    with k = n/64 the exhaustive n x k assignment is O(n^2/64) by
+    construction — measured 48.7x wall at 30x data (PERF.md r5), the
+    family's q_embed_near_dup analogue. The scale path with the same
+    keep/drop semantics is q_semdedup_bucketed (hyperplane-bucketed
+    assignment via assign_bucketed_seeds): 1.5x at the same 30x."""
     vecs = _vec(spark, sf_dir)
     n_clusters = max(SEM_MIN_CLUSTERS, vecs.count() // SEM_ROWS_PER_CLUSTER)
     return S.semdedup(vecs, n_clusters, SEM_TAU)
