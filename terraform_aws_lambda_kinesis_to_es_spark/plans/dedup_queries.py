@@ -146,9 +146,13 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a superset of the truth). Signatures are PORTABLE (md5 hash60) so the
     oracle recomputes the banding itself — recall/precision are checked
     against an independently reconstructed detector, not trusted. Single
-    summary row; the three count legs are 1-row broadcasts."""
+    summary row; the three count legs are 1-row broadcasts.
+
+    The shingle stage feeds FOUR consumers here (candidate explode, both
+    verify sides, the signature input) — persist it once (house
+    staged-materialization rule; see q_dup_method_agreement)."""
     docs = load_split(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs)
+    shingled = D.with_shingles(docs).persist()
     ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
     share = D.pairs_within_buckets(ex, ["g"], "doc_id")
     truth = D.verify_pairs_jaccard(
@@ -533,9 +537,15 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded detector against it: truth/detected/overlap counts plus exact
     precision/recall in basis points. The audit that picks a detector
     for a corpus instead of trusting folklore. One-row output; both pair
-    sets come from candidate-bounded plans already proven green."""
+    sets come from candidate-bounded plans already proven green.
+
+    The shingle stage feeds THREE consumers (candidate explode + both
+    sides of the verify join) and re-tokenizing text is the dominant
+    map cost — persist it once, house style (the staged-materialization
+    rule the minhash/CC paths already follow; bench clears caches
+    between queries, LRU bounds it otherwise)."""
     docs = load_split(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs)
+    shingled = D.with_shingles(docs).persist()
     ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
     cand = D.pairs_within_buckets(ex, ["g"], "doc_id")
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
