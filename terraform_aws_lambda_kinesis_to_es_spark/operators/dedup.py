@@ -185,17 +185,26 @@ def verify_pairs_jaccard(
     """Join shingle sets back onto candidate pairs and keep exact Jaccard
     >= threshold (basis points). Two hash joins on ids; at scale the
     shingle side is the big relation and the pair side is small — Spark
-    broadcasts the pairs."""
+    broadcasts the pairs.
+
+    The union is never materialized: shingle arrays are SETS
+    (array_distinct upstream), so |A∪B| = |A|+|B|−|A∩B| exactly — one
+    intersect pass per pair instead of intersect + union (the union
+    array was built only to take its size). The intersect size is hoisted
+    into its own projection so it is computed once (CollapseProject does
+    not inline a non-cheap alias referenced twice). Values are identical
+    to the oracles' list_distinct(a||b) length."""
     sa = shingle_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingle_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .withColumn(
             "jaccard_bp",
             F.expr(
-                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
-                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+                "CAST((10000 * _isz)"
+                " DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
             ),
         )
         .filter(F.col("jaccard_bp") >= threshold_bp)
@@ -241,11 +250,13 @@ def minhash_dedup_pairs(
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .withColumn(
             "jaccard_bp",
+            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
             F.expr(
-                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
-                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+                "CAST((10000 * _isz)"
+                " DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
             ),
         )
         .filter(F.col("jaccard_bp") >= threshold_bp)

@@ -62,11 +62,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .withColumn(
             "jaccard_bp",
+            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
             F.expr(
-                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
-                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+                "CAST((10000 * _isz)"
+                " DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
             ),
         )
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
@@ -302,8 +304,11 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (x, y) -> x = y), b -> b))) DIV size(mh_a) AS BIGINT)"
             ).alias("est_bp"),
             F.expr(
+                # sets: |A∪B| = |A|+|B|−|A∩B|; codegen subexpression
+                # elimination dedupes the twin intersect within ONE project
                 "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
-                " DIV size(array_union(sh_a, sh_b)) AS BIGINT)"
+                " DIV (size(sh_a) + size(sh_b)"
+                "      - size(array_intersect(sh_a, sh_b))) AS BIGINT)"
             ).alias("jaccard_bp"),
         )
     )
@@ -484,10 +489,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_ids = (
         cand.join(sa, "new_id")
         .join(sb, "old_id")
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .filter(
+            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
             F.expr(
-                "(10000 * size(array_intersect(sh_a, sh_b)))"
-                f" DIV size(array_union(sh_a, sh_b)) >= {JACCARD_THRESHOLD_BP}"
+                "(10000 * _isz)"
+                f" DIV (size(sh_a) + size(sh_b) - _isz) >= {JACCARD_THRESHOLD_BP}"
             )
         )
         .select("new_id")
@@ -553,10 +560,12 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .filter(
+            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
             F.expr(
-                "(10000 * size(array_intersect(sh_a, sh_b)))"
-                f" DIV size(array_union(sh_a, sh_b)) >= {JACCARD_THRESHOLD_BP}"
+                "(10000 * _isz)"
+                f" DIV (size(sh_a) + size(sh_b) - _isz) >= {JACCARD_THRESHOLD_BP}"
             )
         )
         .select("id_a", "id_b")
