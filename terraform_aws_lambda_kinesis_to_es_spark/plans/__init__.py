@@ -65,8 +65,12 @@ _R3_ERA = (
 _HEAD = (
     # new this round
     "q_ann_ivfpq",
-    # changed this round (degenerate-corpus zero guards, both engines)
+    # changed this round: degenerate-corpus zero guards (both engines) on
+    # the first two; union-free exact Jaccard (|A∪B| = |A|+|B|−|A∩B| on
+    # set arrays — same values, new plan) on all five
     "q_lsh_eval", "q_dup_method_agreement",
+    "q_ngram_jaccard", "q_minhash_dedup", "q_minhash_est",
+    "q_incremental_dedup",
     # the r1-only cohort (42) — latest verdict is CORRECTNESS_r01
     "q_above_avg_orders", "q_big_spenders", "q_blame_supplier",
     "q_chunk_count", "q_cust_order_dist", "q_customer_order_semi",
