@@ -188,27 +188,38 @@ def verify_pairs_jaccard(
     broadcasts the pairs.
 
     The union is never materialized: shingle arrays are SETS
-    (array_distinct upstream), so |A∪B| = |A|+|B|−|A∩B| exactly — one
-    intersect pass per pair instead of intersect + union (the union
-    array was built only to take its size). The intersect size is hoisted
-    into its own projection so it is computed once (CollapseProject does
-    not inline a non-cheap alias referenced twice). Values are identical
-    to the oracles' list_distinct(a||b) length."""
+    (array_distinct upstream), so |A∪B| = |A|+|B|−|A∩B| exactly. The
+    THRESHOLD test is cross-multiplied and collected — floor(10000i/u)
+    >= t iff 10000i >= t*u iff (10000+t)*i >= t*(|A|+|B|) for positive
+    integers — so the filter costs exactly ONE intersect per candidate
+    pair with no division and no alias the optimizer could inline twice
+    (PushDownPredicate inlines hoisted aliases into pushed filters; with
+    graph queries replicating this subtree per power-iteration that
+    tripled the set-op count). The
+    jaccard_bp output column is projected AFTER the filter, so only
+    survivors pay it — and consumers that keep just the pair (clusters,
+    triangles, pagerank) get it pruned away entirely. Values are
+    identical to the oracles' list_distinct(a||b) length."""
     sa = shingle_df.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingle_df.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(
+            F.expr(
+                f"{10000 + threshold_bp} * size(array_intersect(sh_a, sh_b))"
+                f" >= {threshold_bp} * (size(sh_a) + size(sh_b))"
+            )
+        )
         .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
-        .withColumn(
-            "jaccard_bp",
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             F.expr(
                 "CAST((10000 * _isz)"
                 " DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
-            ),
+            ).alias("jaccard_bp"),
         )
-        .filter(F.col("jaccard_bp") >= threshold_bp)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
     )
 
 
@@ -250,17 +261,23 @@ def minhash_dedup_pairs(
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
+        # one-intersect threshold test, then jaccard projected only for
+        # survivors (see verify_pairs_jaccard for the algebra)
+        .filter(
+            F.expr(
+                f"{10000 + threshold_bp} * size(array_intersect(sh_a, sh_b))"
+                f" >= {threshold_bp} * (size(sh_a) + size(sh_b))"
+            )
+        )
         .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
-        .withColumn(
-            "jaccard_bp",
-            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             F.expr(
                 "CAST((10000 * _isz)"
                 " DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
-            ),
+            ).alias("jaccard_bp"),
         )
-        .filter(F.col("jaccard_bp") >= threshold_bp)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard_bp")
     )
 
 

@@ -369,7 +369,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified near-dup pair set — already candidate-bounded by LSH."""
     docs = load_split(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
-    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    # the edge list feeds THREE join legs (ab, bc, ac) — persist it so the
+    # whole LSH-verify subtree runs once, not per leg (house
+    # staged-materialization rule; q_pagerank's sym does the same)
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).persist()
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -489,12 +492,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_ids = (
         cand.join(sa, "new_id")
         .join(sb, "old_id")
-        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .filter(
-            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
+            # one-intersect threshold test: floor(10000i/u) >= t iff
+            # (10000+t)*i >= t*(|A|+|B|) on set arrays (see
+            # operators.dedup.verify_pairs_jaccard for the algebra)
             F.expr(
-                "(10000 * _isz)"
-                f" DIV (size(sh_a) + size(sh_b) - _isz) >= {JACCARD_THRESHOLD_BP}"
+                f"{10000 + JACCARD_THRESHOLD_BP}"
+                " * size(array_intersect(sh_a, sh_b))"
+                f" >= {JACCARD_THRESHOLD_BP} * (size(sh_a) + size(sh_b))"
             )
         )
         .select("new_id")
@@ -560,12 +565,14 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
         .filter(
-            # sets: |A∪B| = |A|+|B|−|A∩B| — one intersect, no union array
+            # one-intersect threshold test: floor(10000i/u) >= t iff
+            # (10000+t)*i >= t*(|A|+|B|) on set arrays (see
+            # operators.dedup.verify_pairs_jaccard for the algebra)
             F.expr(
-                "(10000 * _isz)"
-                f" DIV (size(sh_a) + size(sh_b) - _isz) >= {JACCARD_THRESHOLD_BP}"
+                f"{10000 + JACCARD_THRESHOLD_BP}"
+                " * size(array_intersect(sh_a, sh_b))"
+                f" >= {JACCARD_THRESHOLD_BP} * (size(sh_a) + size(sh_b))"
             )
         )
         .select("id_a", "id_b")
