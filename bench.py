@@ -61,6 +61,8 @@ HEADLINE = (
     "q_minhash_dedup",
     "q_dup_clusters",
     "q_dedup_keep_best",
+    "q_lsh_eval",
+    "q_dup_method_agreement",
     "q_simhash",
     "q_knn_cosine",
     "q_ann_lsh",

@@ -71,6 +71,9 @@ _HEAD = (
     "q_lsh_eval", "q_dup_method_agreement",
     "q_ngram_jaccard", "q_minhash_dedup", "q_minhash_est",
     "q_incremental_dedup",
+    # changed this round: persisted edge list (plan-only; values proven
+    # unchanged locally, re-verify for the record)
+    "q_graph_triangles",
     # the r1-only cohort (42) — latest verdict is CORRECTNESS_r01
     "q_above_avg_orders", "q_big_spenders", "q_blame_supplier",
     "q_chunk_count", "q_cust_order_dist", "q_customer_order_semi",
