@@ -72,7 +72,13 @@ def materialize(spark, out_dir: str, replicas: int) -> None:
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
     vowels = "aeiou"
 
-    doc_reps, emb_reps = [docs], [emb]
+    # r=0 keeps payloads verbatim but MUST remap ids like every other
+    # replica: base*R+r is only collision-free if r=0 participates
+    # (originally doc 746 collided with base 24 r 26 = 24*30+26 — ~3%
+    # duplicate ids, which violates every operator's unique-id contract
+    # and silently corrupted pair semantics on this corpus)
+    doc_reps = [docs.withColumn("doc_id", F.col("doc_id") * replicas)]
+    emb_reps = [emb.withColumn("vec_id", F.col("vec_id") * replicas)]
     for r in range(1, replicas):
         b = (F.col("doc_id") + r) % 10
         text = (

@@ -154,6 +154,103 @@ def pairs_within_buckets(bucketed: DataFrame, key_cols: list[str], id_col: str) 
     return pairs.distinct()
 
 
+def prefix_filtered_pairs(
+    shingled: DataFrame,
+    overlap_bp: int,
+    id_col: str = "doc_id",
+    set_col: str = "shingles",
+    size_cap_bp: int | None = None,
+) -> DataFrame:
+    """EXACT prefix-filter candidate generation (the AllPairs/PPJoin
+    family: Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06 — public
+    set-similarity-join literature, no reference-repo counterpart).
+
+    Returns distinct (id_a < id_b) pairs guaranteed to be a SUPERSET of
+    every pair with ``|A∩B| >= ceil(overlap_bp * min(|A|,|B|) / 10000)``
+    — the candidate contract every threshold verifier downstream needs.
+    Input contract (house-wide): ``id_col`` values are UNIQUE and
+    ``set_col`` arrays are SETS (array_distinct upstream) — duplicate
+    ids make per-doc ranks/sizes ambiguous and void the guarantee (a
+    duplicate-id benchmark corpus is how this clause earned its place).
+    Compared to ``pairs_within_buckets`` over ALL shared shingles
+    (n_g^2 per bucket), only elements in a doc's PREFIX seed pairs:
+
+    * order each doc's shingles by global document frequency ascending
+      (rarest first; ties by value — ANY total order works for the
+      completeness proof, but rarest-first is what makes hot shingles
+      land in SUFFIXES: a boilerplate shingle shared by ~every doc
+      sorts last in any doc that has rarer content, so it never seeds
+      pairs). df=1 shingles are the rarest and legitimately occupy
+      prefix slots — they cannot witness a pair (singleton buckets), so
+      they are dropped AFTER the rank window, never by reordering:
+      sorting them last instead would refill every prefix with the hot
+      shingles the filter exists to exclude (a boilerplate-corpus test
+      pins this failure mode);
+    * prefix length = sz - ceil(overlap_bp*sz/10000) + 1 over the FULL
+      set size. If the pair meets the overlap bound, its intersection
+      has >= o_S elements of the smaller set S, all with df >= 2, and
+      S's suffix holds only o_S - 1 elements, so at least one shared
+      shingle falls in prefix(S) — pairing prefix-members x against
+      every LATER member y of the bucket (sorted by (sz, id), so x is
+      the pair's smaller side) finds every qualifying pair exactly once
+      per witnessing shingle. (A df=1 shingle inside the prefix is
+      safely omitted from the index: it cannot be the shared witness.)
+
+    The scale win is the frequency ordering: a stop-shingle appearing in
+    thousands of docs is in almost NO doc's rarest-first prefix, so hot
+    buckets collapse from n_g^2 to n_g * (few) — this is what turns the
+    realistic-density 30x corpus sublinear. ``size_cap_bp`` adds the
+    length filter for Jaccard-style thresholds (J >= t implies
+    t*max <= 10000*min): partners with ``size_cap_bp * y.sz >
+    10000 * x.sz`` are pruned inside the bucket before pair expansion.
+
+    Cost: three extra LINEAR exchanges of the exploded shingle list
+    (df count, df join-back, per-doc rank) buy the quadratic collapse.
+    At true 100 TB hot buckets should flip the final expansion to a
+    probe⋈index join so AQE skew-split applies; locally the grouped
+    higher-order expansion keeps the house single-collect shape.
+    """
+    ex = shingled.select(
+        F.col(id_col).alias("_id"),
+        F.explode(set_col).alias("g"),
+        F.size(set_col).alias("sz"),
+    )
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "g").withColumn(
+        "rn",
+        F.expr("row_number() OVER (PARTITION BY _id ORDER BY df, g)"),
+    )
+    flagged = ranked.withColumn(
+        "in_pref",
+        F.expr(f"rn <= sz - ((CAST({overlap_bp} AS BIGINT) * sz + 9999) DIV 10000) + 1"),
+    ).filter(F.col("df") > 1)
+    grouped = flagged.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sz").alias("s"), F.col("_id").alias("i"), F.col("in_pref").alias("p")))
+        ).alias("ms")
+    )
+    cap = (
+        f"filter(slice(ms, k + 2, size(ms)), y -> {size_cap_bp} * y.s <= 10000 * x.s)"
+        if size_cap_bp is not None
+        else "slice(ms, k + 2, size(ms))"
+    )
+    pairs = (
+        grouped.filter(F.size("ms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, k) -> CASE WHEN x.p THEN"
+                    f" transform({cap},"
+                    " y -> struct(least(x.i, y.i) AS id_a, greatest(x.i, y.i) AS id_b))"
+                    " ELSE CAST(array() AS array<struct<id_a: bigint, id_b: bigint>>) END))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.id_a"), F.col("pr.id_b"))
+    )
+    return pairs.distinct()
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band the signature (LSH_BANDS bands x LSH_ROWS rows); candidates are
     ids sharing any (band, band_key) bucket. Single signature pass, single

@@ -67,8 +67,10 @@ _HEAD = (
     "q_ann_ivfpq",
     # changed this round: degenerate-corpus zero guards (both engines) on
     # the first two; union-free exact Jaccard (|A∪B| = |A|+|B|−|A∩B| on
-    # set arrays — same values, new plan) on all five
-    "q_lsh_eval", "q_dup_method_agreement",
+    # set arrays — same values, new plan) on all five; exact
+    # prefix-filter candidate generation (AllPairs/PPJoin) on the first
+    # three (plan-only — candidate superset proven, values unchanged)
+    "q_lsh_eval", "q_dup_method_agreement", "q_shingle_containment",
     "q_ngram_jaccard", "q_minhash_dedup", "q_minhash_est",
     "q_incremental_dedup",
     # changed this round: persisted edge list (plan-only; values proven

@@ -101,16 +101,18 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-5-gram shingle sets, both directions per pair — the detector for
     subset/quote-expansion duplicates that symmetric Jaccard dilutes (a
     doc fully contained in a 10x-longer doc has J ≈ 0.1 but containment
-    1.0; Jaccard-threshold dedup ships both copies). Candidates share
-    >= 1 shingle (the q_ngram_jaccard generation: explode +
-    pairs_within_buckets — one keyed shuffle, cost tracks candidate
-    pairs, never corpus²); emitted when either direction clears
-    CONTAIN_MIN_BP. All math is integer basis points; docs with no
-    shingles (< 5 tokens) carry no candidates by construction."""
+    1.0; Jaccard-threshold dedup ships both copies). Candidates come
+    from the EXACT prefix filter (operators.dedup.prefix_filtered_pairs
+    — AllPairs/PPJoin): either containment >= t implies
+    |A∩B| >= ceil(t*min(|A|,|B|)), so rarest-first prefixes of length
+    sz - ceil(t*sz) + 1 provably cover every qualifying pair while hot
+    stop-shingle buckets collapse from n_g² to n_g*(few); emitted when
+    either direction clears CONTAIN_MIN_BP. All math is integer basis
+    points; docs with no shingles (< 5 tokens) carry no candidates by
+    construction."""
     docs = load_split(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs)
-    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
-    pairs = D.pairs_within_buckets(ex, ["g"], "doc_id")
+    shingled = D.with_shingles(docs).persist()
+    pairs = D.prefix_filtered_pairs(shingled, overlap_bp=CONTAIN_MIN_BP)
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -142,21 +144,27 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash candidate generator against the TRUE near-dup pair set at the
     Jaccard threshold — the dedup-QA gate a pipeline runs before trusting
     an LSH band/row configuration on a new corpus. The truth set needs no
-    n² pass: share-a-shingle candidates (one keyed shuffle,
-    pairs_within_buckets) verified by exact Jaccard are EXACTLY the true
-    pairs (J >= thr > 0 implies a shared shingle, so the candidate set is
-    a superset of the truth). Signatures are PORTABLE (md5 hash60) so the
-    oracle recomputes the banding itself — recall/precision are checked
-    against an independently reconstructed detector, not trusted. Single
-    summary row; the three count legs are 1-row broadcasts.
+    n² pass: EXACT prefix-filter candidates (prefix_filtered_pairs —
+    J_floor >= t implies (10000+t)i >= t(|A|+|B|) >= 2t*min, so
+    |A∩B| >= ceil(2t/(10000+t) * min) and rarest-first prefixes of that
+    overlap bound provably cover every true pair; t*max <= 10000*min
+    prunes length-incompatible partners in-bucket) verified by exact
+    Jaccard are EXACTLY the true pairs. Signatures are PORTABLE (md5
+    hash60) so the oracle recomputes the banding itself —
+    recall/precision are checked against an independently reconstructed
+    detector, not trusted. Single summary row; the three count legs are
+    1-row broadcasts.
 
-    The shingle stage feeds FOUR consumers here (candidate explode, both
-    verify sides, the signature input) — persist it once (house
+    The shingle stage feeds FOUR consumers here (candidate generation,
+    both verify sides, the signature input) — persist it once (house
     staged-materialization rule; see q_dup_method_agreement)."""
     docs = load_split(spark, sf_dir, "documents")
     shingled = D.with_shingles(docs).persist()
-    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
-    share = D.pairs_within_buckets(ex, ["g"], "doc_id")
+    share = D.prefix_filtered_pairs(
+        shingled,
+        overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
+        size_cap_bp=JACCARD_THRESHOLD_BP,
+    )
     truth = D.verify_pairs_jaccard(
         share, shingled, threshold_bp=JACCARD_THRESHOLD_BP
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -558,8 +566,14 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     between queries, LRU bounds it otherwise)."""
     docs = load_split(spark, sf_dir, "documents")
     shingled = D.with_shingles(docs).persist()
-    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
-    cand = D.pairs_within_buckets(ex, ["g"], "doc_id")
+    # exact prefix-filter candidates (see q_lsh_eval for the overlap /
+    # length-cap derivation) — supersets every J_floor >= t pair while
+    # hot stop-shingle buckets stay linear
+    cand = D.prefix_filtered_pairs(
+        shingled,
+        overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
+        size_cap_bp=JACCARD_THRESHOLD_BP,
+    )
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     truth = (

@@ -151,3 +151,150 @@ def test_containment_detects_subset_jaccard_misses(spark):
     inter, union = len(a & b), len(a | b)
     assert 10000 * inter // len(a) == 10000  # fully contained
     assert 10000 * inter // union < 5000  # Jaccard-threshold dedup misses it
+
+
+def test_prefix_filter_superset_of_overlap_pairs(spark):
+    """prefix_filtered_pairs must contain EVERY pair meeting the overlap
+    bound |A∩B| >= ceil(overlap_bp*min/10000) — exactness of the AllPairs/
+    PPJoin prefix scheme on a randomized corpus with hot shared shingles,
+    partial overlaps, and subset relations."""
+    import itertools
+    import random
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        k = rng.randint(1, 12)
+        # bias toward low-index words -> hot shingles + frequent overlap
+        words = sorted({vocab[min(rng.randint(0, 39), rng.randint(0, 39))] for _ in range(k)})
+        docs.append((i, words))
+    sdf = spark.createDataFrame(docs, "doc_id long, shingles array<string>")
+
+    sets = dict(docs)
+    for overlap_bp, cap in ((5000, None), (6666, 5000)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.prefix_filtered_pairs(
+                sdf, overlap_bp=overlap_bp, size_cap_bp=cap
+            ).collect()
+        }
+        for a, b in itertools.combinations(sets, 2):
+            sa, sb = set(sets[a]), set(sets[b])
+            if not sa or not sb:
+                continue
+            mn = min(len(sa), len(sb))
+            need = -(-overlap_bp * mn // 10000)  # ceil
+            ok_size = cap is None or cap * max(len(sa), len(sb)) <= 10000 * mn
+            if len(sa & sb) >= need and ok_size:
+                assert (min(a, b), max(a, b)) in got, (a, b, sa, sb)
+        # and no self-pairs / ordering violations
+        assert all(x < y for x, y in got)
+
+
+def test_prefix_filter_query_equality_unfiltered(spark, sf_dir):
+    """The prefix-filtered q_shingle_containment and exact-Jaccard truth
+    set must equal the share-ANY-shingle generation on real data — the
+    filter prunes only candidates the threshold would reject anyway."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+        CONTAIN_MIN_BP,
+        JACCARD_THRESHOLD_BP,
+        q_shingle_containment,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs).persist()
+    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    share_all = D.pairs_within_buckets(ex, ["g"], "doc_id")
+
+    # containment leg
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    old = {
+        tuple(r)
+        for r in share_all.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(
+            F.expr(
+                f"greatest((10000 * inter) DIV size(sh_a),"
+                f" (10000 * inter) DIV size(sh_b)) >= {CONTAIN_MIN_BP}"
+            )
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    new = {
+        (r.doc_a, r.doc_b) for r in q_shingle_containment(spark, sf_dir).collect()
+    }
+    assert new == old
+
+    # exact-Jaccard truth leg (the q_lsh_eval / q_dup_method_agreement form)
+    t = JACCARD_THRESHOLD_BP
+    truth_old = {
+        (r.doc_a, r.doc_b)
+        for r in D.verify_pairs_jaccard(share_all, shingled, threshold_bp=t).collect()
+    }
+    pref = D.prefix_filtered_pairs(
+        shingled, overlap_bp=20000 * t // (10000 + t), size_cap_bp=t
+    )
+    truth_new = {
+        (r.doc_a, r.doc_b)
+        for r in D.verify_pairs_jaccard(pref, shingled, threshold_bp=t).collect()
+    }
+    assert truth_new == truth_old
+    shingled.unpersist()
+
+
+def test_prefix_filter_collapses_boilerplate_hot_buckets(spark):
+    """The regime prefix filtering exists for: a boilerplate sentence
+    shared by EVERY doc makes each of its shingles an n-sized hot bucket,
+    so share-ANY-shingle candidates are Θ(n²) while true near-dups are
+    rare. Frequency-ordered prefixes sort df=n shingles last, so docs
+    with enough distinct content never index them — candidates collapse
+    to ~the true pairs while the verified output stays identical."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    n = 200
+    boiler = "this website uses cookies to improve your experience okay"
+    rows = []
+    for i in range(n):
+        body = " ".join(f"tok{i}x{j}" for j in range(10))
+        rows.append((i, f"{boiler} {body}"))
+    # plant 5 true near-dup pairs (same body, one token appended)
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((n + i, base + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = D.with_shingles(docs).persist()
+    ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    n_share = D.pairs_within_buckets(ex, ["g"], "doc_id").count()
+    t = 5000
+    pref = D.prefix_filtered_pairs(
+        shingled, overlap_bp=20000 * t // (10000 + t), size_cap_bp=t
+    )
+    n_pref = pref.count()
+    assert n_share > (n * (n - 1)) // 2  # the boilerplate quadratic
+    assert n_pref < n_share / 50  # collapsed: candidates track true dups
+    # and the verified truth is unchanged
+    all_truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.verify_pairs_jaccard(
+            D.pairs_within_buckets(ex, ["g"], "doc_id"), shingled, threshold_bp=t
+        ).collect()
+    }
+    pref_truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.verify_pairs_jaccard(pref, shingled, threshold_bp=t).collect()
+    }
+    assert pref_truth == all_truth
+    assert len(pref_truth) >= 5
+    shingled.unpersist()
