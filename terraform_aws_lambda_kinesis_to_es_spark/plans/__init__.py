@@ -71,8 +71,10 @@ _HEAD = (
     # prefix-filter candidate generation (AllPairs/PPJoin) on the first
     # three (plan-only — candidate superset proven, values unchanged)
     "q_lsh_eval", "q_dup_method_agreement", "q_shingle_containment",
-    "q_ngram_jaccard", "q_minhash_dedup", "q_minhash_est",
-    "q_incremental_dedup",
+    # new late in round 5: the exact set-similarity join (prefix filter
+    # as a first-class detector; exhaustive oracle, recall-1 contract)
+    "q_exact_jaccard_pairs",
+    "q_minhash_dedup", "q_incremental_dedup",
     # changed this round: persisted edge list (plan-only; values proven
     # unchanged locally, re-verify for the record)
     "q_graph_triangles",
@@ -91,6 +93,10 @@ _HEAD = (
     "q_top_supplier", "q_topk_users", "q_type_value_pivot", "q_user_stats",
     "q_valuable_parts", "q_volume_shipping", "q_wealthy_inactive",
     "q_wordcount",
+    # positions 51-52: union-free-Jaccard plan-only sites already
+    # driver-proven on identical values in r2/r3 — first in line if the
+    # window stretches past 50, lowest cost if it doesn't
+    "q_ngram_jaccard", "q_minhash_est",
 )
 
 

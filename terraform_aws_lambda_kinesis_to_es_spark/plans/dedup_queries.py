@@ -75,6 +75,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (the deterministic sibling of
+    q_minhash_dedup): every pair with shingle Jaccard >= threshold, found
+    with NO probabilistic detector — candidates from the AllPairs/PPJoin
+    prefix filter (operators.dedup.prefix_filtered_pairs: rarest-first
+    prefixes + in-bucket length cap, provably recall-1 for the
+    threshold), then exact-Jaccard verified. Same output contract as the
+    banded pipeline but guaranteed recall 1 by construction, so it
+    serves as the audit-grade dedup pass and as ground truth for
+    evaluating any banding configuration (q_lsh_eval). The oracle is the
+    exhaustive O(n²) DuckDB join; the Spark plan never goes corpus² —
+    cost tracks prefix-bucket candidates (output-shaped on Zipfian
+    corpora; see PERF.md round-5)."""
+    docs = load_split(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs).persist()
+    cand = D.prefix_filtered_pairs(
+        shingled,
+        overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
+        size_cap_bp=JACCARD_THRESHOLD_BP,
+    )
+    return D.verify_pairs_jaccard(cand, shingled, threshold_bp=JACCARD_THRESHOLD_BP)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-local 60-bit SimHash signature per document."""
     docs = load_split(spark, sf_dir, "documents")
@@ -628,6 +651,7 @@ QUERIES = {
     "q_dup_clusters_chain": q_dup_clusters_chain,
     "q_minhash_dedup": q_minhash_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_exact_jaccard_pairs": q_exact_jaccard_pairs,
     "q_shingle_containment": q_shingle_containment,
     "q_lsh_eval": q_lsh_eval,
     "q_simhash": q_simhash,
@@ -1042,6 +1066,8 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "q_minhash_dedup": _minhash_oracle_sql(),
+    # exact detector: same exhaustive ground-truth oracle — recall 1 is the contract
+    "q_exact_jaccard_pairs": _minhash_oracle_sql(),
     "q_ngram_jaccard": _PAIR_JACCARD
     + "SELECT doc_a, doc_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp FROM pairs",
     "q_shingle_containment": f"""
