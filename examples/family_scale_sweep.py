@@ -59,6 +59,7 @@ FAMILY = (
     "q_clean_corpus",
     "q_embed_near_dup_lsh",
     "q_shingle_containment",
+    "q_exact_jaccard_pairs",
     "q_lsh_eval",
     "q_ann_ivfpq",
 )
