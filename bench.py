@@ -143,6 +143,10 @@ def main() -> None:
                 break
         if singles:
             runs[name] = singles
+        # An errored query reports null even when earlier runs succeeded
+        # (partial singles stay in `runs` for inspection) — cross-round
+        # totals must never mix full medians with partial ones.
+        if singles and name not in errors:
             timings[name] = sorted(singles)[len(singles) // 2]
         else:
             timings[name] = None

@@ -234,6 +234,10 @@ def prefix_filtered_pairs(
         if size_cap_bp is not None
         else "slice(ms, k + 2, size(ms))"
     )
+    # the empty branch's CAST must carry the caller's id type (string doc
+    # ids are a legitimate input — a hardcoded bigint would be an analysis
+    # error or a silent cast there)
+    id_type = shingled.schema[id_col].dataType.simpleString()
     pairs = (
         grouped.filter(F.size("ms") > 1)
         .select(
@@ -242,7 +246,7 @@ def prefix_filtered_pairs(
                     "flatten(transform(ms, (x, k) -> CASE WHEN x.p THEN"
                     f" transform({cap},"
                     " y -> struct(least(x.i, y.i) AS id_a, greatest(x.i, y.i) AS id_b))"
-                    " ELSE CAST(array() AS array<struct<id_a: bigint, id_b: bigint>>) END))"
+                    f" ELSE CAST(array() AS array<struct<id_a: {id_type}, id_b: {id_type}>>) END))"
                 )
             ).alias("pr")
         )

@@ -267,6 +267,36 @@ def near_dup_pairs_exact(
     )
 
 
+def assign_exhaustive(
+    vecs: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exhaustive nearest-seed assignment: every vector scores every seed
+    (broadcast cross product + per-vector argmax window, ties to lowest
+    cluster id). ``seeds`` must carry (cluster, sv); ``vecs`` must carry
+    a precomputed ``nrm`` column. Returns (id, vec, nrm, cluster) — the
+    contract dedup_within_clusters consumes. This is the BASELINE
+    assignment (n x k); the scale path is assign_bucketed_seeds."""
+    s = seeds.select("cluster", "sv", norm(F.col("sv")).alias("snrm"))
+    scored = vecs.crossJoin(F.broadcast(s)).select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cluster",
+        cosine_hoisted(F.col(vec_col), F.col("sv"), F.col("nrm"), F.col("snrm")).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "nrm", "cluster")
+    )
+
+
 def semdedup(
     vecs: DataFrame,
     n_clusters: int,
@@ -288,28 +318,12 @@ def semdedup(
     seeds = vecs.filter(F.col(id_col) < n_clusters).select(
         F.col(id_col).alias("cluster"),
         F.col(vec_col).alias("sv"),
-        F.col("nrm").alias("snrm"),
     )
-    scored = vecs.crossJoin(F.broadcast(seeds)).select(
-        id_col,
-        vec_col,
-        "nrm",
-        "cluster",
-        cosine_hoisted(F.col(vec_col), F.col("sv"), F.col("nrm"), F.col("snrm")).alias(
-            "sim"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cluster").asc())
     # persisted: the assignment feeds three consumers (both pair-join
     # sides and the final output) — without it the broadcast-seed scoring
     # subtree executes three times (visible as 3 BroadcastNestedLoopJoins
     # in the plan). At cluster scale this is a written cluster-map table.
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "nrm", "cluster")
-        .persist()
-    )
+    assigned = assign_exhaustive(vecs, seeds, id_col, vec_col).persist()
     return dedup_within_clusters(assigned, tau, id_col=id_col, vec_col=vec_col)
 
 
@@ -892,26 +906,20 @@ def ivfpq_index(
     )
 
 
-def knn_ivfpq(
+def _ivfpq_adc(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "v",
     n_probes: int = N_IVF_PROBES,
 ) -> DataFrame:
-    """Composed IVF + PQ serving (the FAISS IVFPQ shape): candidates come
-    from the query's n_probes nearest inverted lists — the index is
-    scanned at ~(n_probes/n_lists) selectivity via a broadcast probe
-    semi-filter — and are ranked by ADC over the PQ codes, so query time
-    touches ONLY the (id, list_id, 8 one-byte codes) index rows, never
-    the original vectors. Index build is ivfpq_index (one scan, one keyed
-    shuffle); the query side reuses the ONE (query_id, m, code, d) LUT
-    for both probing (sum_m per code = full L2 to each centroid) and ADC,
-    so the codebook subtree is built once (r4 ADVICE). Assignment,
-    probing and ranking all minimize squared L2 — one metric end to end.
-    Deterministic: seed-rule codebook, argmin ties to lowest code/list,
-    order-pinned folds, final ties to lowest neighbor id."""
+    """The shared IVF+PQ candidate-scoring stage: probe the query's
+    n_probes nearest inverted lists, ADC-score every candidate's codes —
+    returns RAW (query_id, neighbor_id, adist) rows, no rank/round. The
+    query side reuses the ONE (query_id, m, code, d) LUT for both probing
+    (sum_m per code = full L2 to each centroid) and ADC, so the codebook
+    subtree is built once (r4 ADVICE). Consumed by knn_ivfpq (rank) and
+    knn_ivfpq_rerank (shortlist + exact re-rank)."""
     from pyspark.sql import Window
 
     index = ivfpq_index(corpus, id_col, vec_col).withColumnRenamed(
@@ -948,11 +956,34 @@ def knn_ivfpq(
             F.col("mc.code").alias("code"),
         )
     )
-    summed = (
+    return (
         cand.join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(_ordered_fold(F.collect_list(F.struct("m", "d"))).alias("adist"))
     )
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_probes: int = N_IVF_PROBES,
+) -> DataFrame:
+    """Composed IVF + PQ serving (the FAISS IVFPQ shape): candidates come
+    from the query's n_probes nearest inverted lists — the index is
+    scanned at ~(n_probes/n_lists) selectivity via a broadcast probe
+    semi-filter — and are ranked by ADC over the PQ codes, so query time
+    touches ONLY the (id, list_id, 8 one-byte codes) index rows, never
+    the original vectors. Index build is ivfpq_index (one scan, one keyed
+    shuffle). Assignment, probing and ranking all minimize squared L2 —
+    one metric end to end. Deterministic: seed-rule codebook, argmin ties
+    to lowest code/list, order-pinned folds, final ties to lowest
+    neighbor id."""
+    from pyspark.sql import Window
+
+    summed = _ivfpq_adc(corpus, queries, id_col, vec_col, n_probes)
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     return (
         summed.withColumn("rank", F.row_number().over(w))
@@ -961,6 +992,77 @@ def knn_ivfpq(
             "query_id",
             "neighbor_id",
             F.round("adist", 4).alias("adist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# ADC shortlist width per query for the exact re-rank leg — the FAISS
+# k_factor shape (C = k_factor * k, 40 * 10 here). A CONSTANT per query,
+# independent of corpus size: measured on the 50-query panel, recall@10
+# saturates against the probe-coverage ceiling by C=400 (PERF.md r6).
+RERANK_C = 400
+RERANK_PROBES = 8  # recall-oriented probe count for the re-rank contract
+
+
+def knn_ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = RERANK_C,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_probes: int = RERANK_PROBES,
+) -> DataFrame:
+    """IVF+PQ with an EXACT re-rank leg — the FAISS ``refine`` shape
+    (IndexRefineFlat over IndexIVFPQ): ADC ranks the probed lists'
+    candidates, the top ``shortlist`` per query (ties to lowest neighbor
+    id) fetch their TRUE vectors, and exact squared L2 re-ranks the
+    shortlist to the final top-k. ADC quantization error only has to
+    keep a true neighbor inside the top-C — not rank it exactly — so
+    recall recovers to the probe-coverage ceiling while the exact
+    distance work stays n_q x C, never corpus-wide.
+
+    Scale shape: the shortlist is a BOUNDED relation (n_q x C rows), so
+    the vector fetch is a broadcast hash join of the shortlist against
+    the corpus scan — only shortlist rows compute exact distances, and
+    the scan reads just (id, vec). At 100 TB the raw-vector table is
+    id-bucketed so the same join prunes to the touched buckets; there is
+    no corpus-wide second pass in either shape. Deterministic end to
+    end: the ADC stage's tie rules plus (exact dist, neighbor id) final
+    ordering — oracle mirrors every stage."""
+    from pyspark.sql import Window
+
+    summed = _ivfpq_adc(corpus, queries, id_col, vec_col, n_probes)
+    sw = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    short = (
+        summed.withColumn("_sr", F.row_number().over(sw))
+        .filter(F.col("_sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            sq_l2(F.col("qv"), F.col("cv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dist", 4).alias("dist"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

@@ -52,51 +52,29 @@ _R3_ERA = (
     "q_unigram_ppl", "q_value_buckets",
 )
 
-# Round 5: every one of the 189 declared queries is cumulatively
-# driver-green (VERDICT r4), so the window's job is now verdict-AGE
-# rotation (VERDICT r5 ask #2). Head = (a) queries that are NEW or whose
-# contract CHANGED this round — q_ann_ivfpq (new composed IVF+PQ index),
-# q_lsh_eval / q_dup_method_agreement (zero-guarded ratio legs on both
-# engines, r4 ADVICE) — then (b) the 42-name cohort whose only verdict is
-# from round 1 (oldest-first by construction: everything r2+ re-proved is
-# excluded), predating the NTZ normalization and session changes. 45
-# names, inside the driver's ~50 budget; slack re-verifies r2-era names
-# via the interleave below.
+# Round 6 (VERDICT r5 #1/#2/#3): head = (a) the three NEW queries —
+# q_ann_ivfpq_rerank (FAISS refine leg), q_semdedup_sampled /
+# q_embed_near_dup_sampled (sample-bounded exact ground truth; their
+# K > 1 hash-sample path activates at driver SF) — then (b) the 46-name
+# r2-era cohort (oldest latest-verdict tier after the r5 rotation), then
+# (c) q_incremental_dedup at position 50 (r5-ADVICE empty-shingle fix —
+# value-neutral on the fixtures, re-verified for the record). Exactly 50.
+# Positions 51+: q_lsh_eval / q_dup_method_agreement (truth legs
+# sample-bounded this round, but K = 1 at driver SF keeps their values
+# bit-identical to the r5-green contract — see dedup_queries.
+# TRUTH_SAMPLE_TARGET) and q_minhash_est (missed the r5 window at
+# position 52; latest verdict r3).
 _HEAD = (
     # new this round
-    "q_ann_ivfpq",
-    # changed this round: degenerate-corpus zero guards (both engines) on
-    # the first two; union-free exact Jaccard (|A∪B| = |A|+|B|−|A∩B| on
-    # set arrays — same values, new plan) on all five; exact
-    # prefix-filter candidate generation (AllPairs/PPJoin) on the first
-    # three (plan-only — candidate superset proven, values unchanged)
-    "q_lsh_eval", "q_dup_method_agreement", "q_shingle_containment",
-    # new late in round 5: the exact set-similarity join (prefix filter
-    # as a first-class detector; exhaustive oracle, recall-1 contract)
-    "q_exact_jaccard_pairs",
-    "q_minhash_dedup", "q_incremental_dedup",
-    # changed this round: persisted edge list (plan-only; values proven
-    # unchanged locally, re-verify for the record)
-    "q_graph_triangles",
-    # the r1-only cohort (42) — latest verdict is CORRECTNESS_r01
-    "q_above_avg_orders", "q_big_spenders", "q_blame_supplier",
-    "q_chunk_count", "q_cust_order_dist", "q_customer_order_semi",
-    "q_daily_counts", "q_dead_letter_fmt", "q_dedup",
-    "q_disjunctive_join", "q_doc_entropy", "q_doc_stats", "q_es_actions",
-    "q_event_transitions", "q_index_name", "q_langid",
-    "q_order_priority_rollup", "q_part_size_dist",
-    "q_part_supplier_variety", "q_passage_dedup", "q_price_deciles",
-    "q_pricing_summary", "q_promo_revenue", "q_props_typed", "q_quality",
-    "q_repetition", "q_retention", "q_returned_items",
-    "q_revenue_by_nation", "q_session_window", "q_sliding_window",
-    "q_small_qty_orders", "q_supplier_rank", "q_top_orders",
-    "q_top_supplier", "q_topk_users", "q_type_value_pivot", "q_user_stats",
-    "q_valuable_parts", "q_volume_shipping", "q_wealthy_inactive",
-    "q_wordcount",
-    # positions 51-52: union-free-Jaccard plan-only sites already
-    # driver-proven on identical values in r2/r3 — first in line if the
-    # window stretches past 50, lowest cost if it doesn't
-    "q_ngram_jaccard", "q_minhash_est",
+    "q_ann_ivfpq_rerank", "q_semdedup_sampled", "q_embed_near_dup_sampled",
+    # the 46-name r2-era cohort (q_minhash_dedup was already re-proven in
+    # the r5 window — it rejoins the tail, not the head)
+) + tuple(n for n in _R2_ERA if n != "q_minhash_dedup") + (
+    # r5-ADVICE fix, value-neutral at fixture SF — re-prove for the record
+    "q_incremental_dedup",
+    # positions 51+: sample-bounded truth legs (values unchanged at
+    # driver SF) and the r5 window miss
+    "q_lsh_eval", "q_dup_method_agreement", "q_minhash_est",
 )
 
 

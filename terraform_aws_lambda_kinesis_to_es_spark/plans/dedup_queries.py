@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     MOD31,
     N_PERM,
+    hash60,
     hash60_sql,
     perm_hash_sql,
 )
@@ -36,6 +37,32 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 JACCARD_THRESHOLD_BP = 5000  # 0.5 in basis points
+
+# Detector-evaluation truth legs (q_lsh_eval, q_dup_method_agreement) are
+# SAMPLE-BOUNDED (VERDICT r5 #2): recall/precision are measured on the
+# pairs whose LOWER id falls in a deterministic id-hash sample —
+# hash60(id) % K = 0 with K = max(1, n_docs // TRUTH_SAMPLE_TARGET) — an
+# unbiased estimate that is EXACT on the sampled pair universe, at
+# sample x candidate cost instead of the full verify bill. At driver SF
+# (n <= TRUTH_SAMPLE_TARGET) K = 1: the sample is the whole corpus and
+# values are bit-identical to the unsampled r5 contract (the engine
+# skips the trivially-true predicate; the oracle's GREATEST(1, ...)
+# mirror degenerates the same way). The K > 1 path of the same
+# hash-sample machinery is driver-proven by q_embed_near_dup_sampled /
+# q_semdedup_sampled, which activate at 500 rows.
+TRUTH_SAMPLE_TARGET = 2000
+
+
+def _truth_sample_mod(docs: DataFrame) -> int:
+    return max(1, docs.count() // TRUTH_SAMPLE_TARGET)
+
+
+def _truth_sample_sql(id_expr: str) -> str:
+    return (
+        f"({hash60_sql(f'CAST({id_expr} AS VARCHAR)')})"
+        f" % GREATEST(1, (SELECT COUNT(*) FROM documents)"
+        f" // {TRUTH_SAMPLE_TARGET}) = 0"
+    )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,14 +207,25 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle stage feeds FOUR consumers here (candidate generation,
     both verify sides, the signature input) — persist it once (house
-    staged-materialization rule; see q_dup_method_agreement)."""
+    staged-materialization rule; see q_dup_method_agreement).
+
+    Since round 6 the evaluation universe is SAMPLE-BOUNDED (see
+    TRUTH_SAMPLE_TARGET): both the truth and candidate pair sets are
+    restricted to pairs whose lower id is in the deterministic id-hash
+    sample BEFORE the exact-Jaccard verify, so the per-audit verify cost
+    is sample-proportional at any corpus size. recall/precision stay
+    exact on the sampled universe (identical to the full values at
+    driver SF, where K = 1)."""
     docs = load_split(spark, sf_dir, "documents")
+    k_mod = _truth_sample_mod(docs)
     shingled = D.with_shingles(docs).persist()
     share = D.prefix_filtered_pairs(
         shingled,
         overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
         size_cap_bp=JACCARD_THRESHOLD_BP,
     )
+    if k_mod > 1:
+        share = share.filter(hash60(F.col("id_a").cast("string")) % k_mod == 0)
     truth = D.verify_pairs_jaccard(
         share, shingled, threshold_bp=JACCARD_THRESHOLD_BP
     ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
@@ -196,6 +234,8 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable=True,
     )
     cands = D.lsh_candidate_pairs(sig)
+    if k_mod > 1:
+        cands = cands.filter(hash60(F.col("id_a").cast("string")) % k_mod == 0)
     hits = cands.join(truth, ["id_a", "id_b"])
     nt = truth.agg(F.count("*").alias("n_true_pairs"))
     nc = cands.agg(F.count("*").alias("n_lsh_candidates"))
@@ -509,7 +549,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh_all = D.with_shingles(docs).select("doc_id", "shingles")
-    sig = D.with_minhash_signature(sh_all)
+    # empty shingle sets (< 5-token docs) are excluded BEFORE signatures,
+    # exactly as minhash_dedup_pairs does: they all share the sentinel
+    # MinHash signature, so they band-collide into candidates, and the
+    # cross-multiplied Jaccard test evaluates 0 >= 0 = TRUE for two empty
+    # sets — a silent divergence from the oracle's len(list_intersect) > 0
+    # on any corpus with short docs on both snapshot sides (r5 ADVICE).
+    sig = D.with_minhash_signature(sh_all.filter(F.size("shingles") > 0))
     bands = _bands_exploded(sig)
     new_b = bands.filter(F.col("doc_id") % 2 == 1).withColumnRenamed(
         "doc_id", "new_id"
@@ -586,8 +632,16 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides of the verify join) and re-tokenizing text is the dominant
     map cost — persist it once, house style (the staged-materialization
     rule the minhash/CC paths already follow; bench clears caches
-    between queries, LRU bounds it otherwise)."""
+    between queries, LRU bounds it otherwise).
+
+    Since round 6 the evaluation universe is SAMPLE-BOUNDED exactly as
+    q_lsh_eval's (TRUTH_SAMPLE_TARGET): truth and detected pair sets are
+    restricted to lower-id-sampled pairs BEFORE the verify joins, so the
+    audit's cost tracks the sample at any corpus size while staying
+    exact on the sampled universe (K = 1 — identical values — at driver
+    SF)."""
     docs = load_split(spark, sf_dir, "documents")
+    k_mod = _truth_sample_mod(docs)
     shingled = D.with_shingles(docs).persist()
     # exact prefix-filter candidates (see q_lsh_eval for the overlap /
     # length-cap derivation) — supersets every J_floor >= t pair while
@@ -597,6 +651,8 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
         size_cap_bp=JACCARD_THRESHOLD_BP,
     )
+    if k_mod > 1:
+        cand = cand.filter(hash60(F.col("id_a").cast("string")) % k_mod == 0)
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     truth = (
@@ -616,6 +672,10 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = D.with_simhash(docs).select("doc_id", "simhash")
     detected = D.simhash_near_pairs(sim).select("id_a", "id_b")
+    if k_mod > 1:
+        detected = detected.filter(
+            hash60(F.col("id_a").cast("string")) % k_mod == 0
+        )
     both = truth.join(detected, ["id_a", "id_b"], "left_semi")
     counts = (
         truth.agg(F.count("*").alias("n_truth"))
@@ -867,10 +927,12 @@ def _lsh_eval_oracle_sql() -> str:
           FROM bands a JOIN bands b
             ON a.j = b.j AND a.r0 = b.r0 AND a.r1 = b.r1
            AND a.doc_id < b.doc_id
+          WHERE {_truth_sample_sql("a.doc_id")}
         ), truth AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND {_truth_sample_sql("a.doc_id")}
             AND (10000 * len(list_intersect(a.s, b.s)))
                 // len(list_distinct(a.s || b.s)) >= {JACCARD_THRESHOLD_BP}
         ), hits AS (
@@ -945,12 +1007,14 @@ ORACLES = {
         , truth AS (
           SELECT doc_a, doc_b FROM pairs
           WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+            AND {_truth_sample_sql("doc_a")}
         ),
         sims AS ({_simhash_sql()}),
         det AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_MAX_DISTANCE}
+            AND {_truth_sample_sql("a.doc_id")}
         ),
         agree AS (
           SELECT t.doc_a, t.doc_b FROM truth t

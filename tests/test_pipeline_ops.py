@@ -333,3 +333,87 @@ def test_attribution_matches_window_form(spark, sf_dir):
     assert set(agg) == set(first)
     for u, (ft, lt, _) in agg.items():
         assert first[u] == ft and last[u] == lt, u
+
+
+def test_incremental_dedup_short_docs_match_oracle(spark, tmp_path):
+    """r5 ADVICE regression: docs under 5 tokens have EMPTY shingle sets;
+    before the fix they all shared the sentinel MinHash signature,
+    band-collided into candidates, and the cross-multiplied Jaccard test
+    evaluated 0 >= 0 = TRUE — near_dup=true/admit=false while the oracle
+    (len(list_intersect) > 0) admits them. Corpus with short docs on BOTH
+    snapshot sides must agree with the oracle."""
+    import duckdb
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (0, "yo", "en", "s0", 2),              # existing, short
+        (1, "hi", "en", "s1", 2),              # new, short — must be admitted
+        (2, long_a, "en", "s0", len(long_a)),  # existing, long
+        (3, long_a + "extra tail words", "en", "s1", len(long_a) + 17),  # new, near-dup of 2
+        (5, "completely different unique content with many novel tokens never repeated", "en", "s1", 74),
+        (7, "tiny", "en", "s1", 4),            # new, short — must be admitted
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    doc_path = str(tmp_path / "documents.parquet")
+    df.toPandas().to_parquet(doc_path)
+
+    got = {
+        r.doc_id: (r.exact_dup, r.near_dup, r.admit)
+        for r in QUERIES["q_incremental_dedup"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{doc_path}'")
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(entrypoint.oracle_sql()["q_incremental_dedup"]).fetchall()
+    }
+    assert got == want
+    # the short new docs are admitted, the near-dup long one is not
+    assert got[1] == (False, False, True)
+    assert got[7] == (False, False, True)
+    assert got[3][1] is True and got[3][2] is False
+
+
+def test_lsh_eval_truth_sampling_exact_on_sample(spark, sf_dir, monkeypatch):
+    """The sample-bounded truth leg (TRUTH_SAMPLE_TARGET) must be EXACT on
+    the sampled pair universe: with the target forced low enough that
+    K > 1 at fixture SF, q_lsh_eval's counts must equal the hash-sampled
+    restriction of the independently computed truth (q_exact_jaccard_pairs,
+    recall-1 by construction) and LSH candidate sets."""
+    import hashlib
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.plans import dedup_queries as DQ
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    n = load_split(spark, sf_dir, "documents").count()
+    monkeypatch.setattr(DQ, "TRUTH_SAMPLE_TARGET", max(1, n // 5))
+    k_mod = DQ._truth_sample_mod(load_split(spark, sf_dir, "documents"))
+    assert k_mod == 5
+
+    def h60(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    truth_all = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_exact_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    docs = load_split(spark, sf_dir, "documents")
+    sig = D.with_minhash_signature(
+        D.with_shingles(docs).filter(F.size("shingles") > 0).select(
+            "doc_id", "shingles"
+        ),
+        portable=True,
+    )
+    cand_all = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig).collect()}
+
+    truth_s = {p for p in truth_all if h60(p[0]) % k_mod == 0}
+    cand_s = {p for p in cand_all if h60(p[0]) % k_mod == 0}
+    got = DQ.QUERIES["q_lsh_eval"](spark, sf_dir).collect()[0]
+    assert got.n_true_pairs == len(truth_s)
+    assert got.n_lsh_candidates == len(cand_s)
+    assert got.n_true_found == len(truth_s & cand_s)
+    # non-vacuous: the sample keeps some truth pairs at fixture SF
+    assert got.n_true_pairs > 0

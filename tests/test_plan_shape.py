@@ -8,6 +8,8 @@ import pytest
 
 import __spark_entry__ as entrypoint
 
+from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+
 QUERIES = entrypoint.queries()
 
 
@@ -164,6 +166,8 @@ _INTENTIONAL_PRODUCT = {
                            # broadcast query vecs); both LSH legs stay keyed
     "q_value_drift",       # bucket shares x broadcast(single-row totals)
     "q_benford",           # digit counts x broadcast(single-row total)
+    "q_embed_near_dup_sampled",  # corpus x broadcast(bounded id-hash anchors)
+    "q_semdedup_sampled",  # bounded sample x broadcast(rank-based seeds)
 }
 
 
@@ -273,7 +277,23 @@ def test_ann_ivfpq_one_index_shuffle_no_smj(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # codebook, probes, LUT
     # the codebook subtree carries its pushed seed filter to the scan
-    assert "LessThan(vec_id,16)" in plan
+    assert f"LessThan(vec_id,{S.PQ_K})" in plan
+
+
+def test_ann_ivfpq_rerank_only_shortlist_reads_vectors(spark, sf_dir):
+    # the FAISS-refine contract at plan level (VERDICT r5 #3): the exact
+    # leg must fetch true vectors ONLY through broadcast hash joins of
+    # the bounded shortlist/query relations against the corpus scan —
+    # no SortMergeJoin, no cartesian anywhere. The ADC/index subtree
+    # keeps its one keyed shuffle (groupBy id); the shortlist join adds
+    # zero corpus-keyed exchanges.
+    plan = plan_of(spark, sf_dir, "q_ann_ivfpq_rerank")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # codebook, probes, LUT, shortlist->vectors, queries->vectors
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert f"LessThan(vec_id,{S.PQ_K})" in plan
 
 
 def test_profile_columns_approx_agg_has_no_expand(spark, sf_dir):
