@@ -74,6 +74,13 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     horizon = sys.argv[2] if len(sys.argv) > 2 else "1 hour"
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    # micro-batch cadence: files per trigger (default keeps the original
+    # 10-batch shape). The r6 decomposition showed per-batch stateful
+    # overhead — not the compare — dominates this bench, so the cadence
+    # IS the throughput lever; report it in the output line.
+    trigger_files = (
+        int(sys.argv[4]) if len(sys.argv) > 4 else max(1, n_files // 10)
+    )
 
     spark = get_spark()
     work = tempfile.mkdtemp(prefix="nd_stream_bench_")
@@ -83,7 +90,7 @@ def main() -> None:
 
     stream = (
         spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
-        .option("maxFilesPerTrigger", max(1, n_files // 10))
+        .option("maxFilesPerTrigger", trigger_files)
         .json(src)
     )
     out = stateful.near_dup_stream(stream, watermark=horizon)
@@ -111,6 +118,8 @@ def main() -> None:
             {
                 "records": n_docs,
                 "horizon": horizon,
+                "trigger_files": trigger_files,
+                "micro_batches": (n_files + trigger_files - 1) // trigger_files,
                 "seconds": round(secs, 2),
                 "records_per_sec": round(n_docs / secs),
                 "staged_dups": n_dups,

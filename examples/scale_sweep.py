@@ -76,15 +76,23 @@ def materialize(spark, out_dir: str) -> None:
         print(f"materialized {t}", file=sys.stderr)
 
 
-def time_query(fn, spark, sf_dir: str) -> float:
-    spark.catalog.clearCache()
+def time_query(fn, spark, sf_dir: str, n_runs: int | None = None) -> float:
     # timer wraps the query-construction call too (r4 ADVICE): queries
     # that run an eager job while building the plan (codebook-sizing
-    # counts) must not have that cost silently excluded from the ratio
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+    # counts) must not have that cost silently excluded from the ratio.
+    # Min-of-N (VERDICT r5 #6): host contention is one-sided noise, so
+    # the minimum is the signal; whole-surface default is N=2 (the
+    # 194-query sweep doubles in wall time as is).
+    if n_runs is None:
+        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "2")))
+    singles = []
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        singles.append(round(time.perf_counter() - t0, 3))
+    return min(singles)
 
 
 def main() -> None:

@@ -336,6 +336,71 @@ _ND_STATE = "ids array<long>, sigs array<long>, ts_us array<long>"
 _ND_BLOCKS = 4
 
 
+# 16-bit popcount lookup (numpy<2 has no bitwise_count): popcount of a
+# 60-bit signature = sum of the LUT over its four 16-bit halves. Built
+# once per worker at import; 64 KiB.
+_POPCOUNT16 = None
+
+
+def _popcount64(arr):
+    """Vectorized popcount over a nonnegative int64 numpy array."""
+    import numpy as np
+
+    global _POPCOUNT16
+    if _POPCOUNT16 is None:
+        _POPCOUNT16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    lut = _POPCOUNT16
+    return (
+        lut[arr & 0xFFFF].astype(np.int64)
+        + lut[(arr >> 16) & 0xFFFF]
+        + lut[(arr >> 32) & 0xFFFF]
+        + lut[(arr >> 48) & 0xFFFF]
+    )
+
+
+def _block_matches(prev_ids, prev_sigs, pdf: pd.DataFrame, max_distance: int):
+    """One micro-batch of bucket arrivals against the occupancy prefix:
+    sorts the batch (event time, id), XORs each arrival against state
+    entries plus EARLIER same-batch arrivals as one numpy op with LUT
+    popcount, and returns (out_doc, out_dup, out_ham, all_ids, all_sigs,
+    new_ts). Shared by the applyInPandasWithState and
+    transformWithStateInPandas implementations — the vectorized hot loop
+    lives in exactly one place."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["doc_ts", "doc_id"])
+    b_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    b_sigs = pdf["simhash"].to_numpy(dtype=np.int64)
+    b_tss = pdf["doc_ts"].astype("int64").to_numpy() // 1000
+    all_ids = np.concatenate([prev_ids, b_ids])
+    all_sigs = np.concatenate([prev_sigs, b_sigs])
+    n_state = len(prev_ids)
+    out_doc: list = []
+    out_dup: list = []
+    out_ham: list = []
+    nb = len(b_ids)
+    if nb and n_state + nb > 1:
+        # ONE matrix op per (bucket, batch): rows = arrivals, cols = the
+        # full occupancy (state + batch); the triangular mask keeps only
+        # earlier-arrival columns per row, preserving the sequential
+        # compare-against-prefix semantics without a per-arrival loop
+        ham = _popcount64(b_sigs[:, None] ^ all_sigs[None, :])
+        col = np.arange(n_state + nb)[None, :]
+        row = np.arange(nb)[:, None]
+        hit = (
+            (ham <= max_distance)
+            & (col < n_state + row)
+            & (all_ids[None, :] != b_ids[:, None])
+        )
+        ri, ci = np.nonzero(hit)
+        out_doc = [int(x) for x in b_ids[ri]]
+        out_dup = [int(x) for x in all_ids[ci]]
+        out_ham = [int(x) for x in ham[ri, ci]]
+    return out_doc, out_dup, out_ham, all_ids, all_sigs, [int(t) for t in b_tss]
+
+
 def _near_dup_fn_factory(max_distance: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -347,7 +412,15 @@ def _near_dup_fn_factory(max_distance: int):
         behind the current watermark are dropped on every invocation, and
         a bucket idle past the watermark times out and removes itself —
         state per bucket is bounded by the horizon's arrival rate, never
-        the corpus."""
+        the corpus.
+
+        The in-bucket compare is VECTORIZED (VERDICT r5 #5): each arrival
+        XORs against the whole occupancy prefix (state + earlier same-
+        batch arrivals) as one numpy op with LUT popcount, replacing the
+        per-entry Python loop — one O(occupancy) array pass per arrival
+        instead of per-entry interpreter dispatch."""
+        import numpy as np
+
         if state.hasTimedOut:
             state.remove()
             return
@@ -360,30 +433,26 @@ def _near_dup_fn_factory(max_distance: int):
             ids = [ids[i] for i in kept]
             sigs = [sigs[i] for i in kept]
             tss = [tss[i] for i in kept]
-        out_doc, out_dup, out_ham = [], [], []
+        out_doc: list = []
+        out_dup: list = []
+        out_ham: list = []
         blk = int(key[0].split(":", 1)[0])
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        sigs_arr = np.asarray(sigs, dtype=np.int64)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["doc_ts", "doc_id"])
-            for did, sig, ts in zip(
-                pdf["doc_id"].astype("int64"),
-                pdf["simhash"].astype("int64"),
-                pdf["doc_ts"].astype("int64") // 1000,
-            ):
-                for pid, psig in zip(ids, sigs):
-                    if pid == did:
-                        continue
-                    h = bin(sig ^ psig).count("1")
-                    if h <= max_distance:
-                        out_doc.append(int(did))
-                        out_dup.append(int(pid))
-                        out_ham.append(h)
-                ids.append(int(did))
-                sigs.append(int(sig))
-                tss.append(int(ts))
+            d, u, h, ids_arr, sigs_arr, b_ts = _block_matches(
+                ids_arr, sigs_arr, pdf, max_distance
+            )
+            out_doc.extend(d)
+            out_dup.extend(u)
+            out_ham.extend(h)
+            tss.extend(b_ts)
         if tss:
-            state.update((ids, sigs, tss))
+            state.update(
+                ([int(x) for x in ids_arr], [int(x) for x in sigs_arr], tss)
+            )
             # re-arm eviction: time out once the watermark passes the
             # newest entry (clamped above the current watermark — setting
             # a timeout at/behind it is an error for late-data buckets)
@@ -456,4 +525,194 @@ def near_dup_stream(
         stateStructType=_ND_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+class _LatestProcessor(StatefulProcessor):
+    """latest_per_key on the Spark 4 arbitrary-state API
+    (transformWithStateInPandas): one ValueState row per key holding the
+    (ord, log_id, ts_us) winner, identical ordering/tiebreak semantics to
+    the applyInPandasWithState form (_latest_fn — fixed-width micros+id
+    ordering string). Emits the current winner each micro-batch in
+    update mode; late arrivals lose against the stored ord."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._best = handle.getValueState("best", _LATEST_STATE)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        got = self._best.get()
+        best = tuple(got) if got is not None else None
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            ts_us = pdf["log_ts"].astype("int64") // 1000
+            ords = (
+                ts_us.map("{:020d}".format)
+                + "_"
+                + pdf["log_id"].astype(str).str.zfill(12)
+            )
+            i = ords.idxmax()
+            cand = (str(ords.loc[i]), str(pdf["log_id"].loc[i]), int(ts_us.loc[i]))
+            if best is None or cand[0] > best[0]:
+                best = cand
+        if best is not None:
+            self._best.update(best)
+            yield pd.DataFrame(
+                {
+                    "log_type": [key[0]],
+                    "log_id": [best[1]],
+                    "log_ts": [pd.Timestamp(best[2], unit="us")],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def latest_per_key_tws(df: DataFrame, key_col: str = "log_type") -> DataFrame:
+    """latest_per_key on transformWithStateInPandas (VERDICT r5 #7).
+    Same RocksDB-provider/protobuf requirements as quota_per_key_tws;
+    state and output contracts identical to the legacy-API form (the
+    e2e tests run parameterized over both)."""
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _LatestProcessor(),
+        outputStructType=LATEST_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+class _NearDupProcessor(StatefulProcessor):
+    """near_dup_stream's per-bucket matcher on transformWithStateInPandas
+    (VERDICT r5 #7): a ListState of (id, sig, ts_us) entries per simhash
+    block bucket, the SAME vectorized prefix compare (_block_matches) as
+    the legacy-API form, watermark eviction on every invocation, and an
+    event-time timer that removes idle buckets once the watermark passes
+    their newest entry."""
+
+    def __init__(self, max_distance: int) -> None:
+        self._max_distance = max_distance
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._entries = handle.getListState(
+            "entries", "id long, sig long, ts_us long"
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids: list = []
+        sigs: list = []
+        tss: list = []
+        if self._entries.exists():
+            for row in self._entries.get():
+                ids.append(row[0])
+                sigs.append(row[1])
+                tss.append(row[2])
+        wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+        if wm_us > 0 and tss:
+            kept = [i for i, t in enumerate(tss) if t >= wm_us]
+            ids = [ids[i] for i in kept]
+            sigs = [sigs[i] for i in kept]
+            tss = [tss[i] for i in kept]
+        out_doc: list = []
+        out_dup: list = []
+        out_ham: list = []
+        blk = int(key[0].split(":", 1)[0])
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        sigs_arr = np.asarray(sigs, dtype=np.int64)
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            d, u, h, ids_arr, sigs_arr, b_ts = _block_matches(
+                ids_arr, sigs_arr, pdf, self._max_distance
+            )
+            out_doc.extend(d)
+            out_dup.extend(u)
+            out_ham.extend(h)
+            tss.extend(b_ts)
+        if tss:
+            self._entries.put(
+                [
+                    (int(i), int(s), int(t))
+                    for i, s, t in zip(ids_arr, sigs_arr, tss)
+                ]
+            )
+            # re-arm the idle-bucket timer: expire once the watermark
+            # passes the newest retained entry (clamped above the current
+            # watermark for late-data buckets); drop the previous timer so
+            # exactly one is pending per bucket
+            for t_ms in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t_ms)
+            self._handle.registerTimer(max(max(tss) // 1000, wm_us // 1000) + 1)
+        elif self._entries.exists():
+            self._entries.clear()
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "dup_of": out_dup,
+                    "hamming": out_ham,
+                    "blk": [blk] * len(out_doc),
+                }
+            )
+
+    def handleExpiredTimer(
+        self, key: tuple, timer_values: TimerValues, expired_timer_info
+    ) -> Iterator[pd.DataFrame]:
+        # idle past the horizon: every retained entry is behind the
+        # watermark by construction of the timer timestamp — drop the
+        # bucket's state entirely
+        self._entries.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def near_dup_stream_tws(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "doc_ts",
+    watermark: str = "1 hour",
+    max_distance: int = 3,
+) -> DataFrame:
+    """near_dup_stream on transformWithStateInPandas (VERDICT r5 #7):
+    identical banding, matching and eviction semantics to the legacy-API
+    form — the block fan-out/keying is shared code, the vectorized
+    compare is _block_matches in both — with per-bucket ListState and
+    event-time timers instead of GroupState timeouts. Same RocksDB
+    provider/protobuf requirements as the other _tws variants."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    block_bits = D.SIMHASH_BITS // _ND_BLOCKS
+    mask = (1 << block_bits) - 1
+    sim = D.with_simhash(df, text_col)
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), j * block_bits).bitwiseAND(F.lit(mask))
+            for j in range(_ND_BLOCKS)
+        ]
+    )
+    keyed = (
+        sim.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "simhash",
+            F.col(ts_col).alias("doc_ts"),
+            F.posexplode(blocks).alias("blk", "bval"),
+        )
+        .withColumn("bkey", F.concat_ws(":", "blk", "bval"))
+    )
+    return keyed.groupBy("bkey").transformWithStateInPandas(
+        _NearDupProcessor(max_distance),
+        outputStructType=NEAR_DUP_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
     )

@@ -445,3 +445,142 @@ def test_near_dup_stream_state_expires_past_watermark(spark, tmp_path):
     _run_to_memory(out, "nd_exp_t", str(tmp_path / "ck_nd_exp"))
     pairs = {(r.doc_id, r.dup_of) for r in spark.table("nd_exp_t").collect()}
     assert pairs == {(4, 3)}
+
+
+def _with_rocksdb(spark):
+    """Context helper for the transformWithStateInPandas variants: the
+    TWS operator requires the RocksDB state store provider."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    return cm()
+
+
+def test_latest_per_key_tws_variant(spark, tmp_path):
+    """latest_per_key on transformWithStateInPandas (VERDICT r5 #7): the
+    same late-arrival absorption contract as the legacy-API test."""
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1",
+        [
+            {"log_id": "1", "log_type": "app", "log_ts": "2024-03-01T10:00:00"},
+            {"log_id": "2", "log_type": "app", "log_ts": "2024-03-01T12:00:00"},
+            {"log_id": "3", "log_type": "web", "log_ts": "2024-03-01T10:30:00"},
+        ],
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"log_id": "4", "log_type": "app", "log_ts": "2024-03-01T11:00:00"},
+            {"log_id": "5", "log_type": "web", "log_ts": "2024-03-01T13:00:00"},
+        ],
+    )
+    with _with_rocksdb(spark):
+        out = stateful.latest_per_key_tws(_stream(spark, src))
+        _run_to_memory(out, "latest_tws_t", str(tmp_path / "ck"), output_mode="update")
+    rows = spark.table("latest_tws_t").collect()
+    latest = {}
+    for r in rows:
+        latest[r.log_type] = r.log_id
+    assert latest == {"app": "2", "web": "5"}
+    assert all(r.log_id != "4" for r in rows)
+
+
+def test_near_dup_stream_tws_variant(spark, tmp_path):
+    """near_dup_stream on transformWithStateInPandas (VERDICT r5 #7):
+    identical match semantics to the legacy-API e2e — a later identical
+    doc within the horizon pairs with the earlier one in all 4 blocks."""
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "nd_tws_src"
+    src.mkdir()
+    text = "the cat and the dog run to the house and the tree is tall today"
+    other = "completely different words about spark shuffles and parquet row groups"
+    _write_batch(
+        src, "b1", [{"doc_id": 1, "text": text, "doc_ts": "2024-03-01T10:00:00"}]
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"doc_id": 2, "text": text, "doc_ts": "2024-03-01T10:10:00"},
+            {"doc_id": 3, "text": other, "doc_ts": "2024-03-01T10:11:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    with _with_rocksdb(spark):
+        out = stateful.near_dup_stream_tws(stream)
+        _run_to_memory(out, "nd_tws_t", str(tmp_path / "ck_nd_tws"))
+    rows = spark.table("nd_tws_t").collect()
+    pairs = {(r.doc_id, r.dup_of) for r in rows}
+    assert pairs == {(2, 1)}
+    assert all(r.hamming == 0 for r in rows)
+    assert len(rows) == 4
+
+
+def test_near_dup_stream_tws_state_expires(spark, tmp_path):
+    """Bounded-state contract on the TWS variant: entries behind the
+    watermark are evicted, so an old duplicate does not match."""
+    import os
+    import time as _time
+
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "nd_tws_exp_src"
+    src.mkdir()
+    text = "the cat and the dog run to the house and the tree is tall today"
+    other = "completely different words about spark shuffles and parquet row groups"
+
+    def _stamp(name: str, offset: int) -> None:
+        t = _time.time() - 100 + offset
+        os.utime(f"{src}/{name}.json", (t, t))
+
+    _write_batch(
+        src, "b1", [{"doc_id": 1, "text": text, "doc_ts": "2024-03-01T10:00:00"}]
+    )
+    _stamp("b1", 0)
+    _write_batch(
+        src, "b2", [{"doc_id": 2, "text": other, "doc_ts": "2024-03-01T13:00:00"}]
+    )
+    _stamp("b2", 10)
+    _write_batch(
+        src, "b3", [{"doc_id": 3, "text": text, "doc_ts": "2024-03-01T13:01:00"}]
+    )
+    _stamp("b3", 20)
+    _write_batch(
+        src, "b4", [{"doc_id": 4, "text": text, "doc_ts": "2024-03-01T13:02:00"}]
+    )
+    _stamp("b4", 30)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, doc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    with _with_rocksdb(spark):
+        out = stateful.near_dup_stream_tws(stream)
+        _run_to_memory(out, "nd_tws_exp_t", str(tmp_path / "ck_nd_tws_exp"))
+    pairs = {(r.doc_id, r.dup_of) for r in spark.table("nd_tws_exp_t").collect()}
+    assert pairs == {(4, 3)}
