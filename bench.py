@@ -82,6 +82,11 @@ HEADLINE = (
     "q_rollup_merge",
     "q_entity_match",
     "q_ann_recall",
+    # round-6 headliners: the FAISS-refine ANN leg and the two
+    # sample-bounded exact ground-truth audits (VERDICT r5 #2/#3)
+    "q_ann_ivfpq_rerank",
+    "q_semdedup_sampled",
+    "q_embed_near_dup_sampled",
 )
 
 

@@ -1,0 +1,395 @@
+"""STAGED query surface for the round-7 declaration head.
+
+These queries are implemented, oracle-backed, and pytest-verified with
+the driver's own compare protocol (tests/test_staged_r7.py), but are NOT
+merged into the declared registry yet: the round-6 driver window is
+exactly 50 names deep and already fully allocated to the verdict-age
+rotation (plans/__init__.py _HEAD — VERDICT r5 #1), so declaring new
+names this round would evict r2-era rotation slots. Round 7 promotes
+STAGED_QUERIES/STAGED_ORACLES into the head verbatim.
+
+Contents — three ops a retrieval/curation stack needs that the surface
+lacks today:
+
+- ``q_hybrid_rrf``: reciprocal-rank fusion (Cormack/Clarke/Buettcher,
+  SIGIR'09 — public formula) of a BM25 lexical leg and an
+  embedding-cosine leg over the aligned documents/embeddings tables.
+- ``q_heavy_hitters``: count-min sketch (Cormode/Muthukrishnan '05)
+  token-frequency estimation, audited against exact counts — the
+  mergeable-sketch shape used for frequency stats at 100 TB.
+- ``q_sorted_neighborhood``: sorted-neighborhood blocking
+  (Hernandez/Stolfo SIGMOD'95) near-dup candidates, exact-Jaccard
+  verified — the sort-based third blocking family next to banding
+  (minhash_dedup) and prefix filtering (exact_jaccard_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+    hash60,
+    hash60_sql,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens
+from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+    _SHINGLES,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
+    q_bm25,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+    _cosine_sql,
+    _VEC_CTE,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _TOKS
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+# ---------------------------------------------------------------- hybrid RRF
+
+RRF_K = 60
+RRF_POOL = 20  # per-leg shortlist depth
+RRF_QUERY_VEC_ID = 0  # the vector leg's fixed query: embedding of id 0
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the top-RRF_POOL of a
+    BM25 lexical leg (q_bm25's scoring, SEARCH_TERMS) fused with the
+    top-RRF_POOL of an embedding-cosine leg (query = the id-0 vector)
+    by rrf = 1/(K+rank_lex) + 1/(K+rank_vec), missing legs contributing
+    0 — the standard parameter-free fusion for lexical+dense stacks.
+
+    Determinism: each leg ranks on its ROUND(score, 4) with the id as
+    tiebreak, so rank order survives any engine float formatting; the
+    rrf sum adds the two reciprocals in fixed (lex, vec) order —
+    bit-identical across engines.
+
+    Scale shape: each leg ends in a distributed top-k (TakeOrdered — no
+    global single-partition window); ranks are assigned by a window over
+    the POOL-row shortlist only. The fusion is a POOL x POOL full outer
+    join of two 20-row frames — driver-trivial at any corpus size; the
+    corpus-sized work is exactly one BM25 scan + one cosine scan."""
+    lex = (
+        q_bm25(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(RRF_POOL)
+    )
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = load_split(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    qv = vecs.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    dense = (
+        vecs.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(S.cosine(F.col("v"), F.col("qv")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("doc_id"))
+        .limit(RRF_POOL)
+    )
+    dense = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("doc_id")))
+        .alias("vec_rank"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer")
+    lex_term = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("lex_rank").cast("double")),
+    ).otherwise(F.lit(0.0))
+    vec_term = F.when(
+        F.col("vec_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("vec_rank").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return fused.select(
+        "doc_id",
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("vec_rank").cast("bigint").alias("vec_rank"),
+        F.round(lex_term + vec_term, 6).alias("rrf"),
+    )
+
+
+# ------------------------------------------------------------ heavy hitters
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+HH_TOP = 30
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies, audited against exact counts.
+
+    The sketch: CMS_DEPTH independent hash rows of CMS_WIDTH counters;
+    every token occurrence increments counter[j][hash_j(tok) % W] for
+    each row j; the estimate for a token is min_j of its counters — an
+    overestimate by construction (collisions only add). The audit
+    reports, for the exact top-HH_TOP tokens, the exact count, the CMS
+    estimate, and the collision error (est - exact >= 0 always).
+
+    Scale shape: the sketch is ONE token scan + a groupBy onto
+    DEPTH x WIDTH = 2048 cells — a fixed-size, MERGEABLE aggregate (the
+    property that makes CMS the 100 TB tool: per-partition sketches sum
+    cell-wise, so partial aggregation does almost all the work map-side
+    and the reduce moves 2048 rows regardless of corpus size). The
+    candidate probe joins HH_TOP x DEPTH rows against the 2048-cell
+    sketch — both sides broadcast-sized. hash60 keeps the bucketing
+    portable to the oracle."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).persist()
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            hash60(F.concat(F.lit(f"{j}:"), F.col("tok")))
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).groupBy("cell.j", "cell.bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(HH_TOP)
+    )
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            hash60(F.concat(F.lit(f"{j}:"), F.col("tok")))
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("probe"),
+    ).select("tok", "exact_cnt", "probe.j", "probe.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
+# ----------------------------------------------------- sorted neighborhood
+
+SNM_KEY_CHARS = 16
+SNM_WINDOW = 2  # pair each doc with the next W docs in key order
+SNM_THRESHOLD_BP = 5000
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: docs sort by a normalized
+    prefix blocking key (first SNM_KEY_CHARS alphanumerics of the
+    lowercased text); each doc pairs with the next SNM_WINDOW docs that
+    share its key, and candidates are exact-Jaccard verified at
+    SNM_THRESHOLD_BP — the classic sort-based blocking family
+    (Hernandez/Stolfo), complementing the hash-based (minhash banding)
+    and inverted-index-based (prefix filter) detectors already declared.
+
+    Scale shape: the key-partitioned window ranks WITHIN blocking keys
+    (parallel across keys — no global single-partition sort), and the
+    neighbor join is EQUI-keyed on (key, rank): the probe side explodes
+    each doc into its SNM_WINDOW probe ranks, so the join never goes
+    quadratic inside a block regardless of block size. Shingle sets ride
+    along the two join legs; the Jaccard verify is row-local."""
+    docs = load_split(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+        1,
+        SNM_KEY_CHARS,
+    )
+    sh = (
+        D.with_shingles(docs)
+        .select("doc_id", key.alias("k"), "shingles")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.col("doc_id"))
+            ),
+        )
+    )
+    probes = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "k",
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(d) for d in range(1, SNM_WINDOW + 1)])
+        ).alias("rn"),
+    )
+    right = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "k",
+        "rn",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        probes.join(right, ["k", "rn"])
+        .filter(inter > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                " DIV (size(sh_a) + size(sh_b)"
+                "      - size(array_intersect(sh_a, sh_b))) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= SNM_THRESHOLD_BP)
+    )
+
+
+STAGED_QUERIES = {
+    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_sorted_neighborhood": q_sorted_neighborhood,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_LEX_LEG = f"""
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (__BM25__)
+  QUALIFY lex_rank <= {RRF_POOL}
+"""
+
+_DENSE_LEG = f"""
+  WITH vecs AS ({_VEC_CTE}),
+  q AS (SELECT v AS qv FROM vecs WHERE vec_id = {RRF_QUERY_VEC_ID})
+  SELECT c.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND({_cosine_sql("c.v", "q.qv")}, 4) DESC, c.vec_id
+         ) AS vec_rank
+  FROM vecs c CROSS JOIN q
+  WHERE c.vec_id <> {RRF_QUERY_VEC_ID}
+  QUALIFY vec_rank <= {RRF_POOL}
+"""
+
+
+def _rrf_sql(bm25_sql: str) -> str:
+    lex = _LEX_LEG.replace("__BM25__", bm25_sql)
+    return f"""
+        WITH lex AS ({lex}), dense AS ({_DENSE_LEG})
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+               CAST(lex.lex_rank AS BIGINT) AS lex_rank,
+               CAST(dense.vec_rank AS BIGINT) AS vec_rank,
+               ROUND(
+                 (CASE WHEN lex.lex_rank IS NOT NULL
+                       THEN 1.0 / ({RRF_K}.0 + CAST(lex.lex_rank AS DOUBLE))
+                       ELSE 0.0 END)
+                 + (CASE WHEN dense.vec_rank IS NOT NULL
+                         THEN 1.0 / ({RRF_K}.0 + CAST(dense.vec_rank AS DOUBLE))
+                         ELSE 0.0 END), 6) AS rrf
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    """
+
+
+def _cms_bucket_sql(j: int) -> str:
+    """Oracle expression for CMS row j's bucket of ``tok``, mirroring the
+    Spark-side hash60(concat('j:', tok)) % CMS_WIDTH exactly."""
+    return f"({hash60_sql(chr(39) + str(j) + ':' + chr(39) + ' || tok')}) % {CMS_WIDTH}"
+
+
+_HH_CELLS = " UNION ALL ".join(
+    f"SELECT {j} AS j, {_cms_bucket_sql(j)} AS bucket, tok FROM toks"
+    for j in range(CMS_DEPTH)
+)
+
+_HH_SQL = f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ), cells AS (
+      SELECT j, bucket, COUNT(*) AS cnt
+      FROM ({_HH_CELLS})
+      GROUP BY j, bucket
+    ), top AS (
+      SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+      QUALIFY ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, tok) <= {HH_TOP}
+    ), probes AS (
+      {" UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM top"
+        for j in range(CMS_DEPTH)
+      )}
+    )
+    SELECT p.tok, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.tok, p.exact_cnt
+"""
+
+_SNM_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                       1, {SNM_KEY_CHARS}) AS k,
+             {_SHINGLES} AS s
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, k, s,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+      FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             (10000 * len(list_intersect(a.s, b.s)))
+               // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jaccard_bp
+      FROM ranked a JOIN ranked b
+        ON a.k = b.k AND b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW}
+      WHERE len(list_intersect(a.s, b.s)) > 0
+    )
+    SELECT doc_a, doc_b, CAST(jaccard_bp AS BIGINT) AS jaccard_bp
+    FROM pairs WHERE jaccard_bp >= {SNM_THRESHOLD_BP}
+"""
+
+
+def _staged_oracles() -> dict[str, str]:
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
+        ORACLES as _SEARCH_ORACLES,
+    )
+
+    return {
+        "q_hybrid_rrf": _rrf_sql(_SEARCH_ORACLES["q_bm25"]),
+        "q_heavy_hitters": _HH_SQL,
+        "q_sorted_neighborhood": _SNM_SQL,
+    }
+
+
+STAGED_ORACLES = _staged_oracles()
