@@ -912,6 +912,8 @@ def _ivfpq_adc(
     id_col: str = "vec_id",
     vec_col: str = "v",
     n_probes: int = N_IVF_PROBES,
+    index: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """The shared IVF+PQ candidate-scoring stage: probe the query's
     n_probes nearest inverted lists, ADC-score every candidate's codes —
@@ -919,13 +921,17 @@ def _ivfpq_adc(
     query side reuses the ONE (query_id, m, code, d) LUT for both probing
     (sum_m per code = full L2 to each centroid) and ADC, so the codebook
     subtree is built once (r4 ADVICE). Consumed by knn_ivfpq (rank) and
-    knn_ivfpq_rerank (shortlist + exact re-rank)."""
+    knn_ivfpq_rerank (shortlist + exact re-rank).
+
+    Pass ``index`` (an ivfpq_index result keyed by ``id_col``) and
+    ``codebook`` to serve from PERSISTED artifacts (save_ivfpq_index /
+    load_ivfpq_index) — then ``corpus`` is not read at all."""
     from pyspark.sql import Window
 
-    index = ivfpq_index(corpus, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
-    cb = pq_codebook(corpus, id_col, vec_col)
+    if index is None:
+        index = ivfpq_index(corpus, id_col, vec_col)
+    index = index.withColumnRenamed(id_col, "neighbor_id")
+    cb = codebook if codebook is not None else pq_codebook(corpus, id_col, vec_col)
     lut = (
         pq_subvectors(queries, "query_id", id_col, vec_col)
         .join(F.broadcast(cb), "m")
@@ -1034,6 +1040,126 @@ def knn_ivfpq_rerank(
     from pyspark.sql import Window
 
     summed = _ivfpq_adc(corpus, queries, id_col, vec_col, n_probes)
+    sw = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    short = (
+        summed.withColumn("_sr", F.row_number().over(sw))
+        .filter(F.col("_sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            sq_l2(F.col("qv"), F.col("cv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dist", 4).alias("dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- persisted
+# IVF+PQ index artifacts: build once, serve many — the production ANN shape
+# (FAISS write_index/read_index analogue, re-expressed as parquet tables).
+
+
+def save_ivfpq_index(
+    corpus: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "v"
+) -> None:
+    """Materialize the IVF+PQ index as two parquet artifacts under
+    ``path``: ``codes`` — (id, codes, list_id), PARTITIONED BY list_id —
+    and ``codebook`` — the (m, code, cv) seed table.
+
+    Partitioning the codes by inverted list is the at-rest form of probe
+    selectivity: a query that probes p of k lists READS p/k of the index
+    files (dynamic partition pruning from the broadcast probe join), so
+    serving cost scales with probe coverage, not corpus size — on top of
+    the ~50 bytes/vector the codes already are. The codebook is
+    PQ_M x PQ_K rows — always broadcastable."""
+    idx = ivfpq_index(corpus, id_col, vec_col)
+    idx.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
+    pq_codebook(corpus, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codebook"
+    )
+
+
+def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back (codes, codebook) written by :func:`save_ivfpq_index`."""
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebook"),
+    )
+
+
+def knn_ivfpq_indexed(
+    index: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_probes: int = N_IVF_PROBES,
+) -> DataFrame:
+    """knn_ivfpq served from PERSISTED index artifacts: identical ranking
+    contract (ADC over probed lists, ties to lowest neighbor id), but the
+    corpus is never scanned — only the loaded codes (partition-pruned to
+    the probed lists) and the broadcast codebook. Result equality with
+    the build-inline path is pinned by tests/test_components.py."""
+    from pyspark.sql import Window
+
+    summed = _ivfpq_adc(
+        None, queries, id_col, vec_col, n_probes, index=index, codebook=codebook
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adist", 4).alias("adist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def knn_ivfpq_rerank_indexed(
+    index: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = RERANK_C,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_probes: int = RERANK_PROBES,
+) -> DataFrame:
+    """knn_ivfpq_rerank served from persisted artifacts: the ADC stage
+    reads only the loaded index; ``corpus`` is touched exclusively by the
+    exact leg's broadcast-shortlist join (n_q x shortlist rows fetch true
+    vectors — at rest, an id-bucketed vector table prunes the same way
+    the codes table does on list_id)."""
+    from pyspark.sql import Window
+
+    summed = _ivfpq_adc(
+        None, queries, id_col, vec_col, n_probes, index=index, codebook=codebook
+    )
     sw = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     short = (
         summed.withColumn("_sr", F.row_number().over(sw))

@@ -298,3 +298,48 @@ def test_prefix_filter_collapses_boilerplate_hot_buckets(spark):
     assert pref_truth == all_truth
     assert len(pref_truth) >= 5
     shingled.unpersist()
+
+
+def test_ivfpq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """save_ivfpq_index -> load_ivfpq_index -> knn_ivfpq_indexed must
+    rank IDENTICALLY to the build-inline knn_ivfpq (and likewise for the
+    re-rank pair) — the production build-once/serve-many contract. Also
+    pins the at-rest layout: codes are hive-partitioned by list_id, so
+    probe-selective reads prune files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        N_QUERY_VECS,
+        _vec,
+    )
+
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    path = str(tmp_path / "ivfpq")
+    S.save_ivfpq_index(vecs, path)
+
+    parts = [d for d in os.listdir(f"{path}/codes") if d.startswith("list_id=")]
+    assert parts, "codes must be hive-partitioned by list_id"
+
+    index, codebook = S.load_ivfpq_index(spark, path)
+    served = S.knn_ivfpq_indexed(index, codebook, queries)
+    # the broadcast probe join on the partition column plants a dynamic
+    # partition pruning subquery on the codes scan — only probed lists'
+    # files are read (the at-rest form of probe selectivity)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = sorted(tuple(r) for r in served.collect())
+    want = sorted(tuple(r) for r in S.knn_ivfpq(vecs, queries).collect())
+    assert got == want
+
+    got_rr = sorted(
+        tuple(r)
+        for r in S.knn_ivfpq_rerank_indexed(
+            index, codebook, vecs, queries
+        ).collect()
+    )
+    want_rr = sorted(tuple(r) for r in S.knn_ivfpq_rerank(vecs, queries).collect())
+    assert got_rr == want_rr
