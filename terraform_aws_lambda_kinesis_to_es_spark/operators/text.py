@@ -158,3 +158,60 @@ def fingerprint_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.array_join(sorted_uniq, " ")).alias("fp_md5"),
         F.array_min(F.transform(shingles, lambda s: hash60(s))).alias("fp_shingle_min"),
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, arXiv:2107.06499
+    — the ExactSubstr dedup semantics, re-expressed relationally): a
+    k-token window is *duplicated* when its token sequence occurs more
+    than once anywhere in the corpus (another doc or the same doc);
+    overlapping/adjacent duplicated windows merge into MAXIMAL spans.
+    Returns one row per merged span: (id, s, e) with token positions
+    [s, e) — exactly the intervals an ExactSubstr pass would cut.
+
+    Suffix arrays (the paper's tool) don't distribute; the relational
+    equivalent is linear and all-Spark: one overlapping-n-gram scan
+    (shifted-slice zip form — see word_ngrams), a hash-frequency
+    aggregate on the 60-bit gram hash (map-side partial combine), a
+    semi-join back (same key, so AQE plans a shuffled hash join), and a
+    per-doc window for interval merging — windows partition by doc id,
+    never global. Since every interval has the same length k, the merge
+    needs only lag(): window q starts a new span iff q - prev > k.
+    No corpus^2 term anywhere; reference has no text ops (lambda/main.py
+    is transport-only) — this is north-star pipeline surface."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(word_ngrams(toks, k), lambda g: hash60(g))
+        ).alias("pos", "h"),
+    )
+    dup_hashes = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    dup = grams.join(dup_hashes.select("h"), "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cum = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(cum))
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").cast("bigint").alias("s"),
+        (F.max("pos") + F.lit(k)).cast("bigint").alias("e"),
+    ).select(id_col, "s", "e")

@@ -21,6 +21,14 @@ lacks today:
   (Hernandez/Stolfo SIGMOD'95) near-dup candidates, exact-Jaccard
   verified — the sort-based third blocking family next to banding
   (minhash_dedup) and prefix filtering (exact_jaccard_pairs).
+- ``q_substring_spans``: ExactSubstr duplicated-span dedup (Lee et al.
+  2022) — per-doc MAXIMAL merged duplicated k-token spans, the removal
+  geometry q_passage_dedup's strided scoring can't give.
+- ``q_domain_cap``: per-domain document capping (the per-source quota
+  step of pretraining mixes) with exact kept/dropped token accounting.
+- ``q_dataset_card``: per-source curation card (docs, exact-dup rate,
+  token budget, language mix) — the datasheet summary a mix designer
+  reads before weighting sources.
 """
 
 from __future__ import annotations
@@ -34,7 +42,10 @@ from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
 )
 from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
 from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
-from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+    duplicated_token_spans,
+    tokens,
+)
 from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
     _SHINGLES,
 )
@@ -45,7 +56,10 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
     _cosine_sql,
     _VEC_CTE,
 )
-from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _TOKS
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+    _TOKS,
+    _TOKS_RAW,
+)
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
 
 # ---------------------------------------------------------------- hybrid RRF
@@ -275,10 +289,161 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- substring spans
+
+SPAN_K = 8  # duplicated-window length in tokens (= PASSAGE_CHUNK)
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span accounting (Lee et al. 2022):
+    per doc, the MERGED MAXIMAL spans of tokens covered by k-token
+    windows that occur more than once anywhere in the corpus — the exact
+    geometry an ExactSubstr removal pass cuts, which q_passage_dedup's
+    strided chunk scoring cannot express (its chunks never merge and
+    miss dups that straddle chunk boundaries).
+
+    Output: per doc — token count, merged-span count, duplicated token
+    total, and duplicated basis points. All integer math; span merging
+    is the equal-interval lag() rule (see
+    operators.text.duplicated_token_spans for the scale shape: one
+    linear gram scan, one hash-frequency aggregate, one per-doc window —
+    no corpus^2 term)."""
+    docs = load_split(spark, sf_dir, "documents")
+    spans = duplicated_token_spans(docs, SPAN_K)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_toks"),
+    )
+    n_tok = F.size(tokens(F.lower(F.col("text"))))
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("dup_toks", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr(
+                "CAST(CASE WHEN n_tokens > 0"
+                " THEN (10000 * dup_tokens) DIV n_tokens"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------- domain cap
+
+CAP_N = 10  # per-source document quota
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document capping — the per-source quota step of a
+    pretraining mix (cap every domain at CAP_N docs so head domains
+    can't dominate the token budget). The keep rule is deterministic
+    pseudo-random: rank within source by hash60(doc_id) (id tiebreak),
+    keep rank <= CAP_N — a reproducible uniform subsample per domain.
+
+    Output: per source — docs, kept docs, total/kept token budget, and
+    kept basis points. Scale shape: ONE window over a 3-column
+    projection (source, priority, token count), partitioned by source —
+    parallel across domains; a pathologically hot domain sorts its own
+    rows only (spillable sort, no global order). At extreme skew the
+    two-pass form (per-domain count -> broadcast keep-rate -> filter on
+    the same hash) trades exactness of the cap for a scan, but the exact
+    quota IS the contract here."""
+    docs = load_split(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+        hash60(F.col("doc_id").cast("string")).alias("pri"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("pri", "doc_id")
+        ),
+    )
+    kept = F.col("rn") <= CAP_N
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "kept_bp",
+            F.expr(
+                "CAST(CASE WHEN tokens_total > 0"
+                " THEN (10000 * tokens_kept) DIV tokens_total"
+                " ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------- dataset card
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation card (Datasheets-for-Datasets shape, Gebru et
+    al. 2021): the summary a mix designer reads before weighting a
+    source — doc count, exact-duplicate rate (md5 digest collapse, in
+    basis points), token budget, language count, and the dominant
+    language with its share.
+
+    Scale shape: two hash aggregates keyed by source and (source, lang)
+    — both map-side-combining — plus a window over the source x lang
+    frame (|sources| x |langs| rows, tiny at any corpus size) and one
+    join back on source. No corpus-sized shuffle beyond the two
+    aggregates."""
+    docs = load_split(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("tokens_sum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    top = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("lc"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("lc").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "lc")
+    )
+    return base.join(top, "source").select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST((10000 * (n_docs - n_unique)) DIV n_docs AS BIGINT)"
+        ).alias("exact_dup_bp"),
+        "tokens_sum",
+        "n_langs",
+        "top_lang",
+        F.expr("CAST((10000 * lc) DIV n_docs AS BIGINT)").alias("top_lang_bp"),
+    )
+
+
 STAGED_QUERIES = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_heavy_hitters": q_heavy_hitters,
     "q_sorted_neighborhood": q_sorted_neighborhood,
+    "q_substring_spans": q_substring_spans,
+    "q_domain_cap": q_domain_cap,
+    "q_dataset_card": q_dataset_card,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -380,6 +545,100 @@ _SNM_SQL = f"""
 """
 
 
+_SPAN_GRAM = hash60_sql(f"array_to_string(toks[i:i+{SPAN_K - 1}], ' ')")
+
+_SPANS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, {_SPAN_GRAM} AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS i
+            FROM t)
+    ),
+    freq AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+    dup AS (SELECT doc_id, pos FROM g JOIN freq USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_K}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM (SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup)
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {SPAN_K} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_toks
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(p.dup_toks, 0) AS BIGINT) AS dup_tokens,
+           CAST(CASE WHEN len(t.toks) > 0
+                     THEN (10000 * COALESCE(p.dup_toks, 0)) // len(t.toks)
+                     ELSE 0 END AS BIGINT) AS dup_bp
+    FROM documents d
+    JOIN t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+"""
+
+_CAP_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, source, len({_TOKS_RAW}) AS n_toks,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {CAP_N} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rn <= {CAP_N} THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(CASE WHEN SUM(n_toks) > 0
+                     THEN (10000 * SUM(CASE WHEN rn <= {CAP_N}
+                                            THEN n_toks ELSE 0 END))
+                          // SUM(n_toks)
+                     ELSE 0 END AS BIGINT) AS kept_bp
+    FROM r GROUP BY source
+"""
+
+_CARD_SQL = f"""
+    WITH base AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT md5(text)) AS n_unique,
+             SUM(len({_TOKS_RAW})) AS tokens_sum,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source
+    ), top AS (
+      SELECT source, lang AS top_lang, COUNT(*) AS lc,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY COUNT(*) DESC, lang
+             ) AS r
+      FROM documents GROUP BY source, lang
+      QUALIFY r = 1
+    )
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST((10000 * (b.n_docs - b.n_unique)) // b.n_docs AS BIGINT)
+             AS exact_dup_bp,
+           CAST(b.tokens_sum AS BIGINT) AS tokens_sum,
+           CAST(b.n_langs AS BIGINT) AS n_langs,
+           t.top_lang,
+           CAST((10000 * t.lc) // b.n_docs AS BIGINT) AS top_lang_bp
+    FROM base b JOIN top t USING (source)
+"""
+
+
 def _staged_oracles() -> dict[str, str]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
         ORACLES as _SEARCH_ORACLES,
@@ -389,6 +648,9 @@ def _staged_oracles() -> dict[str, str]:
         "q_hybrid_rrf": _rrf_sql(_SEARCH_ORACLES["q_bm25"]),
         "q_heavy_hitters": _HH_SQL,
         "q_sorted_neighborhood": _SNM_SQL,
+        "q_substring_spans": _SPANS_SQL,
+        "q_domain_cap": _CAP_SQL,
+        "q_dataset_card": _CARD_SQL,
     }
 
 

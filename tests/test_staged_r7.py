@@ -129,3 +129,69 @@ def test_sorted_neighborhood_subset_of_exact(spark, sf_dir):
     )
     truth = {(r["doc_a"], r["doc_b"]) for r in truth_df.collect()}
     assert got <= truth
+
+
+def test_staged_plan_shapes_r6_additions(spark, sf_dir):
+    """Scale pins for the round-6 staged additions: all joins equi-keyed
+    (gram hash / doc_id / source), windows partitioned (doc_id / source)
+    — never a global single-partition window, never a product."""
+    for name in ("q_substring_spans", "q_domain_cap", "q_dataset_card"):
+        plan = _plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_duplicated_spans_merge_geometry(spark):
+    """duplicated_token_spans on a synthetic corpus with known geometry:
+
+    - an 8-token sequence shared by two docs -> one [0, 8) span in each;
+    - a 9-token shared sequence -> its two overlapping dup windows MERGE
+      into one [0, 9) span;
+    - two dup regions in one doc separated by > K tokens stay SEPARATE;
+    - an immediately repeated 8-seq inside one doc: dup windows at pos 0
+      and 8 are exactly K apart -> adjacent spans merge to [0, 16)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+        duplicated_token_spans,
+    )
+
+    dup8 = " ".join(f"t{i}" for i in range(8))
+    dup9 = " ".join(f"u{i}" for i in range(9))
+    gap9 = " ".join(f"g{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, dup8),
+            (2, f"{dup8} {gap9} {dup9}"),
+            (3, dup9),
+            (4, f"{dup8} {dup8}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in duplicated_token_spans(docs, 8).collect():
+        spans[r["doc_id"]].add((r["s"], r["e"]))
+    assert spans[1] == {(0, 8)}
+    # doc 2: dup8 at [0,8); dup9 at tokens 17..25 -> merged [17, 26);
+    # the 9-token gap (> K) keeps the two spans separate
+    assert spans[2] == {(0, 8), (17, 26)}
+    assert spans[3] == {(0, 9)}
+    # doc 4: the repeated 8-seq — dup windows at pos 0 and 8 (the seam
+    # windows occur once and don't count); 8 - 0 = K means adjacent
+    # spans [0,8) and [8,16) merge into one
+    assert spans[4] == {(0, 16)}
+
+
+def test_domain_cap_binds_exactly(spark, sf_dir):
+    """The cap keeps exactly min(CAP_N, n_docs) per source, and kept
+    token mass is consistent (0 < tokens_kept <= tokens_total when the
+    cap binds)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import CAP_N
+
+    rows = STAGED_QUERIES["q_domain_cap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == min(CAP_N, r["n_docs"])
+        assert 0 < r["tokens_kept"] <= r["tokens_total"]
+        assert 0 < r["kept_bp"] <= 10000
