@@ -29,6 +29,9 @@ lacks today:
 - ``q_dataset_card``: per-source curation card (docs, exact-dup rate,
   token budget, language mix) — the datasheet summary a mix designer
   reads before weighting sources.
+- ``q_hist_quantiles``: fixed-width histogram-sketch quantiles
+  (p50/p90/p99) — the mergeable, bounded-size alternative to a global
+  order statistic, completing the sketch family (CMS, HLL).
 """
 
 from __future__ import annotations
@@ -389,6 +392,59 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ histogram quantiles
+
+HQ_BIN_W = 10_000  # o_totalprice bin width -> ~50 bins over the TPC-H range
+HQ_PCTS = (50, 90, 99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles: approximate p50/p90/p99 of order
+    totalprice from a fixed-width integer-bin histogram — the mergeable
+    alternative to a global order statistic (exact percentile needs a
+    full sort; the histogram is a bounded-size aggregate that partial
+    map-side combine reduces to ~50 rows regardless of corpus size,
+    like the CMS and HLL sketches already on the surface).
+
+    Contract: for each pct, the FIRST bin whose cumulative count crosses
+    ceil(pct * n / 100) — the exact k-th value provably lies inside that
+    bin, so the upper bound errs by at most one bin width (pinned by
+    pytest against the true order statistic). The crossing test is the
+    integer form 100 * cum >= pct * n (exact: cum is integral).
+
+    Scale shape: one scan -> bin -> count aggregate; the cumulative and
+    total windows run over the ~50-row bin frame (bounded by
+    value-range / bin-width, CONSTANT in corpus size — a single
+    partition of 50 rows is free); pct fan-out is a map-only explode on
+    those 50 rows. No global data sort, no product, no corpus-sized
+    shuffle beyond the histogram aggregate."""
+    ords = load_split(spark, sf_dir, "orders")
+    hist = (
+        ords.select(
+            F.floor(F.col("o_totalprice") / HQ_BIN_W).cast("bigint").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = (
+        hist.withColumn("cum", F.sum("c").over(wc))
+        .withColumn("n", F.sum("c").over(wt))
+        .withColumn(
+            "pct", F.explode(F.array(*[F.lit(p) for p in HQ_PCTS]))
+        )
+        .filter(F.lit(100) * F.col("cum") >= F.col("pct") * F.col("n"))
+    )
+    return cand.groupBy("pct").agg(
+        F.min("b").cast("bigint").alias("bin"),
+        ((F.min("b") + 1) * HQ_BIN_W).cast("bigint").alias("q_upper"),
+        F.min("n").cast("bigint").alias("n_rows"),
+    ).select(F.col("pct").cast("bigint").alias("pct"), "bin", "q_upper", "n_rows")
+
+
 # ----------------------------------------------------------- dataset card
 
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +500,7 @@ STAGED_QUERIES = {
     "q_substring_spans": q_substring_spans,
     "q_domain_cap": q_domain_cap,
     "q_dataset_card": q_dataset_card,
+    "q_hist_quantiles": q_hist_quantiles,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -612,6 +669,31 @@ _CAP_SQL = f"""
     FROM r GROUP BY source
 """
 
+_HQ_SQL = f"""
+    WITH hist AS (
+      SELECT CAST(floor(o_totalprice / {HQ_BIN_W}) AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT b,
+             SUM(c) OVER (ORDER BY b
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(c) OVER () AS n
+      FROM hist
+    ), cand AS (
+      SELECT p.pct, b, n
+      FROM cum, (VALUES ({HQ_PCTS[0]}), ({HQ_PCTS[1]}), ({HQ_PCTS[2]}))
+             AS p(pct)
+      WHERE 100 * cum >= p.pct * n
+    )
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(MIN(b) AS BIGINT) AS bin,
+           CAST((MIN(b) + 1) * {HQ_BIN_W} AS BIGINT) AS q_upper,
+           CAST(MIN(n) AS BIGINT) AS n_rows
+    FROM cand GROUP BY pct
+"""
+
 _CARD_SQL = f"""
     WITH base AS (
       SELECT source, COUNT(*) AS n_docs,
@@ -651,6 +733,7 @@ def _staged_oracles() -> dict[str, str]:
         "q_substring_spans": _SPANS_SQL,
         "q_domain_cap": _CAP_SQL,
         "q_dataset_card": _CARD_SQL,
+        "q_hist_quantiles": _HQ_SQL,
     }
 
 

@@ -135,7 +135,12 @@ def test_staged_plan_shapes_r6_additions(spark, sf_dir):
     """Scale pins for the round-6 staged additions: all joins equi-keyed
     (gram hash / doc_id / source), windows partitioned (doc_id / source)
     — never a global single-partition window, never a product."""
-    for name in ("q_substring_spans", "q_domain_cap", "q_dataset_card"):
+    for name in (
+        "q_substring_spans",
+        "q_domain_cap",
+        "q_dataset_card",
+        "q_hist_quantiles",
+    ):
         plan = _plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
@@ -195,3 +200,37 @@ def test_domain_cap_binds_exactly(spark, sf_dir):
         assert r["n_kept"] == min(CAP_N, r["n_docs"])
         assert 0 < r["tokens_kept"] <= r["tokens_total"]
         assert 0 < r["kept_bp"] <= 10000
+
+
+def test_hist_quantiles_bracket_exact(spark, sf_dir):
+    """The sketch's chosen bin must CONTAIN the true order statistic:
+    for each pct, exact k-th smallest totalprice (k = ceil(pct*n/100))
+    falls in [bin*W, (bin+1)*W) — the at-most-one-bin-width error
+    contract. Exact leg computed by sorting the fixture locally."""
+    import math
+
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+        HQ_BIN_W,
+        HQ_PCTS,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    got = {
+        r["pct"]: r
+        for r in STAGED_QUERIES["q_hist_quantiles"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(HQ_PCTS)
+    vals = sorted(
+        r["o_totalprice"]
+        for r in load_split(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(vals)
+    for pct in HQ_PCTS:
+        k = math.ceil(pct * n / 100)
+        exact = vals[k - 1]
+        r = got[pct]
+        assert r["n_rows"] == n
+        assert r["bin"] * HQ_BIN_W <= exact < (r["bin"] + 1) * HQ_BIN_W
+        assert r["q_upper"] == (r["bin"] + 1) * HQ_BIN_W
