@@ -32,6 +32,9 @@ lacks today:
 - ``q_hist_quantiles``: fixed-width histogram-sketch quantiles
   (p50/p90/p99) — the mergeable, bounded-size alternative to a global
   order statistic, completing the sketch family (CMS, HLL).
+- ``q_scd2_intervals``: SCD type-2 validity-interval construction from
+  an append-only change stream — the warehouse history shape next to
+  q_cdc_latest (latest-only) and q_asof_join (interval consumption).
 """
 
 from __future__ import annotations
@@ -392,6 +395,40 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ SCD2 intervals
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history construction from an
+    append-only change stream: per user, collapse consecutive identical
+    event_type rows to change points, then stitch [valid_from, valid_to)
+    validity intervals (valid_to = next change's timestamp, NULL for the
+    current row) with a version counter — the standard warehouse shape
+    for as-of attribute lookups, complementing q_cdc_latest (latest-only
+    compaction) and q_asof_join (interval consumption).
+
+    Determinism: event-time order with event_id tiebreak everywhere.
+    Scale shape: ONE shuffle on user_id that BOTH window passes reuse
+    (same partitioning — Catalyst plans a single exchange); the change
+    filter shrinks rows between the lag pass and the lead/version pass.
+    No join, no product; interval stitching is window-local per user."""
+    events = load_split(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = events.withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+
+
 # ------------------------------------------------------ histogram quantiles
 
 HQ_BIN_W = 10_000  # o_totalprice bin width -> ~50 bins over the TPC-H range
@@ -501,6 +538,7 @@ STAGED_QUERIES = {
     "q_domain_cap": q_domain_cap,
     "q_dataset_card": q_dataset_card,
     "q_hist_quantiles": q_hist_quantiles,
+    "q_scd2_intervals": q_scd2_intervals,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -669,6 +707,26 @@ _CAP_SQL = f"""
     FROM r GROUP BY source
 """
 
+_SCD2_SQL = """
+    WITH chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS version
+    FROM chg
+    WHERE prev_type IS NULL OR prev_type <> event_type
+"""
+
 _HQ_SQL = f"""
     WITH hist AS (
       SELECT CAST(floor(o_totalprice / {HQ_BIN_W}) AS BIGINT) AS b,
@@ -734,6 +792,7 @@ def _staged_oracles() -> dict[str, str]:
         "q_domain_cap": _CAP_SQL,
         "q_dataset_card": _CARD_SQL,
         "q_hist_quantiles": _HQ_SQL,
+        "q_scd2_intervals": _SCD2_SQL,
     }
 
 

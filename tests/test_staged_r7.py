@@ -234,3 +234,28 @@ def test_hist_quantiles_bracket_exact(spark, sf_dir):
         assert r["n_rows"] == n
         assert r["bin"] * HQ_BIN_W <= exact < (r["bin"] + 1) * HQ_BIN_W
         assert r["q_upper"] == (r["bin"] + 1) * HQ_BIN_W
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    """SCD2 invariants per user: versions are 1..n contiguous; intervals
+    chain exactly (valid_to == next interval's valid_from); only the
+    last interval is open (valid_to NULL); consecutive intervals never
+    carry the same event_type (change points only); one exchange plan
+    (both window passes share the user_id partitioning)."""
+    from collections import defaultdict
+
+    df = STAGED_QUERIES["q_scd2_intervals"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    by_user = defaultdict(list)
+    for r in df.collect():
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+        assert rows[-1]["valid_to"] is None
+        assert all(r["valid_to"] is not None for r in rows[:-1])
