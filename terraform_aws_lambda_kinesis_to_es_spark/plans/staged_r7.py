@@ -24,6 +24,9 @@ lacks today:
 - ``q_substring_spans``: ExactSubstr duplicated-span dedup (Lee et al.
   2022) — per-doc MAXIMAL merged duplicated k-token spans, the removal
   geometry q_passage_dedup's strided scoring can't give.
+- ``q_substring_strip``: the removal half — the cleaned normalized
+  corpus with every duplicated span cut out (anti range-join on the
+  doc key + per-doc ordered reconstruction).
 - ``q_domain_cap``: per-domain document capping (the per-source quota
   step of pretraining mixes) with exact kept/dropped token accounting.
 - ``q_dataset_card``: per-source curation card (docs, exact-dup rate,
@@ -341,6 +344,57 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr dedup: reconstruct each document's
+    NORMALIZED token stream (lowercased, whitespace-tokenized — the same
+    basis the spans are computed on) with every duplicated span cut out —
+    what q_substring_spans reports, this one executes, yielding the
+    cleaned corpus a training pipeline actually feeds downstream.
+
+    Scale shape: spans come from duplicated_token_spans (linear, see
+    q_substring_spans); the cut is a doc_id-EQUI anti join of token
+    positions against span intervals (the range test rides as a residual
+    condition on the equi key — never a product), and reconstruction is
+    a per-doc sort of surviving (pos, tok) structs — bounded by doc
+    length, like every per-doc fold on the surface."""
+    docs = load_split(spark, sf_dir, "documents")
+    spans = duplicated_token_spans(docs, SPAN_K)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    kept = toks.alias("tk").join(
+        spans.alias("sp"),
+        (F.col("tk.doc_id") == F.col("sp.doc_id"))
+        & (F.col("tk.pos") >= F.col("sp.s"))
+        & (F.col("tk.pos") < F.col("sp.e")),
+        "left_anti",
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_tok = F.size(tokens(F.lower(F.col("text"))))
+    return (
+        docs.select("doc_id", n_tok.alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 # ------------------------------------------------------------- domain cap
 
 CAP_N = 10  # per-source document quota
@@ -535,6 +589,7 @@ STAGED_QUERIES = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_sorted_neighborhood": q_sorted_neighborhood,
     "q_substring_spans": q_substring_spans,
+    "q_substring_strip": q_substring_strip,
     "q_domain_cap": q_domain_cap,
     "q_dataset_card": q_dataset_card,
     "q_hist_quantiles": q_hist_quantiles,
@@ -642,8 +697,10 @@ _SNM_SQL = f"""
 
 _SPAN_GRAM = hash60_sql(f"array_to_string(toks[i:i+{SPAN_K - 1}], ' ')")
 
-_SPANS_SQL = f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# shared CTE chain: tokens -> overlapping-gram hashes -> duplicated
+# windows -> lag-merged maximal spans (mirrors duplicated_token_spans)
+_SPAN_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     g AS (
       SELECT doc_id, i - 1 AS pos, {_SPAN_GRAM} AS h
       FROM (SELECT doc_id, toks,
@@ -666,7 +723,10 @@ _SPANS_SQL = f"""
     spans AS (
       SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {SPAN_K} AS e
       FROM isl GROUP BY doc_id, island
-    ),
+    )"""
+
+_SPANS_SQL = f"""
+    WITH {_SPAN_CTES},
     per_doc AS (
       SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_toks
       FROM spans GROUP BY doc_id
@@ -678,6 +738,34 @@ _SPANS_SQL = f"""
            CAST(CASE WHEN len(t.toks) > 0
                      THEN (10000 * COALESCE(p.dup_toks, 0)) // len(t.toks)
                      ELSE 0 END AS BIGINT) AS dup_bp
+    FROM documents d
+    JOIN t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+"""
+
+_STRIP_SQL = f"""
+    WITH {_SPAN_CTES},
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM t)
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM tok tk ANTI JOIN spans s
+        ON tk.doc_id = s.doc_id AND tk.pos >= s.s AND tk.pos < s.e
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.clean_text, '') AS clean_text,
+           CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.toks) - COALESCE(p.n_kept, 0) AS BIGINT) AS n_removed
     FROM documents d
     JOIN t USING (doc_id)
     LEFT JOIN per_doc p USING (doc_id)
@@ -789,6 +877,7 @@ def _staged_oracles() -> dict[str, str]:
         "q_heavy_hitters": _HH_SQL,
         "q_sorted_neighborhood": _SNM_SQL,
         "q_substring_spans": _SPANS_SQL,
+        "q_substring_strip": _STRIP_SQL,
         "q_domain_cap": _CAP_SQL,
         "q_dataset_card": _CARD_SQL,
         "q_hist_quantiles": _HQ_SQL,

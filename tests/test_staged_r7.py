@@ -137,6 +137,7 @@ def test_staged_plan_shapes_r6_additions(spark, sf_dir):
     — never a global single-partition window, never a product."""
     for name in (
         "q_substring_spans",
+        "q_substring_strip",
         "q_domain_cap",
         "q_dataset_card",
         "q_hist_quantiles",
@@ -259,3 +260,25 @@ def test_scd2_intervals_chain(spark, sf_dir):
             assert a["event_type"] != b["event_type"]
         assert rows[-1]["valid_to"] is None
         assert all(r["valid_to"] is not None for r in rows[:-1])
+
+
+def test_substring_strip_consistent_with_spans(spark, sf_dir):
+    """Strip executes exactly what spans report: per doc, n_removed ==
+    the summed length of its merged spans, n_kept + n_removed ==
+    n_tokens, and the cleaned text has exactly n_kept tokens (no dup
+    window of the original corpus survives verbatim at span boundaries
+    is NOT asserted — stripping can create new k-grams, which is the
+    documented one-pass semantics)."""
+    spans_rows = STAGED_QUERIES["q_substring_spans"](spark, sf_dir).collect()
+    strip_rows = STAGED_QUERIES["q_substring_strip"](spark, sf_dir).collect()
+    spans_by_doc = {r["doc_id"]: r for r in spans_rows}
+    assert len(strip_rows) == len(spans_rows)
+    n_stripped = 0
+    for r in strip_rows:
+        s = spans_by_doc[r["doc_id"]]
+        assert r["n_removed"] == s["dup_tokens"]
+        assert r["n_kept"] + r["n_removed"] == s["n_tokens"]
+        n_toks = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_toks == r["n_kept"]
+        n_stripped += 1 if r["n_removed"] > 0 else 0
+    assert n_stripped >= 5, "fixture should exercise real removals"
