@@ -21,9 +21,17 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("training-data-pipeline")
     queries, _ = collect_surface()
+    # staged (pre-declaration) ops join the demo from the staging module
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+        STAGED_QUERIES,
+    )
+
+    queries = {**queries, **STAGED_QUERIES}
 
     stages = (
         ("clean corpus (exact+near dedup, quality, langid)", "q_clean_corpus"),
+        ("ExactSubstr duplicated-span removal", "q_substring_strip"),
+        ("per-domain document capping", "q_domain_cap"),
         ("semantic dedup over embeddings", "q_semdedup"),
         ("contamination scan vs held-out eval set", "q_contamination"),
         ("repetition quality signals", "q_repetition"),
