@@ -38,6 +38,9 @@ lacks today:
 - ``q_scd2_intervals``: SCD type-2 validity-interval construction from
   an append-only change stream — the warehouse history shape next to
   q_cdc_latest (latest-only) and q_asof_join (interval consumption).
+- ``q_semdedup_hashseed``: q_semdedup_bucketed with hash-ranked seeds —
+  the id-order-robust codebook for crawl-ordered/replicated corpora
+  (the regime where first-k-id seeds measurably collapse; PERF.md).
 """
 
 from __future__ import annotations
@@ -62,8 +65,13 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
     q_bm25,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+    _bucket_sql,
     _cosine_sql,
+    _vec,
     _VEC_CTE,
+    SEM_BUCKETED_SEEDS,
+    SEM_ROWS_PER_CLUSTER,
+    SEM_TAU,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
     _TOKS,
@@ -449,6 +457,42 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ hash-seeded SemDeDup
+
+
+def q_semdedup_hashseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_semdedup_bucketed with an ID-ORDER-ROBUST codebook: seeds are
+    the top-k vectors by (hash60(vec_id), vec_id) instead of the first k
+    ids. Same bucketed assignment (assign_bucketed_seeds), same
+    byte-identical drop rule (dedup_within_clusters), same count-derived
+    codebook size.
+
+    Why it exists: the first-k-ids rule silently degrades on
+    ID-CORRELATED corpora — crawl-ordered snapshots, replicated shards,
+    bulk-imported near-copies — where the low-id range holds few
+    distinct semantic directions. Measured on the 100x replica corpus:
+    first-id seeds leave 789 of 3,125 seeds unused and the largest
+    cluster 20x over its design size (PERF.md); hash-ranked seeds
+    re-diversify the codebook at zero algorithmic cost. The hash rank
+    is deterministic and mirrored verbatim in the oracle (QUALIFY
+    ROW_NUMBER over the same md5-based hash60).
+
+    Scale shape: identical to q_semdedup_bucketed plus one distributed
+    TakeOrdered of k rows for seed selection."""
+    vecs = _vec(spark, sf_dir)
+    n_seeds = max(SEM_BUCKETED_SEEDS, vecs.count() // SEM_ROWS_PER_CLUSTER)
+    seeds = (
+        vecs.orderBy(
+            hash60(F.col("vec_id").cast("string")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(n_seeds)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("sv"))
+    )
+    assigned = S.assign_bucketed_seeds(vecs, seeds).persist()
+    return S.dedup_within_clusters(assigned, SEM_TAU)
+
+
 # ------------------------------------------------------------ SCD2 intervals
 
 
@@ -594,6 +638,7 @@ STAGED_QUERIES = {
     "q_dataset_card": q_dataset_card,
     "q_hist_quantiles": q_hist_quantiles,
     "q_scd2_intervals": q_scd2_intervals,
+    "q_semdedup_hashseed": q_semdedup_hashseed,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -815,6 +860,44 @@ _SCD2_SQL = """
     WHERE prev_type IS NULL OR prev_type <> event_type
 """
 
+_HASHSEED_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+vb AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM vecs),
+seeds AS (
+  SELECT vec_id AS cluster, v AS sv, {{BUCKET}} AS sbucket
+  FROM vecs
+  QUALIFY ROW_NUMBER() OVER (
+    ORDER BY {hash60_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  ) <= GREATEST({SEM_BUCKETED_SEEDS},
+                (SELECT COUNT(*) FROM vecs) // {SEM_ROWS_PER_CLUSTER})
+),
+matched AS (
+  SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
+  FROM vb JOIN seeds s ON s.sbucket = vb.bucket
+),
+orphan AS (
+  SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
+  FROM vb CROSS JOIN seeds s
+  WHERE vb.bucket NOT IN (SELECT sbucket FROM seeds)
+),
+scored AS (SELECT * FROM matched UNION ALL SELECT * FROM orphan),
+assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT vec_id, v, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cluster ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       NOT EXISTS (
+         SELECT 1 FROM assigned b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND {_cosine_sql("a.v", "b.v")} >= {SEM_TAU}
+       ) AS is_kept
+FROM assigned a
+""".replace("{BUCKET}", _bucket_sql("v"))
+
 _HQ_SQL = f"""
     WITH hist AS (
       SELECT CAST(floor(o_totalprice / {HQ_BIN_W}) AS BIGINT) AS b,
@@ -882,6 +965,7 @@ def _staged_oracles() -> dict[str, str]:
         "q_dataset_card": _CARD_SQL,
         "q_hist_quantiles": _HQ_SQL,
         "q_scd2_intervals": _SCD2_SQL,
+        "q_semdedup_hashseed": _HASHSEED_SQL,
     }
 
 

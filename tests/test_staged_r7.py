@@ -282,3 +282,58 @@ def test_substring_strip_consistent_with_spans(spark, sf_dir):
         assert n_toks == r["n_kept"]
         n_stripped += 1 if r["n_removed"] > 0 else 0
     assert n_stripped >= 5, "fixture should exercise real removals"
+
+
+def test_hashseed_codebook_survives_id_clustered_corpus(spark, sf_dir):
+    """The failure mode q_semdedup_hashseed exists for, reproduced small:
+    a corpus whose ids are ordered by content (10 base directions x 50
+    near-identical replicas, id = base*50 + r — the crawl-ordered /
+    replicated-shard shape). First-k-id seeds draw the whole codebook
+    from ONE direction; hash-ranked seeds re-diversify it. Pins the
+    direction diversity and the intra-cluster pair-pass cost driver
+    (max cluster size: the replica-group size vs 5x over it).
+    Deterministic: fixed md5 hash, fixed fixture vectors."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        _vec,
+    )
+
+    base = _vec(spark, sf_dir).filter(F.col("vec_id") < 10)
+    reps = spark.range(50).withColumnRenamed("id", "r")
+    corpus = base.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") * 50 + F.col("r")).alias("vec_id"),
+        F.transform(
+            "v", lambda x: x + (F.col("r") % 7).cast("double") * F.lit(1e-4)
+        ).alias("v"),
+    )
+    n_seeds = 32
+    first = corpus.filter(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+    )
+    hashed = (
+        corpus.orderBy(
+            hash60(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+        )
+        .limit(n_seeds)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("sv"))
+    )
+
+    def profile(seeds):
+        dirs = (
+            seeds.select((F.col("cluster") / 50).cast("int").alias("b"))
+            .distinct()
+            .count()
+        )
+        assigned = S.assign_bucketed_seeds(corpus, seeds)
+        occ = assigned.groupBy("cluster").count()
+        return dirs, occ.agg(F.max("count")).collect()[0][0]
+
+    first_dirs, first_max = profile(first)
+    hash_dirs, hash_max = profile(hashed)
+    assert first_dirs == 1  # the degenerate codebook
+    assert hash_dirs == 10  # every direction represented
+    assert hash_max == 50  # clusters land exactly on replica groups
+    assert first_max >= 4 * hash_max  # the pair-pass cost driver
