@@ -173,6 +173,10 @@ def duplicated_token_spans(
     overlapping/adjacent duplicated windows merge into MAXIMAL spans.
     Returns one row per merged span: (id, s, e) with token positions
     [s, e) — exactly the intervals an ExactSubstr pass would cut.
+    Docs shorter than k produce no windows and therefore no spans —
+    duplicates below the window length are INVISIBLE by design (the
+    paper's contract), identically on the engine and the DuckDB oracle
+    (empty shifted-slice n-gram array / empty generate_series).
 
     Suffix arrays (the paper's tool) don't distribute; the relational
     equivalent is linear and all-Spark: one overlapping-n-gram scan

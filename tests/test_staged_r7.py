@@ -169,6 +169,15 @@ def test_duplicated_spans_merge_geometry(spark):
             (2, f"{dup8} {gap9} {dup9}"),
             (3, dup9),
             (4, f"{dup8} {dup8}"),
+            # sub-K edge (r5-ADVICE lesson — pin the short-doc contract):
+            # identical docs SHORTER than K are never windowed, so they
+            # produce NO spans — on the engine AND the oracle (DuckDB
+            # generate_series(1, <=0) is empty, Spark's shifted-slice
+            # n-grams are an empty array). ExactSubstr semantics: dups
+            # below the window length are invisible by design.
+            (5, "a b c"),
+            (6, "a b c"),
+            (7, ""),
         ],
         "doc_id bigint, text string",
     )
@@ -187,6 +196,7 @@ def test_duplicated_spans_merge_geometry(spark):
     # windows occur once and don't count); 8 - 0 = K means adjacent
     # spans [0,8) and [8,16) merge into one
     assert spans[4] == {(0, 16)}
+    assert spans[5] == set() and spans[6] == set() and spans[7] == set()
 
 
 def test_domain_cap_binds_exactly(spark, sf_dir):
