@@ -41,6 +41,10 @@ lacks today:
 - ``q_semdedup_hashseed``: q_semdedup_bucketed with hash-ranked seeds —
   the id-order-robust codebook for crawl-ordered/replicated corpora
   (the regime where first-k-id seeds measurably collapse; PERF.md).
+- ``q_semdedup_assign_agreement``: bounded exhaustive-vs-bucketed
+  assignment audit on the id-hash sample — measures the bucketed
+  path's recall contract instead of assuming it (the embedding-side
+  q_lsh_eval).
 """
 
 from __future__ import annotations
@@ -67,10 +71,13 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
 from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
     _bucket_sql,
     _cosine_sql,
+    _sample_pred_sql,
     _vec,
     _VEC_CTE,
     SEM_BUCKETED_SEEDS,
+    SEM_MIN_CLUSTERS,
     SEM_ROWS_PER_CLUSTER,
+    SEM_SAMPLE_TARGET,
     SEM_TAU,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
@@ -493,6 +500,48 @@ def q_semdedup_hashseed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.dedup_within_clusters(assigned, SEM_TAU)
 
 
+def q_semdedup_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded quality audit of the bucketed assignment: on the same
+    deterministic id-hash sample q_semdedup_sampled uses (cost
+    ~constant at ANY corpus size), assign every sample vector to its
+    nearest seed both EXHAUSTIVELY (the ground truth) and via the
+    hyperplane-BUCKETED scale path, and report the agreement rate in
+    basis points — the embedding-side analogue of q_lsh_eval's
+    detector-vs-truth audit. Disagreements are the bucketed path's
+    recall contract (a vector's best seed can live in a neighboring
+    bucket); this query measures that contract instead of assuming it.
+
+    One row: (n_sample, n_agree, agree_bp). Both assignment legs,
+    the sample predicate, and the seed rank are mirrored verbatim in
+    the oracle."""
+    vecs = _vec(spark, sf_dir)
+    k_mod = max(1, vecs.count() // SEM_SAMPLE_TARGET)
+    sample = vecs.filter(
+        hash60(F.col("vec_id").cast("string")) % k_mod == 0
+    ).withColumn("nrm", S.norm(F.col("v")))
+    n_clusters = max(SEM_MIN_CLUSTERS, sample.count() // SEM_ROWS_PER_CLUSTER)
+    seeds = (
+        sample.orderBy(F.col("vec_id").asc())
+        .limit(n_clusters)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("sv"))
+    )
+    ex = S.assign_exhaustive(sample, seeds).select(
+        "vec_id", F.col("cluster").alias("c_exact")
+    )
+    bk = S.assign_bucketed_seeds(sample, seeds).select(
+        "vec_id", F.col("cluster").alias("c_bucketed")
+    )
+    both = ex.join(bk, "vec_id")
+    return both.agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.sum((F.col("c_exact") == F.col("c_bucketed")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+    ).withColumn(
+        "agree_bp", F.expr("CAST((10000 * n_agree) DIV n_sample AS BIGINT)")
+    )
+
+
 # ------------------------------------------------------------ SCD2 intervals
 
 
@@ -639,6 +688,7 @@ STAGED_QUERIES = {
     "q_hist_quantiles": q_hist_quantiles,
     "q_scd2_intervals": q_scd2_intervals,
     "q_semdedup_hashseed": q_semdedup_hashseed,
+    "q_semdedup_assign_agreement": q_semdedup_assign_agreement,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -898,6 +948,58 @@ SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
 FROM assigned a
 """.replace("{BUCKET}", _bucket_sql("v"))
 
+_AGREE_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+sample AS (
+  SELECT vec_id, v FROM vecs
+  WHERE {_sample_pred_sql("vec_id", SEM_SAMPLE_TARGET)}
+),
+seeds AS (
+  SELECT vec_id AS cluster, v AS sv FROM sample
+  ORDER BY vec_id
+  LIMIT GREATEST({SEM_MIN_CLUSTERS},
+                 (SELECT COUNT(*) FROM sample) // {SEM_ROWS_PER_CLUSTER})
+),
+ex AS (
+  SELECT vec_id, cluster AS c_exact FROM (
+    SELECT sample.vec_id, seeds.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY sample.vec_id
+             ORDER BY {_cosine_sql("sample.v", "seeds.sv")} DESC,
+                      seeds.cluster ASC
+           ) AS rn
+    FROM sample CROSS JOIN seeds
+  ) WHERE rn = 1
+),
+vb AS (SELECT vec_id, v, {{BUCKET_V}} AS bucket FROM sample),
+sb AS (SELECT cluster, sv, {{BUCKET_SV}} AS sbucket FROM seeds),
+matched AS (
+  SELECT vb.vec_id, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
+  FROM vb JOIN sb s ON s.sbucket = vb.bucket
+),
+orphan AS (
+  SELECT vb.vec_id, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
+  FROM vb CROSS JOIN sb s
+  WHERE vb.bucket NOT IN (SELECT sbucket FROM sb)
+),
+bk AS (
+  SELECT vec_id, cluster AS c_bucketed FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cluster ASC) AS rn
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM orphan)
+  ) WHERE rn = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+       CAST(SUM(CASE WHEN c_exact = c_bucketed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST((10000 * SUM(CASE WHEN c_exact = c_bucketed THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS agree_bp
+FROM ex JOIN bk USING (vec_id)
+""".replace("{BUCKET_V}", _bucket_sql("v")).replace(
+    "{BUCKET_SV}", _bucket_sql("sv")
+)
+
 _HQ_SQL = f"""
     WITH hist AS (
       SELECT CAST(floor(o_totalprice / {HQ_BIN_W}) AS BIGINT) AS b,
@@ -966,6 +1068,7 @@ def _staged_oracles() -> dict[str, str]:
         "q_hist_quantiles": _HQ_SQL,
         "q_scd2_intervals": _SCD2_SQL,
         "q_semdedup_hashseed": _HASHSEED_SQL,
+        "q_semdedup_assign_agreement": _AGREE_SQL,
     }
 
 
