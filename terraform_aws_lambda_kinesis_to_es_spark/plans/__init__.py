@@ -77,13 +77,14 @@ _HEAD = (
     "q_lsh_eval", "q_dup_method_agreement", "q_minhash_est",
 )
 
-# Round-7 head plan (for the next rotation): promote the 11 staged
+# Round-7 head plan (for the next rotation): promote the 12 staged
 # names from plans/staged_r7.py (q_hybrid_rrf, q_heavy_hitters,
 # q_sorted_neighborhood, q_substring_spans, q_substring_strip,
 # q_domain_cap, q_dataset_card, q_hist_quantiles, q_scd2_intervals,
-# q_semdedup_hashseed, q_semdedup_assign_agreement — all oracle-backed
+# q_semdedup_hashseed, q_semdedup_assign_agreement, q_bloom_semijoin
+# — all oracle-backed
 # and pytest-proven with the driver protocol, 100x scale evidence in
-# PLANS.md), then fill the remaining ~39 window slots from the r3-era
+# PLANS.md), then fill the remaining ~38 window slots from the r3-era
 # cohort above (the oldest tier after the r6 rotation; its tail rolls
 # into round 8). When
 # promoting, consider re-contracting q_semdedup_bucketed to the

@@ -45,6 +45,10 @@ lacks today:
   assignment audit on the id-hash sample — measures the bucketed
   path's recall contract instead of assuming it (the embedding-side
   q_lsh_eval).
+- ``q_bloom_semijoin``: Bloom-filter semi-join with an exact
+  false-positive audit — the MEMBERSHIP sketch completing the family
+  (CMS = counts, HLL = distincts, histogram = quantiles); the filter
+  is a <=64-row bit_or aggregate, mergeable and broadcastable.
 """
 
 from __future__ import annotations
@@ -464,6 +468,127 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- Bloom semi-join
+
+BLOOM_WORD_BITS = 63  # bits per word; pos <= 62 keeps every long positive
+BLOOM_WORDS_MIN = 64  # filter floor: 4032 bits
+BLOOM_BITS_PER_KEY = 10  # sizing rule: ~10 bits per member key
+BLOOM_K = 3  # hash functions
+BLOOM_BAL = 8000.0  # membership predicate: c_acctbal > BLOOM_BAL
+
+
+def _bloom_words(n_members: int) -> int:
+    """COUNT-DERIVED filter size: words = ceil(10 * n / 63), floored at
+    BLOOM_WORDS_MIN — bits scale with MEMBERSHIP (that is how Bloom
+    filters size), never with the probe corpus. The same lesson as the
+    count-derived SemDeDup codebook: a fixed 4032-bit filter measured
+    67% false positives once the member set hit 2,762 keys (saturated
+    at 87% fill); derived sizing holds the fill ratio — and the FP rate
+    — roughly constant at every SF. Integer math, mirrored verbatim as
+    a scalar subquery in the oracle."""
+    return max(BLOOM_WORDS_MIN, (BLOOM_BITS_PER_KEY * n_members + 62) // 63)
+
+
+def _bloom_bits(df: DataFrame, key: F.Column, words: int) -> DataFrame:
+    """(key, word, pos) for each of the BLOOM_K hash bits of ``key`` —
+    shared by the build and probe sides so both use identical bits."""
+    m = BLOOM_WORD_BITS * words
+    return df.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        hash60(F.concat(F.lit(f"{j}:"), key.cast("string")))
+                        % m
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    ).select(
+        "key",
+        (F.col("bit") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
+        (F.col("bit") % BLOOM_WORD_BITS).cast("int").alias("pos"),
+    )
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join with an exact false-positive audit — the
+    MEMBERSHIP sketch completing the family (CMS = counts, HLL =
+    distincts, histogram = quantiles): build a count-sized (~10 bits per
+    member, 3 hashes) Bloom filter over the member keys (customers with
+    acctbal > BLOOM_BAL), probe every distinct order custkey against it,
+    and report pass / exact / false-positive counts with the FP rate in
+    basis points.
+
+    Why a table of longs: the filter is ceil(10n/63) 63-bit words built
+    by ONE bit_or aggregate — a MERGEABLE state bounded by MEMBERSHIP
+    count (per-partition bitmaps OR together), so at 100 TB the build is
+    map-side partials into a small reduce frame and the probe joins a
+    broadcast word table; the exact semi-join it replaces shuffles the
+    fact table. 63 bits per word keeps bit 63 clear so every shift/test
+    stays on positive longs in both engines. No false negatives by
+    construction (pinned); false positives are the sketch's documented
+    contract, measured here instead of assumed — and held roughly
+    constant across SFs by the count-derived sizing (see _bloom_words
+    for the saturation measurement that forced it)."""
+    cust = load_split(spark, sf_dir, "customer")
+    orders = load_split(spark, sf_dir, "orders")
+    members = cust.filter(F.col("c_acctbal") > BLOOM_BAL).select(
+        F.col("c_custkey").alias("key")
+    )
+    words = _bloom_words(members.count())
+    bloom = (
+        _bloom_bits(members, F.col("key"), words)
+        .groupBy("word")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), pos))"
+            ).alias("bm")
+        )
+    )
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    checked = (
+        _bloom_bits(keys, F.col("key"), words)
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "key",
+            F.coalesce(
+                F.expr("shiftright(bm, pos) & CAST(1 AS BIGINT)"), F.lit(0)
+            ).alias("bitset"),
+        )
+    )
+    passed = (
+        checked.groupBy("key")
+        .agg(F.min("bitset").alias("allset"))
+        .filter(F.col("allset") == 1)
+        .select("key", F.lit(1).alias("p"))
+    )
+    flags = keys.join(F.broadcast(passed), "key", "left").join(
+        F.broadcast(members.withColumn("e", F.lit(1))), "key", "left"
+    )
+    return (
+        flags.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(F.coalesce("e", F.lit(0))).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce("p", F.lit(0))).cast("bigint").alias("n_pass"),
+        )
+        .select(
+            "n_keys",
+            "n_exact",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.expr(
+                "CAST((10000 * (n_pass - n_exact))"
+                " DIV GREATEST(1, n_keys - n_exact) AS BIGINT)"
+            ).alias("fp_bp"),
+        )
+    )
+
+
 # ------------------------------------------------------ hash-seeded SemDeDup
 
 
@@ -689,6 +814,7 @@ STAGED_QUERIES = {
     "q_scd2_intervals": q_scd2_intervals,
     "q_semdedup_hashseed": q_semdedup_hashseed,
     "q_semdedup_assign_agreement": q_semdedup_assign_agreement,
+    "q_bloom_semijoin": q_bloom_semijoin,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -948,6 +1074,57 @@ SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
 FROM assigned a
 """.replace("{BUCKET}", _bucket_sql("v"))
 
+# count-derived filter size, mirroring _bloom_words as a scalar subquery
+_BLOOM_WORDS_SQL = (
+    f"GREATEST({BLOOM_WORDS_MIN}, "
+    f"({BLOOM_BITS_PER_KEY} * (SELECT COUNT(*) FROM members) + 62) // 63)"
+)
+_BLOOM_M_SQL = f"({BLOOM_WORD_BITS} * {_BLOOM_WORDS_SQL})"
+
+
+def _bloom_bits_sql(src: str) -> str:
+    """(key, bit) rows for the BLOOM_K hashes — mirrors _bloom_bits."""
+    return " UNION ALL ".join(
+        f"SELECT key, ({hash60_sql(chr(39) + str(j) + ':' + chr(39) + ' || CAST(key AS VARCHAR)')}) % {_BLOOM_M_SQL} AS bit FROM {src}"
+        for j in range(BLOOM_K)
+    )
+
+
+_BLOOM_SQL = f"""
+WITH members AS (
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal > {BLOOM_BAL}
+),
+probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+bloom AS (
+  SELECT bit // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD_BITS} AS INT))
+           AS bm
+  FROM ({_bloom_bits_sql("members")}) GROUP BY 1
+),
+checked AS (
+  SELECT p.key,
+         COALESCE((b.bm >> CAST(p.bit % {BLOOM_WORD_BITS} AS INT))
+                  & CAST(1 AS BIGINT), 0) AS bitset
+  FROM (SELECT key, bit, bit // {BLOOM_WORD_BITS} AS word
+        FROM ({_bloom_bits_sql("probe")})) p
+  LEFT JOIN bloom b USING (word)
+),
+passed AS (SELECT key FROM checked GROUP BY key HAVING MIN(bitset) = 1),
+exact AS (SELECT key FROM probe WHERE key IN (SELECT key FROM members)),
+c AS (
+  SELECT (SELECT COUNT(*) FROM probe) AS n_keys,
+         (SELECT COUNT(*) FROM exact) AS n_exact,
+         (SELECT COUNT(*) FROM passed) AS n_pass
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_pass - n_exact AS BIGINT) AS n_false_pos,
+       CAST((10000 * (n_pass - n_exact))
+            // GREATEST(1, n_keys - n_exact) AS BIGINT) AS fp_bp
+FROM c
+"""
+
 _AGREE_SQL = f"""
 WITH vecs AS ({_VEC_CTE}),
 sample AS (
@@ -1069,6 +1246,7 @@ def _staged_oracles() -> dict[str, str]:
         "q_scd2_intervals": _SCD2_SQL,
         "q_semdedup_hashseed": _HASHSEED_SQL,
         "q_semdedup_assign_agreement": _AGREE_SQL,
+        "q_bloom_semijoin": _BLOOM_SQL,
     }
 
 

@@ -141,6 +141,7 @@ def test_staged_plan_shapes_r6_additions(spark, sf_dir):
         "q_domain_cap",
         "q_dataset_card",
         "q_hist_quantiles",
+        "q_bloom_semijoin",
     ):
         plan = _plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
@@ -347,3 +348,45 @@ def test_hashseed_codebook_survives_id_clustered_corpus(spark, sf_dir):
     assert hash_dirs == 10  # every direction represented
     assert hash_max == 50  # clusters land exactly on replica groups
     assert first_max >= 4 * hash_max  # the pair-pass cost driver
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom contract, both directions that matter: every exact member
+    key PASSES the filter (no false negatives — per-key checked, not
+    just counted), and false positives are nonnegative with a sane rate
+    at the 4032-bit/3-hash sizing."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+        _bloom_bits,
+        _bloom_words,
+        BLOOM_BAL,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    row = STAGED_QUERIES["q_bloom_semijoin"](spark, sf_dir).collect()[0]
+    assert row["n_pass"] >= row["n_exact"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_exact"]
+    # ~10 bits/member at k=3 puts the theoretical FP near 1.7%; a fixed
+    # 4032-bit filter measured 67% at sf0.1 before count-derived sizing
+    assert 0 <= row["fp_bp"] < 500, "FP rate far above the sizing math"
+
+    # per-key no-false-negative check: every member key's own bits are
+    # set by construction (it contributed them to the bit_or)
+    cust = load_split(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") > BLOOM_BAL).select(
+        F.col("c_custkey").alias("key")
+    )
+    words = _bloom_words(members.count())
+    bloom = (
+        _bloom_bits(members, F.col("key"), words)
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos))").alias("bm"))
+    )
+    missing = (
+        _bloom_bits(members, F.col("key"), words)
+        .join(bloom, "word")
+        .filter(F.expr("(shiftright(bm, pos) & CAST(1 AS BIGINT)) = 0"))
+        .count()
+    )
+    assert missing == 0
