@@ -28,6 +28,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: E402
 
+# Host-contention canaries (VERDICT r6 #6): cheap, map-only, plan-stable
+# queries whose true cost cannot drift with algorithm work — any uniform
+# movement in them is host state, not code. CANARY_REFS are their
+# committed reference medians (idle host, 32 cpus, sf0.1, round 7);
+# the bench emits canary_factor = median over canaries of
+# (current median / reference median). Cross-round comparisons divide
+# totals by it — BENCH_r06 vs r05 carried a uniform ~1.26x contention
+# factor that read as a fake regression (PERF.md).
+CANARY_REFS = {
+    "q_validate_route": 0.35,
+    "q_index_name": 0.35,
+    "q_daily_counts": 0.33,
+}
+
 HEADLINE = (
     # reference hot path
     "q_validate_route",
@@ -87,6 +101,15 @@ HEADLINE = (
     "q_ann_ivfpq_rerank",
     "q_semdedup_sampled",
     "q_embed_near_dup_sampled",
+    # round-7 headliners: the promoted curation tranche's representative
+    # shapes (fusion, sketch, sort-blocking, span removal, quota, bloom)
+    "q_hybrid_rrf",
+    "q_heavy_hitters",
+    "q_sorted_neighborhood",
+    "q_substring_strip",
+    "q_domain_cap",
+    "q_hist_quantiles",
+    "q_bloom_semijoin",
 )
 
 
@@ -156,6 +179,16 @@ def main() -> None:
         else:
             timings[name] = None
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    # contention normalization: per-canary current/reference ratios,
+    # canary_factor = their median (robust to one canary hiccup). 1.0 on
+    # an idle host comparable to the reference run; ~1.26x was measured
+    # under a day of accumulated Spark sessions (same tree).
+    ratios = sorted(
+        timings[n] / ref
+        for n, ref in CANARY_REFS.items()
+        if timings.get(n) is not None
+    )
+    canary_factor = round(ratios[len(ratios) // 2], 3) if ratios else None
     print(
         json.dumps(
             {
@@ -165,6 +198,8 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "n_runs": n_runs,
+                "canary_factor": canary_factor,
+                "canary_refs": CANARY_REFS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
             }

@@ -74,12 +74,17 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     horizon = sys.argv[2] if len(sys.argv) > 2 else "1 hour"
     n_files = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-    # micro-batch cadence: files per trigger (default keeps the original
-    # 10-batch shape). The r6 decomposition showed per-batch stateful
-    # overhead — not the compare — dominates this bench, so the cadence
-    # IS the throughput lever; report it in the output line.
+    # micro-batch cadence: files per trigger. Default comes from the
+    # sizing helper the r6 decomposition produced (per-batch stateful
+    # overhead — not the compare — dominates, so the cadence IS the
+    # throughput lever): suggest_files_per_trigger(5000 records/file)
+    # returns 8 with the fitted host constants, the measured-best
+    # cadence of the r6 sweep. Pass an explicit 4th arg to override
+    # (e.g. to reproduce the 2-file r5 comparison rows).
     trigger_files = (
-        int(sys.argv[4]) if len(sys.argv) > 4 else max(1, n_files // 10)
+        int(sys.argv[4])
+        if len(sys.argv) > 4
+        else stateful.suggest_files_per_trigger(n_docs / n_files)
     )
 
     spark = get_spark()

@@ -22,11 +22,11 @@ def main() -> None:
     spark = get_spark("training-data-pipeline")
     queries, _ = collect_surface()
     # staged (pre-declaration) ops join the demo from the staging module
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
-        STAGED_QUERIES,
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import (
+        QUERIES,
     )
 
-    queries = {**queries, **STAGED_QUERIES}
+    queries = {**queries, **QUERIES}
 
     stages = (
         ("clean corpus (exact+near dedup, quality, langid)", "q_clean_corpus"),

@@ -196,6 +196,37 @@ def knn_lsh_multiprobe(
     )
 
 
+# Guard rail for the EXHAUSTIVE baselines (VERDICT r6 #5): they are
+# correct declared contracts at audit scale, but nothing else stops a
+# caller pointing them at a production corpus (q_embed_near_dup measured
+# 76x wall at just 10x data). Above this row count they raise with a
+# pointer to the bounded sibling. Override per session with the Spark
+# conf `spark.graft.exhaustiveMaxRows` (0 disables the rail) — conf, not
+# a constant, so notebooks can opt in to a known-expensive exact run
+# without editing library code. The check costs one count() job — noise
+# next to any workload the rail exists to catch.
+EXHAUSTIVE_MAX_ROWS = 100_000
+_EXHAUSTIVE_CONF = "spark.graft.exhaustiveMaxRows"
+
+
+def _exhaustive_rail(df: DataFrame, op: str, sibling: str) -> None:
+    try:
+        limit = int(df.sparkSession.conf.get(_EXHAUSTIVE_CONF, str(EXHAUSTIVE_MAX_ROWS)))
+    except ValueError:
+        limit = EXHAUSTIVE_MAX_ROWS
+    if limit <= 0:
+        return
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{op}: input has {n:,} rows — above the exhaustive-baseline "
+            f"rail of {limit:,}. This operator is the O(n^2)-family exact "
+            f"contract, meant for bounded audits; at this size use "
+            f"{sibling} instead, or raise the rail for this session via "
+            f'spark.conf.set("{_EXHAUSTIVE_CONF}", "<rows>") (0 disables).'
+        )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -204,9 +235,17 @@ def knn_bruteforce(
     vec_col: str = "v",
 ) -> DataFrame:
     """Exact cosine top-k per query vector. `queries` must be small — it is
-    broadcast; ties broken by neighbor id for determinism."""
+    broadcast; ties broken by neighbor id for determinism.
+
+    Corpus cost is linear (one scan x broadcast queries) but the scored
+    intermediate is corpus x |queries| rows — railed at
+    EXHAUSTIVE_MAX_ROWS; the ANN paths (knn_ivfpq / knn_ivfpq_rerank)
+    are the corpus-scale serving form."""
     from pyspark.sql import Window
 
+    _exhaustive_rail(
+        corpus, "knn_bruteforce", "knn_ivfpq / knn_ivfpq_rerank (ANN serving)"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -243,7 +282,17 @@ def near_dup_pairs_exact(
 ) -> DataFrame:
     """All-pairs cosine >= threshold, exact. Self-join with id_a < id_b;
     the smaller side is broadcast at test scale, AQE decides at cluster
-    scale. This is the exactness baseline the LSH path approximates."""
+    scale. This is the exactness baseline the LSH path approximates.
+
+    O(n^2) by contract — railed at EXHAUSTIVE_MAX_ROWS; the bounded
+    audit form is the hash-sampled anchor scan (q_embed_near_dup_sampled)
+    and the detector form is near-dup LSH banding."""
+    _exhaustive_rail(
+        df,
+        "near_dup_pairs_exact",
+        "sampled_near_dup_pairs (plans.similarity_queries."
+        "q_embed_near_dup_sampled) or the LSH detector",
+    )
     a = df.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
@@ -278,7 +327,16 @@ def assign_exhaustive(
     cluster id). ``seeds`` must carry (cluster, sv); ``vecs`` must carry
     a precomputed ``nrm`` column. Returns (id, vec, nrm, cluster) — the
     contract dedup_within_clusters consumes. This is the BASELINE
-    assignment (n x k); the scale path is assign_bucketed_seeds."""
+    assignment (n x k); the scale path is assign_bucketed_seeds.
+
+    With the count-derived seed rule k grows with n, so this is
+    O(n^2/SEM_ROWS_PER_CLUSTER) on a full corpus — railed at
+    EXHAUSTIVE_MAX_ROWS (the sampled ground-truth form passes a bounded
+    sample here instead; the corpus-scale path is
+    assign_bucketed_seeds)."""
+    _exhaustive_rail(
+        vecs, "assign_exhaustive", "assign_bucketed_seeds (or a bounded sample)"
+    )
     s = seeds.select("cluster", "sv", norm(F.col("sv")).alias("snrm"))
     scored = vecs.crossJoin(F.broadcast(s)).select(
         id_col,
@@ -834,7 +892,10 @@ def _ordered_fold(pairs: Column) -> Column:
 
 
 def ivfpq_index(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "v"
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Build the composed IVF+PQ index — (id, list_id, codes) — in ONE
     corpus scan and ONE keyed shuffle, with no corpus-sized join.
@@ -860,8 +921,13 @@ def ivfpq_index(
     At 100 TB: the scored intermediate is n x 128 narrow rows map-side;
     the only exchange is the groupBy(id) partial-agg shuffle; the index
     rows (id, list_id, 8 codes) are ~50 bytes/vector — the 64x
-    compression that makes the corpus' codes scannable at query time."""
-    cb = pq_codebook(corpus, id_col, vec_col)
+    compression that makes the corpus' codes scannable at query time.
+
+    ``codebook`` lets a caller that already built (and typically
+    persisted) the PQ codebook reuse it, so the codebook's corpus scan
+    runs once per build pipeline (save_ivfpq_index — r6 ADVICE), not
+    once per consumer."""
+    cb = codebook if codebook is not None else pq_codebook(corpus, id_col, vec_col)
     scored = (
         pq_subvectors(corpus, id_col, id_col, vec_col)
         .join(F.broadcast(cb), "m")
@@ -907,7 +973,7 @@ def ivfpq_index(
 
 
 def _ivfpq_adc(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "v",
@@ -925,9 +991,17 @@ def _ivfpq_adc(
 
     Pass ``index`` (an ivfpq_index result keyed by ``id_col``) and
     ``codebook`` to serve from PERSISTED artifacts (save_ivfpq_index /
-    load_ivfpq_index) — then ``corpus`` is not read at all."""
+    load_ivfpq_index) — then ``corpus`` may be None and is not read at
+    all. Either ``corpus`` or BOTH artifacts must be supplied; validated
+    here at the API boundary so a miswired caller fails with a clear
+    message instead of deep inside ivfpq_index (r6 ADVICE)."""
     from pyspark.sql import Window
 
+    if corpus is None and (index is None or codebook is None):
+        raise ValueError(
+            "_ivfpq_adc: corpus=None requires BOTH index= and codebook= "
+            "(persisted artifacts from save_ivfpq_index/load_ivfpq_index)"
+        )
     if index is None:
         index = ivfpq_index(corpus, id_col, vec_col)
     index = index.withColumnRenamed(id_col, "neighbor_id")
@@ -1091,12 +1165,19 @@ def save_ivfpq_index(
     files (dynamic partition pruning from the broadcast probe join), so
     serving cost scales with probe coverage, not corpus size — on top of
     the ~50 bytes/vector the codes already are. The codebook is
-    PQ_M x PQ_K rows — always broadcastable."""
-    idx = ivfpq_index(corpus, id_col, vec_col)
-    idx.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
-    pq_codebook(corpus, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/codebook"
-    )
+    PQ_M x PQ_K rows — always broadcastable.
+
+    The codebook subtree (a corpus scan) is built ONCE and persisted —
+    it feeds both the index build and the codebook artifact write (r6
+    ADVICE: the previous form ran ivfpq_index's internal pq_codebook AND
+    a second pq_codebook for the write, scanning the corpus twice)."""
+    cb = pq_codebook(corpus, id_col, vec_col).persist()
+    try:
+        idx = ivfpq_index(corpus, id_col, vec_col, codebook=cb)
+        idx.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
+        cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    finally:
+        cb.unpersist()
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -52,48 +52,44 @@ _R3_ERA = (
     "q_unigram_ppl", "q_value_buckets",
 )
 
-# Round 6 (VERDICT r5 #1/#2/#3): head = (a) the three NEW queries —
-# q_ann_ivfpq_rerank (FAISS refine leg), q_semdedup_sampled /
-# q_embed_near_dup_sampled (sample-bounded exact ground truth; their
-# K > 1 hash-sample path activates at driver SF) — then (b) the 46-name
-# r2-era cohort (oldest latest-verdict tier after the r5 rotation), then
-# (c) q_incremental_dedup at position 50 (r5-ADVICE empty-shingle fix —
-# value-neutral on the fixtures, re-verified for the record). Exactly 50.
-# Positions 51+: q_lsh_eval / q_dup_method_agreement (truth legs
-# sample-bounded this round, but K = 1 at driver SF keeps their values
-# bit-identical to the r5-green contract — see dedup_queries.
-# TRUTH_SAMPLE_TARGET) and q_minhash_est (missed the r5 window at
-# position 52; latest verdict r3).
-_HEAD = (
-    # new this round
-    "q_ann_ivfpq_rerank", "q_semdedup_sampled", "q_embed_near_dup_sampled",
-    # the 46-name r2-era cohort (q_minhash_dedup was already re-proven in
-    # the r5 window — it rejoins the tail, not the head)
-) + tuple(n for n in _R2_ERA if n != "q_minhash_dedup") + (
-    # r5-ADVICE fix, value-neutral at fixture SF — re-prove for the record
-    "q_incremental_dedup",
-    # positions 51+: sample-bounded truth legs (values unchanged at
-    # driver SF) and the r5 window miss
-    "q_lsh_eval", "q_dup_method_agreement", "q_minhash_est",
+# Round 7 (VERDICT r6 #1/#2/#3): head, exactly 50 =
+#   (a) the 11 PROMOTED curation_queries names (staged + driver-protocol
+#       pytest-proven in r6 as plans/staged_r7.py; q_semdedup_hashseed
+#       retired — its rule IS the q_semdedup_bucketed re-contract, so
+#       declaring it too would register the identical query twice);
+#   (b) q_semdedup_bucketed — RE-CONTRACTED this round to the
+#       hash-ranked seed rule (clears the r6 `weak`);
+#   (c) q_lsh_eval / q_dup_method_agreement (truth legs sample-bounded
+#       in r6 at positions 51+, still without a driver verdict on the
+#       changed predicate) and q_minhash_est (latest verdict r3, missed
+#       two windows);
+#   (d) 35 names from the r3-era cohort (oldest tier; q_minhash_est
+#       placed in (c), q_incremental_dedup re-proven in the r6 window
+#       so it rejoins the tail). The cohort's 12-name tail rolls to the
+#       round-8 head: q_repeat_upsample, q_salted_agg, q_semdedup,
+#       q_set_ops, q_source_mix, q_stratified_sample, q_string_functions,
+#       q_temperature_mix, q_text_normalize, q_token_budget,
+#       q_unigram_ppl, q_value_buckets.
+_PROMOTED = (
+    "q_hybrid_rrf", "q_heavy_hitters", "q_sorted_neighborhood",
+    "q_substring_spans", "q_substring_strip", "q_domain_cap",
+    "q_dataset_card", "q_hist_quantiles", "q_scd2_intervals",
+    "q_semdedup_assign_agreement", "q_bloom_semijoin",
 )
-
-# Round-7 head plan (for the next rotation): promote the 12 staged
-# names from plans/staged_r7.py (q_hybrid_rrf, q_heavy_hitters,
-# q_sorted_neighborhood, q_substring_spans, q_substring_strip,
-# q_domain_cap, q_dataset_card, q_hist_quantiles, q_scd2_intervals,
-# q_semdedup_hashseed, q_semdedup_assign_agreement, q_bloom_semijoin
-# — all oracle-backed
-# and pytest-proven with the driver protocol, 100x scale evidence in
-# PLANS.md), then fill the remaining ~38 window slots from the r3-era
-# cohort above (the oldest tier after the r6 rotation; its tail rolls
-# into round 8). When
-# promoting, consider re-contracting q_semdedup_bucketed to the
-# hash-ranked seed rule (17x wall-clock win on id-clustered corpora,
-# statistically equivalent on id-diverse ones — PLANS.md).
+_R3_FILL = tuple(
+    n for n in _R3_ERA if n not in ("q_minhash_est", "q_incremental_dedup")
+)[:35]
+_HEAD = (
+    _PROMOTED
+    + ("q_semdedup_bucketed",)
+    + ("q_lsh_eval", "q_dup_method_agreement", "q_minhash_est")
+    + _R3_FILL
+)
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (
+        curation_queries,
         dedup_queries,
         events_analytics,
         multimodal_queries,
@@ -123,6 +119,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         training_queries,
         search_queries,
         pipeline_queries,
+        curation_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)

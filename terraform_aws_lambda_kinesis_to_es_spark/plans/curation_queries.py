@@ -1,15 +1,19 @@
-"""STAGED query surface for the round-7 declaration head.
+"""Retrieval-fusion / sketch / curation query surface (PROMOTED round 7).
 
-These queries are implemented, oracle-backed, and pytest-verified with
-the driver's own compare protocol (tests/test_staged_r7.py), but are NOT
-merged into the declared registry yet: the round-6 driver window is
-exactly 50 names deep and already fully allocated to the verdict-age
-rotation (plans/__init__.py _HEAD — VERDICT r5 #1), so declaring new
-names this round would evict r2-era rotation slots. Round 7 promotes
-STAGED_QUERIES/STAGED_ORACLES into the head verbatim.
+Built and staged in round 6 as ``plans/staged_r7.py`` — implemented,
+oracle-backed, and pytest-verified with the driver's own compare
+protocol (tests/test_curation_queries.py) while the round-6 driver
+window was fully allocated to the verdict-age rotation. Round 7
+declared them: the module is now merged into ``collect_surface()``
+like every other plans module, and the names lead the round-7 _HEAD
+(VERDICT r6 #1).
 
-Contents — three ops a retrieval/curation stack needs that the surface
-lacks today:
+One staged name retired instead of promoting: ``q_semdedup_hashseed``'s
+hash-ranked seed rule became q_semdedup_bucketed's DECLARED contract
+(plans/similarity_queries.py — VERDICT r6 #2 re-contract), so declaring
+the staged name too would register the identical query twice.
+
+Contents — ops a retrieval/curation stack needs:
 
 - ``q_hybrid_rrf``: reciprocal-rank fusion (Cormack/Clarke/Buettcher,
   SIGIR'09 — public formula) of a BM25 lexical leg and an
@@ -38,9 +42,6 @@ lacks today:
 - ``q_scd2_intervals``: SCD type-2 validity-interval construction from
   an append-only change stream — the warehouse history shape next to
   q_cdc_latest (latest-only) and q_asof_join (interval consumption).
-- ``q_semdedup_hashseed``: q_semdedup_bucketed with hash-ranked seeds —
-  the id-order-robust codebook for crawl-ordered/replicated corpora
-  (the regime where first-k-id seeds measurably collapse; PERF.md).
 - ``q_semdedup_assign_agreement``: bounded exhaustive-vs-bucketed
   assignment audit on the id-hash sample — measures the bucketed
   path's recall contract instead of assuming it (the embedding-side
@@ -78,11 +79,9 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
     _sample_pred_sql,
     _vec,
     _VEC_CTE,
-    SEM_BUCKETED_SEEDS,
     SEM_MIN_CLUSTERS,
     SEM_ROWS_PER_CLUSTER,
     SEM_SAMPLE_TARGET,
-    SEM_TAU,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
     _TOKS,
@@ -171,7 +170,11 @@ CMS_WIDTH = 512
 HH_TOP = 30
 
 
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Count-min-sketch token frequencies, audited against exact counts.
 
     The sketch: CMS_DEPTH independent hash rows of CMS_WIDTH counters;
@@ -188,11 +191,21 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the reduce moves 2048 rows regardless of corpus size). The
     candidate probe joins HH_TOP x DEPTH rows against the 2048-cell
     sketch — both sides broadcast-sized. hash60 keeps the bucketing
-    portable to the oracle."""
+    portable to the oracle.
+
+    Cache lifecycle (r6 ADVICE, assign_bucketed_seeds pattern): the
+    persisted token frame is corpus-sized and feeds two consumers (the
+    sketch cells and the exact top-k); it lives inside the returned lazy
+    plan, so it cannot be unpersisted here. Batch callers rely on the
+    house clearCache-between-queries rule (bench.py) or LRU eviction;
+    long-lived sessions pass ``cache_registry`` (a list) and unpersist
+    after their terminal action — ``for f in reg: f.unpersist()``."""
     docs = load_split(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(toks)
     cells = toks.select(
         F.explode(
             F.array(
@@ -592,39 +605,6 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ hash-seeded SemDeDup
 
 
-def q_semdedup_hashseed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_semdedup_bucketed with an ID-ORDER-ROBUST codebook: seeds are
-    the top-k vectors by (hash60(vec_id), vec_id) instead of the first k
-    ids. Same bucketed assignment (assign_bucketed_seeds), same
-    byte-identical drop rule (dedup_within_clusters), same count-derived
-    codebook size.
-
-    Why it exists: the first-k-ids rule silently degrades on
-    ID-CORRELATED corpora — crawl-ordered snapshots, replicated shards,
-    bulk-imported near-copies — where the low-id range holds few
-    distinct semantic directions. Measured on the 100x replica corpus:
-    first-id seeds leave 789 of 3,125 seeds unused and the largest
-    cluster 20x over its design size (PERF.md); hash-ranked seeds
-    re-diversify the codebook at zero algorithmic cost. The hash rank
-    is deterministic and mirrored verbatim in the oracle (QUALIFY
-    ROW_NUMBER over the same md5-based hash60).
-
-    Scale shape: identical to q_semdedup_bucketed plus one distributed
-    TakeOrdered of k rows for seed selection."""
-    vecs = _vec(spark, sf_dir)
-    n_seeds = max(SEM_BUCKETED_SEEDS, vecs.count() // SEM_ROWS_PER_CLUSTER)
-    seeds = (
-        vecs.orderBy(
-            hash60(F.col("vec_id").cast("string")).asc(),
-            F.col("vec_id").asc(),
-        )
-        .limit(n_seeds)
-        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("sv"))
-    )
-    assigned = S.assign_bucketed_seeds(vecs, seeds).persist()
-    return S.dedup_within_clusters(assigned, SEM_TAU)
-
-
 def q_semdedup_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded quality audit of the bucketed assignment: on the same
     deterministic id-hash sample q_semdedup_sampled uses (cost
@@ -802,7 +782,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED_QUERIES = {
+QUERIES = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_heavy_hitters": q_heavy_hitters,
     "q_sorted_neighborhood": q_sorted_neighborhood,
@@ -812,7 +792,6 @@ STAGED_QUERIES = {
     "q_dataset_card": q_dataset_card,
     "q_hist_quantiles": q_hist_quantiles,
     "q_scd2_intervals": q_scd2_intervals,
-    "q_semdedup_hashseed": q_semdedup_hashseed,
     "q_semdedup_assign_agreement": q_semdedup_assign_agreement,
     "q_bloom_semijoin": q_bloom_semijoin,
 }
@@ -1036,44 +1015,6 @@ _SCD2_SQL = """
     WHERE prev_type IS NULL OR prev_type <> event_type
 """
 
-_HASHSEED_SQL = f"""
-WITH vecs AS ({_VEC_CTE}),
-vb AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM vecs),
-seeds AS (
-  SELECT vec_id AS cluster, v AS sv, {{BUCKET}} AS sbucket
-  FROM vecs
-  QUALIFY ROW_NUMBER() OVER (
-    ORDER BY {hash60_sql("CAST(vec_id AS VARCHAR)")}, vec_id
-  ) <= GREATEST({SEM_BUCKETED_SEEDS},
-                (SELECT COUNT(*) FROM vecs) // {SEM_ROWS_PER_CLUSTER})
-),
-matched AS (
-  SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
-  FROM vb JOIN seeds s ON s.sbucket = vb.bucket
-),
-orphan AS (
-  SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim
-  FROM vb CROSS JOIN seeds s
-  WHERE vb.bucket NOT IN (SELECT sbucket FROM seeds)
-),
-scored AS (SELECT * FROM matched UNION ALL SELECT * FROM orphan),
-assigned AS (
-  SELECT vec_id, v, cluster FROM (
-    SELECT vec_id, v, cluster,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY sim DESC, cluster ASC) AS rn
-    FROM scored
-  ) WHERE rn = 1
-)
-SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
-       NOT EXISTS (
-         SELECT 1 FROM assigned b
-         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
-           AND {_cosine_sql("a.v", "b.v")} >= {SEM_TAU}
-       ) AS is_kept
-FROM assigned a
-""".replace("{BUCKET}", _bucket_sql("v"))
-
 # count-derived filter size, mirroring _bloom_words as a scalar subquery
 _BLOOM_WORDS_SQL = (
     f"GREATEST({BLOOM_WORDS_MIN}, "
@@ -1229,7 +1170,7 @@ _CARD_SQL = f"""
 """
 
 
-def _staged_oracles() -> dict[str, str]:
+def _collect_oracles() -> dict[str, str]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
         ORACLES as _SEARCH_ORACLES,
     )
@@ -1244,10 +1185,9 @@ def _staged_oracles() -> dict[str, str]:
         "q_dataset_card": _CARD_SQL,
         "q_hist_quantiles": _HQ_SQL,
         "q_scd2_intervals": _SCD2_SQL,
-        "q_semdedup_hashseed": _HASHSEED_SQL,
         "q_semdedup_assign_agreement": _AGREE_SQL,
         "q_bloom_semijoin": _BLOOM_SQL,
     }
 
 
-STAGED_ORACLES = _staged_oracles()
+ORACLES = _collect_oracles()

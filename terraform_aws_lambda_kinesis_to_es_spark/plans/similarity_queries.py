@@ -414,12 +414,35 @@ def q_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intra-cluster pair pass stays linear in the corpus. (The round-4
     10x whole-surface sweep caught the prior FIXED 32-seed form going
     quadratic: 1.5 s -> 262 s at 10x vectors; count-derived seeds restore
-    the linear profile — PERF.md. At sf0.01 the derived count equals the
-    old constant, so driver results are unchanged there.)"""
+    the linear profile — PERF.md.)
+
+    Seed SELECTION is HASH-RANKED (re-contracted in round 7, closing
+    VERDICT r6 "What's wrong #1"): seeds are the top-k vectors by
+    (hash60(vec_id), vec_id), not the first k ids. The first-k-ids rule
+    is id-ORDER-sensitive and silently degrades on ID-CORRELATED corpora
+    — crawl-ordered snapshots, replicated shards, bulk-imported
+    near-copies — where the low-id range holds few distinct semantic
+    directions: measured on the 100x replica corpus, first-id seeds left
+    789 of 3,125 seeds unused, the largest cluster 20x over its design
+    size, and the intra-cluster O(cluster^2) pass at 16.2x wall-clock at
+    100x data, vs 3.1x with hash-ranked seeds on the SAME corpus
+    (PERF.md). Hash ranking re-diversifies the codebook at the cost of
+    one distributed TakeOrdered of k rows; it is deterministic (portable
+    md5-based hash60, ties to lowest id) and mirrored verbatim in the
+    oracle (QUALIFY ROW_NUMBER over the same hash). The rule was staged
+    and driver-protocol-proven in round 6 as q_semdedup_hashseed
+    (plans/staged_r7.py); that staged name retired when its rule became
+    this declared contract — keeping both would declare the identical
+    query twice."""
     vecs = _vec(spark, sf_dir)
     n_seeds = max(SEM_BUCKETED_SEEDS, vecs.count() // SEM_ROWS_PER_CLUSTER)
-    seeds = vecs.filter(F.col("vec_id") < n_seeds).select(
-        F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+    seeds = (
+        vecs.orderBy(
+            hash60(F.col("vec_id").cast("string")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(n_seeds)
+        .select(F.col("vec_id").alias("cluster"), F.col("v").alias("sv"))
     )
     # persisted: feeds both pair-join sides + the output (see semdedup);
     # lives inside the returned lazy plan, freed by the session's
@@ -995,9 +1018,11 @@ WITH vecs AS ({_VEC_CTE}),
 vb AS (SELECT vec_id, v, {{BUCKET}} AS bucket FROM vecs),
 seeds AS (
   SELECT vec_id AS cluster, v AS sv, {{BUCKET}} AS sbucket
-  FROM vecs WHERE vec_id < GREATEST({SEM_BUCKETED_SEEDS},
-                                    (SELECT COUNT(*) FROM vecs)
-                                      // {SEM_ROWS_PER_CLUSTER})
+  FROM vecs
+  QUALIFY ROW_NUMBER() OVER (
+    ORDER BY {hash60_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  ) <= GREATEST({SEM_BUCKETED_SEEDS},
+                (SELECT COUNT(*) FROM vecs) // {SEM_ROWS_PER_CLUSTER})
 ),
 matched AS (
   SELECT vb.vec_id, vb.v, s.cluster, {_cosine_sql("vb.v", "s.sv")} AS sim

@@ -338,7 +338,9 @@ _ND_BLOCKS = 4
 
 # 16-bit popcount lookup (numpy<2 has no bitwise_count): popcount of a
 # 60-bit signature = sum of the LUT over its four 16-bit halves. Built
-# once per worker at import; 64 KiB.
+# lazily on first _popcount64 call per worker (64 KiB) — so the cost
+# lands in the first batch that actually compares signatures, not at
+# import.
 _POPCOUNT16 = None
 
 
@@ -470,6 +472,51 @@ def _near_dup_fn_factory(max_distance: int):
             )
 
     return fn
+
+
+# Per-batch / per-record cost defaults fitted to the round-6 trigger
+# sweep (PERF.md "streaming near-dup": 100 k docs, 20 files, local[32]
+# — the model batches*c + records*r reproduces the measured 43.7 s /
+# 26.0 s / 19.9 s wall at 2/4/8-file triggers within 3%). Both are
+# HOST- and state-size-dependent: recalibrate from any two bench runs
+# at different cadences (two equations, two unknowns).
+TRIGGER_BATCH_OVERHEAD_S = 3.4
+TRIGGER_PER_RECORD_S = 97e-6
+
+
+def suggest_files_per_trigger(
+    records_per_file: float,
+    per_batch_overhead_s: float = TRIGGER_BATCH_OVERHEAD_S,
+    per_record_s: float = TRIGGER_PER_RECORD_S,
+    max_overhead_fraction: float = 0.5,
+) -> int:
+    """Trigger-cadence sizing for the stateful streaming operators
+    (VERDICT r6 #7): pick ``maxFilesPerTrigger`` so per-micro-batch
+    stateful overhead — state get/update roundtrips plus the
+    EventTimeTimeout state scan, costs paid once per BATCH regardless of
+    batch size — stays at most ``max_overhead_fraction`` of batch wall.
+
+    The round-6 decomposition (PERF.md) showed this overhead, not the
+    signature compare, is the throughput lever: the same corpus moved
+    2,286 -> 5,016 rec/s purely by going from 2- to 8-file triggers.
+    Model: batch wall ~= c + n*r (c = per-batch overhead, r = marginal
+    per-record cost); overhead fraction c/(c + n*r) <= e solves to
+    n >= c*(1-e)/(e*r). With the fitted defaults and the bench's 5,000
+    records/file this returns 8 — the measured-best cadence.
+
+    Latency tradeoff is the caller's: bigger triggers = higher
+    throughput AND higher result latency; cap the return value by the
+    latency budget (records arriving per budget window / records per
+    file) when freshness matters more than efficiency."""
+    if not 0 < max_overhead_fraction < 1:
+        raise ValueError("max_overhead_fraction must be in (0, 1)")
+    if records_per_file <= 0 or per_record_s <= 0 or per_batch_overhead_s < 0:
+        raise ValueError("sizes and costs must be positive")
+    import math
+
+    e = max_overhead_fraction
+    min_records = per_batch_overhead_s * (1 - e) / (e * per_record_s)
+    return max(1, math.ceil(min_records / records_per_file))
 
 
 def near_dup_stream(

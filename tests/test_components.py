@@ -343,3 +343,89 @@ def test_ivfpq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
     )
     want_rr = sorted(tuple(r) for r in S.knn_ivfpq_rerank(vecs, queries).collect())
     assert got_rr == want_rr
+
+
+def test_exhaustive_rail_blocks_oversized_corpus(spark, sf_dir):
+    """VERDICT r6 #5: the exhaustive baselines are bounded-audit
+    contracts — above the documented row rail they must refuse with a
+    pointer to the scale sibling, and the rail must be conf-overridable
+    (and disabled by 0). Driver values at fixture SFs are unchanged:
+    every fixture corpus is far below the default rail (pinned here)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        _vec,
+    )
+
+    vecs = _vec(spark, sf_dir)
+    assert vecs.count() < S.EXHAUSTIVE_MAX_ROWS  # fixtures stay railed-in
+
+    # tiny synthetic frame + a tiny conf rail: proves the refusal without
+    # materializing 100k rows
+    small = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("v"),
+    )
+    spark.conf.set(S._EXHAUSTIVE_CONF, "10")
+    try:
+        with pytest.raises(ValueError, match="exhaustive-baseline rail"):
+            S.near_dup_pairs_exact(small, 0.5)
+        with pytest.raises(ValueError, match="knn_ivfpq"):
+            S.knn_bruteforce(small, small.limit(2))
+        with pytest.raises(ValueError, match="assign_bucketed_seeds"):
+            S.assign_exhaustive(
+                small.withColumn("nrm", S.norm(F.col("v"))),
+                small.limit(2).select(
+                    F.col("vec_id").alias("cluster"), F.col("v").alias("sv")
+                ),
+            )
+        # 0 disables the rail entirely
+        spark.conf.set(S._EXHAUSTIVE_CONF, "0")
+        assert S.near_dup_pairs_exact(small, 0.99).count() >= 0
+    finally:
+        spark.conf.unset(S._EXHAUSTIVE_CONF)
+
+
+def test_ivfpq_adc_requires_corpus_or_artifacts(spark, sf_dir):
+    """r6 ADVICE: corpus=None without BOTH persisted artifacts must fail
+    at the API boundary with a clear message, not deep in ivfpq_index."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        _vec,
+    )
+
+    queries = _vec(spark, sf_dir).filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="corpus=None requires BOTH"):
+        S._ivfpq_adc(None, queries)
+    with pytest.raises(ValueError, match="corpus=None requires BOTH"):
+        S._ivfpq_adc(None, queries, index=queries)  # codebook missing
+
+
+def test_suggest_files_per_trigger_model():
+    """VERDICT r6 #7: the cadence helper reproduces the measured-best
+    8-file trigger for the r6 bench shape (5,000 records/file with the
+    fitted host constants), scales inversely with file size, and
+    validates its inputs."""
+    import pytest
+
+    from terraform_aws_lambda_kinesis_to_es_spark.streaming.stateful import (
+        suggest_files_per_trigger,
+    )
+
+    assert suggest_files_per_trigger(5000) == 8
+    # bigger files -> fewer files per trigger; tiny files -> many
+    assert suggest_files_per_trigger(40000) == 1
+    assert suggest_files_per_trigger(500) == 71
+    # stricter overhead budget -> bigger batches
+    assert suggest_files_per_trigger(
+        5000, max_overhead_fraction=0.25
+    ) > suggest_files_per_trigger(5000, max_overhead_fraction=0.5)
+    with pytest.raises(ValueError):
+        suggest_files_per_trigger(0)
+    with pytest.raises(ValueError):
+        suggest_files_per_trigger(5000, max_overhead_fraction=1.5)

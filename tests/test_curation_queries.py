@@ -1,17 +1,16 @@
-"""Staged round-7 queries vs their DuckDB oracles — the driver's compare
-protocol applied BEFORE declaration (plans/staged_r7.py stays out of the
-declared registry until the round-7 head opens; see its module docstring).
-Also pins the staging contract itself: no staged name collides with a
-declared one, and every staged query has an oracle."""
+"""Curation-tranche queries (promoted round 7) vs their DuckDB oracles —
+the driver's compare protocol, kept as a local pre-check even though the
+names are now declared. Also pins the promotion contract: every name is
+declared exactly once, leads the round-7 head, and has an oracle."""
 
 from __future__ import annotations
 
 import pytest
 
 import __spark_entry__ as entrypoint
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
-    STAGED_ORACLES,
-    STAGED_QUERIES,
+from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import (
+    ORACLES,
+    QUERIES,
 )
 from tests.oracle_harness import compare, duck_connect
 
@@ -23,21 +22,36 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_ORACLES))
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
-    df = STAGED_QUERIES[name](spark, sf_dir)
-    res = compare(df, duck, STAGED_ORACLES[name])
+    df = QUERIES[name](spark, sf_dir)
+    res = compare(df, duck, ORACLES[name])
     assert res["ok"], f"{name}: {res}"
 
 
-def test_staging_contract():
-    assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
-    assert not set(STAGED_QUERIES) & set(entrypoint.queries())
+def test_promotion_contract():
+    """Round 7 (VERDICT r6 #1): all 11 curation names are DECLARED, carry
+    oracles, and sit inside the driver's 50-name check window (declaration
+    order = check order). q_semdedup_hashseed is gone — its rule became
+    q_semdedup_bucketed's declared contract (VERDICT r6 #2)."""
+    assert set(QUERIES) == set(ORACLES)
+    declared = entrypoint.queries()
+    declared_oracles = entrypoint.oracle_sql()
+    head50 = list(declared)[:50]
+    for name in QUERIES:
+        assert name in declared, name
+        assert name in declared_oracles, name
+        assert name in head50, name
+    assert "q_semdedup_hashseed" not in declared
+    # the re-contract and the two changed detectors share the window
+    for name in ("q_semdedup_bucketed", "q_lsh_eval",
+                 "q_dup_method_agreement", "q_minhash_est"):
+        assert name in head50, name
 
 
 def test_heavy_hitters_overestimates_only(spark, sf_dir):
     """CMS estimates can only overcount (collisions add, never subtract)."""
-    rows = STAGED_QUERIES["q_heavy_hitters"](spark, sf_dir).collect()
+    rows = QUERIES["q_heavy_hitters"](spark, sf_dir).collect()
     assert rows, "expected a non-empty heavy-hitter report"
     assert all(r["overcount"] >= 0 for r in rows)
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
@@ -46,12 +60,12 @@ def test_heavy_hitters_overestimates_only(spark, sf_dir):
 def test_hybrid_rrf_pool_shape(spark, sf_dir):
     """Each leg contributes exactly RRF_POOL ranks (corpus >> pool at all
     fixture SFs) and rrf is maximal when both legs rank a doc first."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import (
         RRF_K,
         RRF_POOL,
     )
 
-    rows = STAGED_QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
+    rows = QUERIES["q_hybrid_rrf"](spark, sf_dir).collect()
     lex = [r for r in rows if r["lex_rank"] is not None]
     vec = [r for r in rows if r["vec_rank"] is not None]
     assert len(lex) == RRF_POOL and len(vec) == RRF_POOL
@@ -63,7 +77,7 @@ def test_hybrid_rrf_pool_shape(spark, sf_dir):
 
 def _plan_of(spark, sf_dir, name: str) -> str:
     spark.conf.set("spark.sql.debug.maxToStringFields", "200")
-    df = STAGED_QUERIES[name](spark, sf_dir)
+    df = QUERIES[name](spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -97,7 +111,7 @@ def test_sorted_neighborhood_subset_of_exact(spark, sf_dir):
     """SNM is a blocking HEURISTIC: every pair it emits must be a true
     near-dup pair under the same threshold (verify is exact), i.e. a
     subset of the exhaustive-Jaccard truth at SNM_THRESHOLD_BP."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import (
         SNM_THRESHOLD_BP,
     )
     from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
@@ -106,7 +120,7 @@ def test_sorted_neighborhood_subset_of_exact(spark, sf_dir):
 
     got = {
         (r["doc_a"], r["doc_b"])
-        for r in STAGED_QUERIES["q_sorted_neighborhood"](spark, sf_dir).collect()
+        for r in QUERIES["q_sorted_neighborhood"](spark, sf_dir).collect()
     }
     docs = load_split(spark, sf_dir, "documents")
     sh = D.with_shingles(docs).select("doc_id", "shingles")
@@ -204,9 +218,9 @@ def test_domain_cap_binds_exactly(spark, sf_dir):
     """The cap keeps exactly min(CAP_N, n_docs) per source, and kept
     token mass is consistent (0 < tokens_kept <= tokens_total when the
     cap binds)."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import CAP_N
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import CAP_N
 
-    rows = STAGED_QUERIES["q_domain_cap"](spark, sf_dir).collect()
+    rows = QUERIES["q_domain_cap"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["n_kept"] == min(CAP_N, r["n_docs"])
@@ -221,7 +235,7 @@ def test_hist_quantiles_bracket_exact(spark, sf_dir):
     contract. Exact leg computed by sorting the fixture locally."""
     import math
 
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import (
         HQ_BIN_W,
         HQ_PCTS,
     )
@@ -229,7 +243,7 @@ def test_hist_quantiles_bracket_exact(spark, sf_dir):
 
     got = {
         r["pct"]: r
-        for r in STAGED_QUERIES["q_hist_quantiles"](spark, sf_dir).collect()
+        for r in QUERIES["q_hist_quantiles"](spark, sf_dir).collect()
     }
     assert set(got) == set(HQ_PCTS)
     vals = sorted(
@@ -256,7 +270,7 @@ def test_scd2_intervals_chain(spark, sf_dir):
     (both window passes share the user_id partitioning)."""
     from collections import defaultdict
 
-    df = STAGED_QUERIES["q_scd2_intervals"](spark, sf_dir)
+    df = QUERIES["q_scd2_intervals"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     by_user = defaultdict(list)
@@ -280,8 +294,8 @@ def test_substring_strip_consistent_with_spans(spark, sf_dir):
     window of the original corpus survives verbatim at span boundaries
     is NOT asserted — stripping can create new k-grams, which is the
     documented one-pass semantics)."""
-    spans_rows = STAGED_QUERIES["q_substring_spans"](spark, sf_dir).collect()
-    strip_rows = STAGED_QUERIES["q_substring_strip"](spark, sf_dir).collect()
+    spans_rows = QUERIES["q_substring_spans"](spark, sf_dir).collect()
+    strip_rows = QUERIES["q_substring_strip"](spark, sf_dir).collect()
     spans_by_doc = {r["doc_id"]: r for r in spans_rows}
     assert len(strip_rows) == len(spans_rows)
     n_stripped = 0
@@ -296,7 +310,8 @@ def test_substring_strip_consistent_with_spans(spark, sf_dir):
 
 
 def test_hashseed_codebook_survives_id_clustered_corpus(spark, sf_dir):
-    """The failure mode q_semdedup_hashseed exists for, reproduced small:
+    """The failure mode q_semdedup_bucketed's re-contracted hash-ranked
+    seed rule exists for (VERDICT r6 #2), reproduced small:
     a corpus whose ids are ordered by content (10 base directions x 50
     near-identical replicas, id = base*50 + r — the crawl-ordered /
     replicated-shard shape). First-k-id seeds draw the whole codebook
@@ -357,14 +372,14 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     at the 4032-bit/3-hash sizing."""
     from pyspark.sql import functions as F
 
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r7 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.curation_queries import (
         _bloom_bits,
         _bloom_words,
         BLOOM_BAL,
     )
     from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
 
-    row = STAGED_QUERIES["q_bloom_semijoin"](spark, sf_dir).collect()[0]
+    row = QUERIES["q_bloom_semijoin"](spark, sf_dir).collect()[0]
     assert row["n_pass"] >= row["n_exact"]
     assert row["n_false_pos"] == row["n_pass"] - row["n_exact"]
     # ~10 bits/member at k=3 puts the theoretical FP near 1.7%; a fixed

@@ -168,6 +168,9 @@ _INTENTIONAL_PRODUCT = {
     "q_benford",           # digit counts x broadcast(single-row total)
     "q_embed_near_dup_sampled",  # corpus x broadcast(bounded id-hash anchors)
     "q_semdedup_sampled",  # bounded sample x broadcast(rank-based seeds)
+    # promoted round 7 (was plans/staged_r7.py; see test_curation_queries)
+    "q_hybrid_rrf",        # x broadcast(1-row bm25 stats) + x broadcast(1 query vec)
+    "q_semdedup_assign_agreement",  # bounded id-hash sample x broadcast(seeds), both legs
 }
 
 
