@@ -37,9 +37,9 @@ from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: 
 # totals by it — BENCH_r06 vs r05 carried a uniform ~1.26x contention
 # factor that read as a fake regression (PERF.md).
 CANARY_REFS = {
-    "q_validate_route": 0.35,
-    "q_index_name": 0.35,
-    "q_daily_counts": 0.33,
+    "q_validate_route": 0.23,
+    "q_index_name": 0.214,
+    "q_daily_counts": 0.275,
 }
 
 HEADLINE = (

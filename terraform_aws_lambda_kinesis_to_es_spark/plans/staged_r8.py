@@ -1,0 +1,693 @@
+"""STAGED query surface for the round-8 declaration head.
+
+Same staging contract as round 6's tranche (promoted in round 7 as
+plans/curation_queries.py): these queries are implemented,
+oracle-backed, and pytest-verified with the driver's own compare
+protocol (tests/test_staged_r8.py), but NOT declared yet — the round-7
+driver window (50 names) is fully allocated to the 11 promotions, the
+q_semdedup_bucketed re-contract, the changed detectors, and the r3-era
+verdict rotation (plans/__init__.py _HEAD). Round 8 promotes
+QUERIES/ORACLES into the head verbatim, alongside the 12 r3-era
+leftovers listed in the _HEAD note.
+
+Contents — ops a crawl-curation / data-layout stack needs that the
+surface lacks today:
+
+- ``q_url_canonical``: URL canonicalization + per-domain canonical-dup
+  accounting — the crawl-side exact-dedup key (scheme/host case, www,
+  default ports, tracking params, fragments, trailing slashes). URLs
+  are constructed deterministically from doc fields (the fixtures carry
+  no URL column), the same injected-input pattern q_pii_redact uses;
+  the canonicalizer is the real operator.
+- ``q_weighted_reservoir``: Efraimidis-Spirakis A-ES weighted sampling
+  without replacement (key = ln(u)/w, top-k) — the one-pass, mergeable
+  weighted sampler (distributed top-k of per-row keys; never a global
+  sort).
+- ``q_layout_skipping``: Z-order (Morton) interleaved layout vs a
+  single-column linear layout, with per-file min/max zone maps and a
+  measured file-skipping audit for a 2-D predicate — the
+  OPTIMIZE-ZORDER data-layout shape that turns multi-column selective
+  scans sub-linear at rest.
+- ``q_linear_quality``: feature-hashed linear classifier scoring
+  (the fastText-style quality-filter shape: hashed unigram+bigram
+  features, fixed deterministic weight table, integer score) — the
+  model-based quality gate as pure expressions; swap the hash-derived
+  weights for trained ones and the plan is production.
+- ``q_lsh_tuning``: MinHash banding sensitivity sweep — the SAME 64-perm
+  portable signature banded at (32x2), (16x4), (8x8); per config:
+  candidate volume, exact-verified true pairs, precision — the standing
+  audit that picks band/row for a drifting corpus (S-curve tradeoff
+  measured, not assumed).
+- ``q_time_decay``: half-life-decayed activity scores per event type
+  with EXACT integer arithmetic (weight_bp = 10000 >> (age_days DIV
+  half_life) — halving IS a right shift at day granularity), the
+  freshness-weighted rollup pattern that avoids float-order
+  nondeterminism entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+    hash60,
+    hash60_sql,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+    _SHINGLES,
+    JACCARD_THRESHOLD_BP,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _TOKS
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+# ------------------------------------------------------------- URL canonical
+
+URL_VARIANTS = 4  # surface forms per base URL (doc_id DIV 4 = base)
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+
+def _synth_url(doc_id):
+    """Deterministic synthetic URL with doc_id%4-selected surface noise:
+    scheme/host case, www., default port, trailing slash, tracking
+    params, fragment. Four consecutive doc_ids share one canonical URL
+    (host and path derive from the BASE id, so only the surface noise
+    differs within a group)."""
+    base = F.expr(f"CAST(doc_id DIV {URL_VARIANTS} AS BIGINT)")
+    v = doc_id % URL_VARIANTS
+    host_std = F.concat(
+        F.lit("www.s"),
+        (base % 20).cast("string"),
+        F.lit(".d"),
+        (base % 5).cast("string"),
+        F.lit(".com"),
+    )
+    scheme = F.when(v == 0, F.lit("HTTP")).otherwise(F.lit("http"))
+    host = F.when(v == 1, F.upper(host_std)).otherwise(host_std)
+    port = F.when(v == 2, F.lit(":80")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/docs/"),
+        base.cast("string"),
+        F.when(v == 3, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        v == 0,
+        F.concat(F.lit("?utm_source=feed&id="), (base % 97).cast("string"), F.lit("&utm_medium=x")),
+    ).when(
+        v == 1,
+        F.concat(F.lit("?id="), (base % 97).cast("string"), F.lit("&fbclid=abc")),
+    ).otherwise(F.concat(F.lit("?id="), (base % 97).cast("string")))
+    frag = F.when(v == 2, F.lit("#section-2")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+_URL_RE = r"^([A-Za-z]+)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def canonical_url(url):
+    """Canonicalize a URL column with pure built-in expressions:
+    lowercase scheme+host, strip leading www., drop default :80/:443,
+    strip trailing slash, drop fragment, drop utm_*/fbclid/gclid params,
+    sort surviving params. Mirrored verbatim in the oracle."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _URL_RE, 2)), r"^www\.", ""
+    )
+    port = F.regexp_extract(url, _URL_RE, 3)
+    keep_port = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(port)
+    path = F.regexp_replace(F.regexp_extract(url, _URL_RE, 4), r"/$", "")
+    rawq = F.regexp_extract(url, _URL_RE, 5)  # leading '?' or ''
+    params = F.filter(
+        F.split(F.regexp_replace(rawq, r"^\?", ""), "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid")
+        & ~p.startswith("gclid"),
+    )
+    canon_q = F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, keep_port, path, canon_q)
+
+
+def registrable_domain(host):
+    """Last two labels of the host — the eTLD+1 under the demo's
+    single-level public-suffix assumption (a real deployment swaps in a
+    PSL table join; the rollup shape is identical)."""
+    parts = F.split(host, r"\.")
+    return F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per registrable domain: raw URL count, canonical-URL count, and
+    the dup rate the canonicalizer recovers (bp). Construction is
+    map-only expressions; the rollup is one keyed aggregate over
+    (domain, canonical) then one over domain — both map-side-combining.
+    At 100 TB this is the crawl frontier's exact-dedup key computation:
+    linear, no joins, no state."""
+    docs = load_split(spark, sf_dir, "documents")
+    url = _synth_url(F.col("doc_id"))
+    canon = canonical_url(url)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _URL_RE, 2)), r"^www\.", ""
+    )
+    per_canon = (
+        docs.select(
+            registrable_domain(host).alias("domain"), canon.alias("curl")
+        )
+        .groupBy("domain", "curl")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        per_canon.groupBy("domain")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_urls"),
+            F.count("*").cast("bigint").alias("n_canonical"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr("CAST((10000 * (n_urls - n_canonical)) DIV n_urls AS BIGINT)"),
+        )
+    )
+
+
+# ------------------------------------------------------- weighted reservoir
+
+RESERVOIR_K = 100
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement:
+    every doc draws u = (hash60(doc_id)+1)/2^60 in (0,1] and keys
+    ln(u)/w with w = n_chars; the k largest keys are exactly a weighted
+    sample without replacement (Efraimidis & Spirakis, IPL 2006 — the
+    u^(1/w) rule under the monotone ln transform). Deterministic: u is
+    the portable md5 hash, not a RNG.
+
+    Scale shape: one scan + a distributed TakeOrdered(k) — the sampler
+    is one-pass and MERGEABLE (per-partition top-k unions exactly, the
+    property that lets 100 TB sample in one map round + a k-row reduce).
+    Output keys are integer-scaled (1e9) so the hash compare is integer;
+    selection itself uses full double precision on both engines.
+    """
+    docs = load_split(spark, sf_dir, "documents")
+    u = (hash60(F.col("doc_id").cast("string")) + 1) / F.lit(float(1 << 60))
+    key = F.ln(u) / F.col("n_chars")
+    ranked = (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(RESERVOIR_K)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        # floor, never CAST: Spark truncates double->bigint toward zero
+        # while DuckDB rounds — floor is the one conversion both agree on
+        # (the q_quantize lesson)
+        F.floor(F.col("k") * F.lit(1e9)).cast("bigint").alias("key_e9"),
+    )
+
+
+# ------------------------------------------------------------ z-order layout
+
+Z_BITS = 8          # bits per dimension -> 16-bit z-value
+Z_FILE_SHIFT = 10   # z >> shift = file id -> up to 64 z-files
+LIN_FILE_DIV = 64   # linear layout: date bucket DIV -> ~4 files' worth each
+Z_PRED_LO, Z_PRED_HI = 64, 95  # the audited predicate: cx in [64, 95]
+
+
+def q_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: the same orders table laid out (a) Z-ORDER —
+    files cut along the Morton interleave of (custkey bucket, date
+    bucket) — vs (b) LINEAR — files cut along date only (the default
+    ingest order). For each layout and file: row count, per-file min/max
+    zone maps of BOTH dimensions, and whether a custkey-range predicate
+    (cx BETWEEN {lo}..{hi}) can SKIP the file on zone maps alone. The
+    summary a table optimizer reads: Z-order bounds both dimensions per
+    file, so the 2-D-selective scan prunes most files; the linear layout
+    leaves every file's custkey range full-width and prunes ~nothing.
+
+    All integer math: bucket = value * 2^B DIV (max+1) via single-row
+    broadcast extents; z = bitwise interleave (fixed shifts); file ids
+    are z >> shift / datebucket DIV k. One scan, two keyed aggregates —
+    at 100 TB this is the zone-map audit you run BEFORE rewriting a
+    table, on exactly this plan."""
+    orders = load_split(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.max("o_custkey").alias("ck_max"),
+        F.min(F.to_date("o_orderdate")).alias("d_min"),
+        F.max(F.to_date("o_orderdate")).alias("d_max"),
+    )
+    # integer DIV, never double-divide-then-cast: the double quotient can
+    # round up across an integer boundary where exact integer division
+    # floors, and Spark/DuckDB disagree on double->bigint casts anyway
+    b = orders.join(F.broadcast(ext)).select(
+        F.expr(
+            f"CAST((o_custkey * {1 << Z_BITS}) DIV (ck_max + 1) AS BIGINT)"
+        ).alias("cx"),
+        F.expr(
+            f"CAST((datediff(to_date(o_orderdate), d_min) * {1 << Z_BITS})"
+            " DIV (datediff(d_max, d_min) + 1) AS BIGINT)"
+        ).alias("dy"),
+    )
+    zexpr = None
+    for i in range(Z_BITS):
+        bit_c = F.shiftleft(F.shiftright(F.col("cx"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        bit_d = F.shiftleft(F.shiftright(F.col("dy"), i).bitwiseAND(F.lit(1)), 2 * i)
+        zexpr = bit_c + bit_d if zexpr is None else zexpr + bit_c + bit_d
+    z = b.withColumn("file_id", F.shiftright(zexpr, Z_FILE_SHIFT).cast("bigint"))
+    lin = b.withColumn(
+        "file_id", F.expr(f"CAST(dy DIV {LIN_FILE_DIV} AS BIGINT)")
+    )
+
+    def _files(df: DataFrame, layout: str) -> DataFrame:
+        return df.groupBy("file_id").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("cx").cast("bigint").alias("cx_min"),
+            F.max("cx").cast("bigint").alias("cx_max"),
+            F.min("dy").cast("bigint").alias("dy_min"),
+            F.max("dy").cast("bigint").alias("dy_max"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            "file_id",
+            "n_rows",
+            "cx_min",
+            "cx_max",
+            "dy_min",
+            "dy_max",
+            (
+                (F.col("cx_max") < Z_PRED_LO) | (F.col("cx_min") > Z_PRED_HI)
+            ).alias("prunable"),
+        )
+
+    return _files(z, "zorder").unionByName(_files(lin, "linear"))
+
+
+# ---------------------------------------------------------- linear quality
+
+LQ_DIMS = 1024
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear text-quality scoring (the fastText-style
+    classifier SHAPE: Joulin et al. 2016 — bag of hashed unigram+bigram
+    features x a weight vector; here the weights are a fixed
+    deterministic table derived from the dim hash, centered on 0, so the
+    plumbing is fully oracle-checkable; production swaps in trained
+    weights via the same broadcast join). Per doc: feature count and
+    integer score = SUM(weight[dim]) DIV n_feats over the doc's DISTINCT
+    feature dims.
+
+    Scale shape: tokens and bigrams explode row-locally, dims hash
+    row-locally, the weight 'table' is a pure expression (no lookup
+    join at all), and the per-doc aggregate is map-side combining — one
+    scan, one keyed exchange. The fastText trick (hashing trick, no
+    vocabulary) is exactly what makes this viable at 100 TB."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')")
+    grams = F.concat(
+        toks,
+        F.expr(
+            "zip_with(slice(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''), 1,"
+            " size(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')) - 1),"
+            " slice(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''), 2,"
+            " size(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''))),"
+            " (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+    feat = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", (hash60(F.col("g")) % LQ_DIMS).alias("dim"))
+        .distinct()
+    )
+    w = (hash60(F.concat(F.lit("w:"), F.col("dim").cast("string"))) % 2001) - 1000
+    return (
+        feat.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("w").cast("bigint").alias("w_sum"),
+        )
+        .withColumn("score", F.expr("CAST(w_sum DIV n_feats AS BIGINT)"))
+    )
+
+
+# -------------------------------------------------------------- LSH tuning
+
+LSH_CONFIGS = ((32, 2), (16, 4), (8, 8))  # (bands, rows): b*r = N_PERM = 64
+
+
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/row sensitivity sweep over ONE shared 64-permutation portable
+    signature: for each (bands, rows) config, the banded candidate pairs
+    are generated (same pairs_within_buckets shape as the production
+    detector), exact-verified against true Jaccard, and summarized as
+    (n_candidates, n_true, precision_bp). More rows per band = sharper
+    S-curve = fewer, more precise candidates — this query MEASURES that
+    tradeoff on the live corpus instead of assuming the textbook curve,
+    which is how band/row gets re-picked when corpus similarity drifts.
+
+    Scale shape: the signature fold runs ONCE (persisted frame reused by
+    all three configs); each config adds one banded keyed shuffle whose
+    volume is bounded by candidates, and the exact verify joins shingle
+    sets only onto candidate pairs. The exact leg is candidate-bounded
+    — never corpus^2."""
+    docs = load_split(spark, sf_dir, "documents")
+    sh = D.with_shingles(docs).select("doc_id", "shingles")
+    sig = D.with_minhash_signature(
+        sh.filter(F.size("shingles") > 0), portable=True
+    ).persist()
+    legs = []
+    for bands, rows in LSH_CONFIGS:
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.concat_ws(
+                        "_", *[F.col("mh")[j * rows + r] for r in range(rows)]
+                    ).alias("bkey"),
+                )
+                for j in range(bands)
+            ]
+        )
+        exploded = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+        )
+        cands = D.pairs_within_buckets(exploded, ["band", "bkey"], "doc_id")
+        verified = D.verify_pairs_jaccard(
+            cands,
+            sig.select("doc_id", "shingles"),
+            threshold_bp=JACCARD_THRESHOLD_BP,
+        )
+        legs.append(
+            cands.agg(F.count("*").cast("bigint").alias("n_candidates")).crossJoin(
+                F.broadcast(verified.agg(F.count("*").cast("bigint").alias("n_true")))
+            ).select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rows).cast("bigint").alias("rows_per_band"),
+                "n_candidates",
+                "n_true",
+                F.expr(
+                    "CAST(CASE WHEN n_candidates = 0 THEN 0"
+                    " ELSE (10000 * n_true) DIV n_candidates END AS BIGINT)"
+                ).alias("precision_bp"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# --------------------------------------------------------------- time decay
+
+HALF_LIFE_DAYS = 7
+
+
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity per event type: each event weighs
+    10000 >> (age_days DIV HALF_LIFE_DAYS) bp of a fresh event, where
+    age is measured back from the corpus max timestamp (single-row
+    broadcast). Halving per half-life IS an integer right shift at
+    day granularity — the whole rollup is exact integer arithmetic, so
+    a decayed score is as deterministic and oracle-checkable as a plain
+    count (no float-sum ordering anywhere). One scan + one broadcast +
+    one map-side-combining aggregate; the shape survives any corpus
+    size, and the shift caps at 62 so ancient events contribute exactly
+    0 without overflow."""
+    events = load_split(spark, sf_dir, "events")
+    hwm = events.agg(F.max(F.to_date("ts")).alias("d_max"))
+    aged = events.join(F.broadcast(hwm)).select(
+        "event_type",
+        F.expr(
+            "least(CAST(62 AS BIGINT),"
+            f" CAST(datediff(d_max, to_date(ts)) DIV {HALF_LIFE_DAYS} AS BIGINT))"
+        ).alias("hshift"),
+    )
+    return (
+        aged.select(
+            "event_type",
+            F.expr("CAST(10000 DIV shiftleft(CAST(1 AS BIGINT), hshift) AS BIGINT)").alias(
+                "w_bp"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("w_bp").cast("bigint").alias("decayed_bp"),
+        )
+    )
+
+
+QUERIES = {
+    "q_url_canonical": q_url_canonical,
+    "q_weighted_reservoir": q_weighted_reservoir,
+    "q_layout_skipping": q_layout_skipping,
+    "q_linear_quality": q_linear_quality,
+    "q_lsh_tuning": q_lsh_tuning,
+    "q_time_decay": q_time_decay,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_URL_SQL_BASE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {URL_VARIANTS} = 0 THEN 'HTTP' ELSE 'http' END
+         || '://'
+         || CASE WHEN doc_id % {URL_VARIANTS} = 1
+                 THEN upper('www.s' || CAST((doc_id // {URL_VARIANTS}) % 20 AS VARCHAR)
+                      || '.d' || CAST((doc_id // {URL_VARIANTS}) % 5 AS VARCHAR) || '.com')
+                 ELSE 'www.s' || CAST((doc_id // {URL_VARIANTS}) % 20 AS VARCHAR)
+                      || '.d' || CAST((doc_id // {URL_VARIANTS}) % 5 AS VARCHAR) || '.com' END
+         || CASE WHEN doc_id % {URL_VARIANTS} = 2 THEN ':80' ELSE '' END
+         || '/docs/' || CAST(doc_id // {URL_VARIANTS} AS VARCHAR)
+         || CASE WHEN doc_id % {URL_VARIANTS} = 3 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % {URL_VARIANTS} = 0
+                 THEN '?utm_source=feed&id=' || CAST((doc_id // {URL_VARIANTS}) % 97 AS VARCHAR) || '&utm_medium=x'
+                 WHEN doc_id % {URL_VARIANTS} = 1
+                 THEN '?id=' || CAST((doc_id // {URL_VARIANTS}) % 97 AS VARCHAR) || '&fbclid=abc'
+                 ELSE '?id=' || CAST((doc_id // {URL_VARIANTS}) % 97 AS VARCHAR) END
+         || CASE WHEN doc_id % {URL_VARIANTS} = 2 THEN '#section-2' ELSE '' END
+         AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '{_URL_RE}', 2)), '^www\\.', '') AS host,
+         regexp_extract(url, '{_URL_RE}', 3) AS port,
+         regexp_replace(regexp_extract(url, '{_URL_RE}', 4), '/$', '') AS path,
+         regexp_replace(regexp_extract(url, '{_URL_RE}', 5), '^\\?', '') AS rawq
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         host,
+         scheme || '://' || host
+         || CASE WHEN (scheme = 'http' AND port = ':80')
+                   OR (scheme = 'https' AND port = ':443')
+                   OR port = '' THEN '' ELSE port END
+         || path
+         || CASE WHEN len(params) > 0
+                 THEN '?' || list_aggregate(list_sort(params), 'string_agg', '&')
+                 ELSE '' END AS curl
+  FROM (
+    SELECT *,
+           list_filter(string_split(rawq, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')
+                        AND NOT starts_with(p, 'fbclid')
+                        AND NOT starts_with(p, 'gclid')) AS params
+    FROM parsed
+  )
+)
+"""
+
+_URL_SQL = (
+    _URL_SQL_BASE
+    + """
+, per_canon AS (
+  SELECT string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] AS domain,
+         curl, COUNT(*) AS n
+  FROM canon GROUP BY 1, 2
+)
+SELECT domain,
+       CAST(SUM(n) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       CAST((10000 * (SUM(n) - COUNT(*))) // SUM(n) AS BIGINT) AS dup_bp
+FROM per_canon GROUP BY domain
+"""
+)
+
+_RESERVOIR_SQL = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(floor(ln(({hash60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                     / {float(1 << 60)}) / n_chars * 1e9) AS BIGINT) AS key_e9
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  ORDER BY ln(({hash60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+              / {float(1 << 60)}) / n_chars DESC, doc_id ASC
+) <= {RESERVOIR_K}
+"""
+
+_Z_INTERLEAVE = " + ".join(
+    f"(((cx >> {i}) & 1) << {2 * i + 1}) + (((dy >> {i}) & 1) << {2 * i})"
+    for i in range(Z_BITS)
+)
+
+_ZORDER_SQL = f"""
+WITH ext AS (
+  SELECT MAX(o_custkey) AS ck_max,
+         MIN(CAST(o_orderdate AS DATE)) AS d_min,
+         MAX(CAST(o_orderdate AS DATE)) AS d_max
+  FROM orders
+),
+b AS (
+  SELECT CAST((o_custkey * {1 << Z_BITS}) // (ck_max + 1) AS BIGINT) AS cx,
+         CAST((date_diff('day', d_min, CAST(o_orderdate AS DATE)) * {1 << Z_BITS})
+              // (date_diff('day', d_min, d_max) + 1) AS BIGINT) AS dy
+  FROM orders, ext
+),
+zf AS (
+  SELECT cx, dy, CAST(({_Z_INTERLEAVE}) >> {Z_FILE_SHIFT} AS BIGINT) AS file_id
+  FROM b
+),
+lf AS (SELECT cx, dy, CAST(dy // {LIN_FILE_DIV} AS BIGINT) AS file_id FROM b),
+stats AS (
+  SELECT 'zorder' AS layout, file_id, COUNT(*) AS n_rows,
+         MIN(cx) AS cx_min, MAX(cx) AS cx_max,
+         MIN(dy) AS dy_min, MAX(dy) AS dy_max
+  FROM zf GROUP BY file_id
+  UNION ALL
+  SELECT 'linear', file_id, COUNT(*),
+         MIN(cx), MAX(cx), MIN(dy), MAX(dy)
+  FROM lf GROUP BY file_id
+)
+SELECT layout, file_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(cx_min AS BIGINT) AS cx_min, CAST(cx_max AS BIGINT) AS cx_max,
+       CAST(dy_min AS BIGINT) AS dy_min, CAST(dy_max AS BIGINT) AS dy_max,
+       (cx_max < {Z_PRED_LO} OR cx_min > {Z_PRED_HI}) AS prunable
+FROM stats
+"""
+
+_LQ_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         ts || list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]) AS gs
+  FROM toks
+),
+feat AS (
+  SELECT DISTINCT doc_id,
+         ({hash60_sql("g")}) % {LQ_DIMS} AS dim
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w) AS BIGINT) AS w_sum,
+       CAST(SUM(w) // COUNT(*) AS BIGINT) AS score
+FROM (
+  SELECT doc_id, dim,
+         ({hash60_sql("'w:' || CAST(dim AS VARCHAR)")}) % 2001 - 1000 AS w
+  FROM feat
+)
+GROUP BY doc_id
+"""
+
+
+def _lsh_tuning_sql() -> str:
+    from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+        MOD31,
+        N_PERM,
+        perm_hash_sql,
+    )
+
+    mins = ",\n                 ".join(
+        f"MIN({perm_hash_sql('h', i)}) AS m{i}" for i in range(N_PERM)
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(N_PERM))
+    legs = []
+    for bands, rows in LSH_CONFIGS:
+        legs.append(f"""
+        SELECT CAST({bands} AS BIGINT) AS bands,
+               CAST({rows} AS BIGINT) AS rows_per_band,
+               CAST((SELECT COUNT(*) FROM cand_{bands}) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM truecand_{bands}) AS BIGINT) AS n_true,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM cand_{bands}) = 0 THEN 0
+                    ELSE (10000 * (SELECT COUNT(*) FROM truecand_{bands}))
+                         // (SELECT COUNT(*) FROM cand_{bands}) END AS BIGINT)
+                 AS precision_bp
+        """)
+    band_ctes = []
+    for bands, rows in LSH_CONFIGS:
+        key = " || '_' || ".join(
+            f"CAST(sig[{rows} * j + {r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        band_ctes.append(f"""
+        bands_{bands} AS (
+          SELECT doc_id, j, {key} AS bkey
+          FROM sigl, range({bands}) t(j)
+        ),
+        cand_{bands} AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands_{bands} a JOIN bands_{bands} b
+            ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        truecand_{bands} AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand_{bands} c
+          JOIN sh ha ON ha.doc_id = c.doc_a
+          JOIN sh hb ON hb.doc_id = c.doc_b
+          WHERE (10000 * len(list_intersect(ha.s, hb.s)))
+                // (len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s)))
+                >= {JACCARD_THRESHOLD_BP}
+        )""")
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES} AS s FROM documents
+        ), hs AS (
+          SELECT doc_id, ({hash60_sql("g")}) % {MOD31} AS h
+          FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE len(s) > 0)
+        ), sigs AS (
+          SELECT doc_id,
+                 {mins}
+          FROM hs GROUP BY doc_id
+        ), sigl AS (
+          SELECT doc_id, [{sig_list}] AS sig FROM sigs
+        ),
+        {",".join(band_ctes)}
+        {" UNION ALL ".join(legs)}
+    """
+
+
+_DECAY_SQL = f"""
+WITH hwm AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM events),
+aged AS (
+  SELECT event_type,
+         LEAST(62, date_diff('day', CAST(ts AS DATE), d_max)
+                   // {HALF_LIFE_DAYS}) AS hshift
+  FROM events, hwm
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(10000 // (CAST(1 AS BIGINT) << hshift)) AS BIGINT) AS decayed_bp
+FROM aged GROUP BY event_type
+"""
+
+ORACLES = {
+    "q_url_canonical": _URL_SQL,
+    "q_weighted_reservoir": _RESERVOIR_SQL,
+    "q_layout_skipping": _ZORDER_SQL,
+    "q_linear_quality": _LQ_SQL,
+    "q_lsh_tuning": _lsh_tuning_sql(),
+    "q_time_decay": _DECAY_SQL,
+}

@@ -1,0 +1,214 @@
+"""Staged round-8 queries vs their DuckDB oracles — the driver's compare
+protocol applied BEFORE declaration (plans/staged_r8.py stays out of the
+declared registry until the round-8 head opens; see its module
+docstring). Also pins the staging contract itself (no staged name
+collides with a declared one, every staged query has an oracle) plus
+per-query semantic invariants and plan-shape scale pins."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrypoint
+from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+    ORACLES,
+    QUERIES,
+)
+from tests.oracle_harness import compare, duck_connect
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    res = compare(df, duck, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
+
+
+def test_staging_contract():
+    assert set(QUERIES) == set(ORACLES)
+    assert not set(QUERIES) & set(entrypoint.queries())
+
+
+def test_url_canonical_collapses_variants(spark, sf_dir):
+    """Four consecutive doc_ids share one canonical URL by construction,
+    so every domain's dup rate must be positive and n_canonical must be
+    ~n_urls/4 (exactly, when the id range covers whole variant groups)."""
+    rows = QUERIES["q_url_canonical"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_canonical"] < r["n_urls"]
+        assert r["dup_bp"] > 0
+        # canonical count can never drop below the base-id group count
+        assert r["n_canonical"] * 4 >= r["n_urls"]
+
+
+def test_canonical_url_unit(spark):
+    """The canonicalizer itself, on handwritten URLs: case, www, default
+    ports, tracking params, param order, fragment, trailing slash all
+    normalize; non-default port and real params survive."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+        canonical_url,
+    )
+
+    cases = [
+        ("HTTP://WWW.A.Example.COM:80/x/?b=2&utm_source=s&a=1#f",
+         "http://a.example.com/x?a=1&b=2"),
+        ("https://a.example.com:443/x", "https://a.example.com/x"),
+        ("https://a.example.com:8443/x?fbclid=z", "https://a.example.com:8443/x"),
+        ("http://b.example.com/y/", "http://b.example.com/y"),
+        ("http://b.example.com/y?gclid=1&utm_medium=m", "http://b.example.com/y"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_weighted_reservoir_is_aes(spark, sf_dir):
+    """A-ES invariants: exactly K rows, keys strictly descending (hash
+    keys are distinct), and the selection equals a local recomputation
+    of top-K by ln(u)/w over the whole corpus."""
+    import math
+
+    from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import hash60
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+        RESERVOIR_K,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_weighted_reservoir"](spark, sf_dir).collect()
+    assert len(rows) == RESERVOIR_K
+    keys = [r["key_e9"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+    docs = load_split(spark, sf_dir, "documents")
+    local = docs.select(
+        "doc_id",
+        "n_chars",
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+    ).collect()
+    want = sorted(
+        local,
+        key=lambda r: (-(math.log((r["h"] + 1) / float(1 << 60)) / r["n_chars"]), r["doc_id"]),
+    )[:RESERVOIR_K]
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in want}
+
+
+def test_zorder_prunes_linear_does_not(spark, sf_dir):
+    """The point of the layout: under the audited 2-D predicate the
+    Z-order layout must make a strictly larger fraction of files
+    prunable than the date-linear layout, while both layouts hold the
+    same row total. Also pins zone-map sanity (min <= max)."""
+    rows = QUERIES["q_layout_skipping"](spark, sf_dir).collect()
+    z = [r for r in rows if r["layout"] == "zorder"]
+    lin = [r for r in rows if r["layout"] == "linear"]
+    assert z and lin
+    assert sum(r["n_rows"] for r in z) == sum(r["n_rows"] for r in lin)
+    for r in rows:
+        assert r["cx_min"] <= r["cx_max"] and r["dy_min"] <= r["dy_max"]
+    z_frac = sum(1 for r in z if r["prunable"]) / len(z)
+    lin_frac = sum(1 for r in lin if r["prunable"]) / len(lin)
+    assert z_frac > lin_frac
+    assert z_frac >= 0.5  # the 32-of-256-bucket predicate prunes most z-files
+
+
+def test_linear_quality_score_bounds(spark, sf_dir):
+    """Scores are mean-of-weights: |score| <= 1000 by construction,
+    n_feats <= distinct dims (1024), and every doc with text appears."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import LQ_DIMS
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    rows = QUERIES["q_linear_quality"](spark, sf_dir).collect()
+    n_docs = load_split(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert -1000 <= r["score"] <= 1000
+        assert 1 <= r["n_feats"] <= LQ_DIMS
+
+
+def test_lsh_tuning_scurve_monotonicity(spark, sf_dir):
+    """The banding S-curve tradeoff the query exists to measure: more
+    rows per band => candidate volume never increases and precision
+    never decreases; the production (32, 2) config appears and its
+    candidate count bounds the others. True pairs are a subset of
+    candidates in every config."""
+    rows = {r["rows_per_band"]: r for r in QUERIES["q_lsh_tuning"](spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2]["n_candidates"] >= rows[4]["n_candidates"] >= rows[8]["n_candidates"]
+    assert rows[2]["precision_bp"] <= rows[4]["precision_bp"] <= rows[8]["precision_bp"]
+    for r in rows.values():
+        assert 0 <= r["n_true"] <= r["n_candidates"]
+    assert rows[2]["n_candidates"] > 0  # the production config finds work
+
+
+def test_time_decay_integer_halving(spark, sf_dir):
+    """Exact-arithmetic invariants: decayed_bp <= 10000 * n_events, both
+    positive, and a synthetic two-event frame decays exactly by shift
+    (7-day-old event = 5000 bp, 70-day-old = 10000 >> 10 = 9 bp)."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["q_time_decay"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["decayed_bp"] <= 10000 * r["n_events"]
+
+    synth = spark.createDataFrame(
+        [(1, "2024-03-11 00:00:00", "a"),
+         (2, "2024-03-04 00:00:00", "a"),
+         (3, "2024-01-01 00:00:00", "b")],
+        "event_id long, ts string, event_type string",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "event_type")
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="decay_")
+    synth.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: r for r in QUERIES["q_time_decay"](spark, d).collect()}
+    # type a: fresh event 10000 + 7-day-old 5000; type b: 70 days -> >>10
+    assert got["a"]["decayed_bp"] == 15000
+    assert got["b"]["decayed_bp"] == 10000 >> 10
+    for f in os.listdir(d):
+        pass  # leave tmp for the OS; nothing persisted beyond the test
+
+
+def _plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_staged_r8_plan_shapes(spark, sf_dir):
+    """Scale pins, pre-promotion (mirrors tests/test_plan_shape.py):
+
+    - q_url_canonical / q_linear_quality / q_time_decay / q_layout_skipping:
+      map-only expression work + keyed (or single-row-broadcast)
+      aggregates — no products, no NLJ beyond the single-row extent
+      broadcasts, no global single-partition windows.
+    - q_weighted_reservoir: the top-k is a distributed TakeOrdered,
+      never a global sort or single-partition window.
+    - q_lsh_tuning: every candidate join is equi-keyed; the only
+      products are the whitelisted 1-row count attaches."""
+    res = _plan_of(spark, sf_dir, "q_weighted_reservoir")
+    assert "TakeOrderedAndProject" in res
+    assert "CartesianProduct" not in res
+
+    for name in ("q_url_canonical", "q_linear_quality"):
+        plan = _plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    for name in ("q_layout_skipping", "q_time_decay"):
+        plan = _plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        # single-row extent attach is the only permitted NLJ
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+
+    tuning = _plan_of(spark, sf_dir, "q_lsh_tuning")
+    assert "CartesianProduct" not in tuning
