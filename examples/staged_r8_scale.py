@@ -36,6 +36,8 @@ BIG_DIR = {
     "q_lsh_tuning": "/tmp/sf_family100x",
     "q_layout_skipping": "/tmp/sf_orders100x_b",
     "q_time_decay": "/tmp/sf_events100x",
+    "q_media_phash": "/tmp/sf_family100x",
+    "q_kmv_overlap": "/tmp/sf_family100x",
 }
 
 

@@ -43,6 +43,19 @@ surface lacks today:
   half_life) — halving IS a right shift at day granularity), the
   freshness-weighted rollup pattern that avoids float-order
   nondeterminism entirely.
+- ``q_media_phash``: perceptual image dedup — average-hash (aHash) of
+  every document's image payload through the REAL PPM decoder
+  (operators.multimodal.decode_image inside Arrow mapInPandas, the
+  q_media_decode framing), then hash-bucketed duplicate groups. The
+  multimodal analogue of exact text dedup: one decode pass, one keyed
+  shuffle, never pairwise pixels.
+- ``q_kmv_overlap``: KMV/theta-style k-minimum-values sketches per
+  source over word 3-grams, pairwise UNION/INTERSECTION/Jaccard
+  estimates via the merged k-th minimum + inclusion-exclusion, audited
+  against exact values — the mergeable sketch for SET OVERLAP between
+  partitions (the operation HLL famously cannot intersect), completing
+  the family: CMS counts, HLL distincts, histogram quantiles, Bloom
+  membership, KMV overlap.
 """
 
 from __future__ import annotations
@@ -443,6 +456,185 @@ def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- media phash
+
+PH_W, PH_H = 8, 4  # q_media_decode's framing: 8x4 RGB = 96 body bytes
+PH_PIXELS = PH_W * PH_H
+
+
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via average-hash (aHash): each document's
+    text bytes are framed as a valid binary-PPM exactly like
+    q_media_decode (header + rpad-to-96-byte body), decoded by the REAL
+    pure-python PPM decoder inside Arrow mapInPandas, and hashed:
+    gray[p] = R+G+B of pixel p (integer, no scaling loss), bit p set
+    iff 32*gray[p] > sum(gray) — the strictly-greater integer form of
+    "above the mean", so the hash is deterministic with no float
+    anywhere. Output: (doc_id, ahash, n_same) where n_same counts docs
+    sharing the hash — duplicate-image groups by ONE keyed shuffle on
+    the 32-bit hash, never pairwise pixel comparison.
+
+    At 100 TB this is image exact/near-dup stage 1: decode once
+    (Arrow-batched, embarrassingly parallel), bucket by perceptual
+    hash; stage 2 (intra-bucket verification) is bounded by bucket
+    sizes exactly like text LSH buckets. The oracle reproduces the
+    decode arithmetically from hex(encode(text)) — byte-exact for any
+    text — so the REAL decoder's output is value-checked."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+
+    docs = load_split(spark, sf_dir, "documents")
+    n = PH_PIXELS * 3
+    body = F.expr(f"rpad(substring(encode(text, 'UTF-8'), 1, {n}), {n}, X'78')")
+    header = F.lit(f"P6\n{PH_W} {PH_H}\n255\n".encode())
+    framed = docs.select("doc_id", F.concat(header, body).alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = M.decode_image(bytes(payload))
+                gray = px.astype("int64").sum(axis=2).reshape(-1)
+                total = int(gray.sum())
+                ahash = 0
+                for p, g in enumerate(gray.tolist()):
+                    if PH_PIXELS * g > total:
+                        ahash |= 1 << p
+                ids.append(doc_id)
+                hashes.append(ahash)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    hashed = framed.mapInPandas(gen, "doc_id long, ahash long").persist()
+    groups = hashed.groupBy("ahash").agg(F.count("*").cast("bigint").alias("n_same"))
+    return hashed.join(groups, "ahash").select("doc_id", "ahash", "n_same")
+
+
+# --------------------------------------------------------------- KMV overlap
+
+KMV_K = 256
+KMV_NGRAM = 3
+_POW60 = 1 << 60
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair set-overlap estimation with KMV (k-minimum-values /
+    bottom-k theta) sketches, audited against exact values. Per source,
+    the sketch is the K smallest distinct hash60 values of its word
+    3-gram set (a 256-row bounded, MERGEABLE summary); per source pair:
+
+      est(|S|)     = (K-1) * 2^60 DIV kth_min          (or exact if <K)
+      est(|A u B|) = same formula on the k-th min of the MERGED sketch
+      est(|A n B|) = est_a + est_b - est_union          (incl-exclusion)
+      est_jaccard  = est_inter / est_union              (bp, clamped)
+
+    next to the exact union/Jaccard computed from the full gram sets.
+    This is the overlap operation HLL cannot answer (HLL unions but
+    does not intersect); KMV sketches union by merge-and-truncate and
+    the estimator needs only integer arithmetic (the 2^60 numerator
+    rides in DECIMAL(38,0)/HUGEINT, floored by DIV on both engines).
+
+    Scale shape: sketches build with one distinct + one rank window
+    per source (each source's sketch is 256 rows no matter how many
+    grams it has); the pair stage joins 20 sketch rows against
+    themselves — bounded by source count squared, never by corpus. The
+    exact audit legs are corpus-bounded equi-joins and would be DROPPED
+    at 100 TB — they exist to measure the estimator, which is the
+    query's point."""
+    docs = load_split(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')")
+    # size guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0],
+    # not an empty array — short docs must take the explicit empty branch
+    grams3 = F.expr(
+        "CASE WHEN size(ts) >= 3 THEN"
+        " transform(sequence(1, size(ts) - 2),"
+        "           i -> concat(ts[i - 1], ' ', ts[i], ' ', ts[i + 1]))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    sg = (
+        docs.select("source", toks.alias("ts"))
+        .select("source", F.explode(grams3).alias("g"))
+        .select("source", hash60(F.col("g")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    sketch = (
+        sg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+    counts = sg.groupBy("source").agg(F.count("*").cast("bigint").alias("n_exact"))
+    per_src = sketch.join(counts, "source")
+
+    est = (
+        f"CASE WHEN size({{k}}) < {KMV_K} THEN CAST(size({{k}}) AS BIGINT)"
+        f" ELSE CAST((CAST({KMV_K - 1} AS DECIMAL(38,0)) * {_POW60})"
+        f"      DIV element_at({{k}}, {KMV_K}) AS BIGINT) END"
+    )
+    a = per_src.select(
+        F.col("source").alias("src_a"),
+        F.col("kmv").alias("kmv_a"),
+        F.col("n_exact").alias("na"),
+    )
+    b = per_src.select(
+        F.col("source").alias("src_b"),
+        F.col("kmv").alias("kmv_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .withColumn(
+            "merged",
+            F.expr(f"slice(array_sort(array_distinct(concat(kmv_a, kmv_b))), 1, {KMV_K})"),
+        )
+        .withColumn("est_a", F.expr(est.format(k="kmv_a")))
+        .withColumn("est_b", F.expr(est.format(k="kmv_b")))
+        .withColumn("est_union", F.expr(est.format(k="merged")))
+    )
+    # exact intersection per pair: one equi-join of the distinct
+    # (source, gram-hash) relation against itself
+    ia = sg.select(F.col("source").alias("src_a"), "h")
+    ib = sg.select(F.col("source").alias("src_b"), "h")
+    inter = (
+        ia.join(ib, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "est_union",
+            F.expr("na + nb - n_inter").cast("bigint").alias("exact_union"),
+            F.expr(
+                "CAST((10000 * abs(est_union - (na + nb - n_inter)))"
+                " DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("union_err_bp"),
+            F.expr(
+                "CAST(GREATEST(CAST(0 AS BIGINT),"
+                " (10000 * (est_a + est_b - est_union)) DIV est_union)"
+                " AS BIGINT)"
+            ).alias("est_jaccard_bp"),
+            F.expr(
+                "CAST((10000 * n_inter) DIV (na + nb - n_inter) AS BIGINT)"
+            ).alias("exact_jaccard_bp"),
+        )
+    )
+
+
 QUERIES = {
     "q_url_canonical": q_url_canonical,
     "q_weighted_reservoir": q_weighted_reservoir,
@@ -450,6 +642,8 @@ QUERIES = {
     "q_linear_quality": q_linear_quality,
     "q_lsh_tuning": q_lsh_tuning,
     "q_time_decay": q_time_decay,
+    "q_media_phash": q_media_phash,
+    "q_kmv_overlap": q_kmv_overlap,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -683,6 +877,99 @@ SELECT event_type,
 FROM aged GROUP BY event_type
 """
 
+# byte-wise hex framing identical to the q_media_decode oracle: 2 hex
+# chars per byte, rpad with '78' ('x'); gray = R+G+B per pixel
+_PH_GRAYS = (
+    f"list_transform(range(0, {PH_PIXELS}),"
+    " p -> CAST(('0x' || substring(hx, 6*p + 1, 2)) AS BIGINT)"
+    "    + CAST(('0x' || substring(hx, 6*p + 3, 2)) AS BIGINT)"
+    "    + CAST(('0x' || substring(hx, 6*p + 5, 2)) AS BIGINT))"
+)
+
+_PHASH_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(substring(hex(encode(text)), 1, {PH_PIXELS * 6}),
+              {PH_PIXELS * 6}, '78') AS hx
+  FROM documents
+),
+g AS (
+  SELECT doc_id, {_PH_GRAYS} AS grays FROM body
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {PH_PIXELS}),
+              p -> CASE WHEN {PH_PIXELS} * grays[p + 1] > list_sum(grays)
+                        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
+           AS ahash
+  FROM g
+)
+SELECT doc_id, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+FROM h
+"""
+
+
+def _kmv_est_sql(k: str) -> str:
+    return (
+        f"CASE WHEN len({k}) < {KMV_K} THEN CAST(len({k}) AS BIGINT)"
+        f" ELSE CAST(({KMV_K - 1} * (CAST(1 AS HUGEINT) << 60))"
+        f"      // {k}[{KMV_K}] AS BIGINT) END"
+    )
+
+
+_KMV_SQL = f"""
+WITH sg AS (
+  SELECT DISTINCT source, {hash60_sql("g")} AS h
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+    FROM (SELECT source, {_TOKS} AS ts FROM documents)
+  )
+),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM sg
+),
+sk AS (
+  SELECT source, list_sort(list(h)) AS kmv
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY source
+),
+cnt AS (SELECT source, COUNT(*) AS n_exact FROM sg GROUP BY source),
+per AS (SELECT sk.source, kmv, n_exact FROM sk JOIN cnt USING (source)),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.kmv AS kmv_a, b.kmv AS kmv_b,
+         a.n_exact AS na, b.n_exact AS nb,
+         list_sort(list_distinct(a.kmv || b.kmv))[1:{KMV_K}] AS merged
+  FROM per a JOIN per b ON a.source < b.source
+),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+  FROM sg x JOIN sg y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT src_a, src_b, na, nb,
+         {_kmv_est_sql("kmv_a")} AS est_a,
+         {_kmv_est_sql("kmv_b")} AS est_b,
+         {_kmv_est_sql("merged")} AS est_union
+  FROM pairs
+)
+SELECT e.src_a, e.src_b, e.est_union,
+       CAST(na + nb - n_inter AS BIGINT) AS exact_union,
+       CAST((10000 * abs(e.est_union - (na + nb - n_inter)))
+            // (na + nb - n_inter) AS BIGINT) AS union_err_bp,
+       CAST(GREATEST(CAST(0 AS BIGINT),
+            (10000 * (est_a + est_b - e.est_union)) // e.est_union)
+         AS BIGINT) AS est_jaccard_bp,
+       CAST((10000 * n_inter) // (na + nb - n_inter) AS BIGINT)
+         AS exact_jaccard_bp
+FROM est e JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+"""
+
 ORACLES = {
     "q_url_canonical": _URL_SQL,
     "q_weighted_reservoir": _RESERVOIR_SQL,
@@ -690,4 +977,6 @@ ORACLES = {
     "q_linear_quality": _LQ_SQL,
     "q_lsh_tuning": _lsh_tuning_sql(),
     "q_time_decay": _DECAY_SQL,
+    "q_media_phash": _PHASH_SQL,
+    "q_kmv_overlap": _KMV_SQL,
 }

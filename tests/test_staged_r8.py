@@ -212,3 +212,66 @@ def test_staged_r8_plan_shapes(spark, sf_dir):
 
     tuning = _plan_of(spark, sf_dir, "q_lsh_tuning")
     assert "CartesianProduct" not in tuning
+
+
+def test_media_phash_groups_exact_image_dups(spark, sf_dir):
+    """aHash invariants through the REAL decoder: identical first-96-byte
+    texts MUST share a hash (exact-dup images collapse), n_same counts
+    group size exactly, and the hash uses only the low 32 bits."""
+    from collections import Counter
+
+    rows = QUERIES["q_media_phash"](spark, sf_dir).collect()
+    assert rows
+    by_hash = Counter(r["ahash"] for r in rows)
+    for r in rows:
+        assert r["n_same"] == by_hash[r["ahash"]]
+        assert 0 <= r["ahash"] < (1 << 32)
+    # the fixture corpus carries exact text dups -> image dups exist
+    assert any(n > 1 for n in by_hash.values())
+
+
+def test_media_phash_brightness_invariance(spark):
+    """The perceptual property that distinguishes aHash from a byte
+    hash: a uniformly brightened copy of an image keeps the SAME hash
+    (bits compare each pixel to the image mean), while a byte-level
+    digest of the payload changes."""
+    import numpy as np
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+        PH_PIXELS,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=(4, 8, 3)).astype(np.uint8)
+    bright = (base.astype(np.int64) + 40).clip(0, 255).astype(np.uint8)
+
+    def ahash(px):
+        gray = px.astype("int64").sum(axis=2).reshape(-1)
+        total = int(gray.sum())
+        return sum(1 << p for p, g in enumerate(gray.tolist()) if PH_PIXELS * g > total)
+
+    a1 = ahash(M.decode_image(M.encode_ppm(base)))
+    a2 = ahash(M.decode_image(M.encode_ppm(bright)))
+    assert a1 == a2
+    assert M.encode_ppm(base) != M.encode_ppm(bright)
+
+
+def test_kmv_overlap_estimates_track_exact(spark, sf_dir):
+    """The estimator contract: every pair's union estimate lands within
+    the KMV error envelope (~1/sqrt(K) ~ 6.25% at K=256; allow 3x for
+    the inclusion-exclusion amplification on jaccard), sketches never
+    exceed K values, and exact legs obey set algebra."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import KMV_K
+
+    rows = QUERIES["q_kmv_overlap"](spark, sf_dir).collect()
+    assert len(rows) == 190  # 20 sources -> C(20,2) pairs
+    for r in rows:
+        assert r["exact_union"] > 0
+        assert 0 <= r["exact_jaccard_bp"] <= 10000
+        # union estimate within 3 standard errors of exact
+        assert r["union_err_bp"] <= 3 * 10000 // int(KMV_K ** 0.5)
+    # the estimator must track the exact jaccard ORDER on average:
+    # correlation proxy — mean absolute jaccard error bounded
+    errs = [abs(r["est_jaccard_bp"] - r["exact_jaccard_bp"]) for r in rows]
+    assert sum(errs) / len(errs) < 1500
