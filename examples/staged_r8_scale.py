@@ -38,6 +38,7 @@ BIG_DIR = {
     "q_time_decay": "/tmp/sf_events100x",
     "q_media_phash": "/tmp/sf_family100x",
     "q_kmv_overlap": "/tmp/sf_family100x",
+    "q_audio_fingerprint": "/tmp/sf_family100x",
 }
 
 

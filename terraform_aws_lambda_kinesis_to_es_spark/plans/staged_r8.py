@@ -56,6 +56,12 @@ surface lacks today:
   partitions (the operation HLL famously cannot intersect), completing
   the family: CMS counts, HLL distincts, histogram quantiles, Bloom
   membership, KMV overlap.
+- ``q_audio_fingerprint``: energy-profile fingerprint of every
+  document's audio payload through the REAL RIFF/WAVE PCM decoder
+  (q_media_audio_stats framing): windowed |sample| energies, bit w set
+  iff the window is above the clip mean (integer form) — the audio
+  analogue of q_media_phash, hash-bucketed duplicate clips by one
+  keyed shuffle.
 """
 
 from __future__ import annotations
@@ -635,6 +641,75 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- audio fingerprint
+
+AF_WINDOWS = 8  # 32 mono int16 samples -> 8 windows of 4
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup stage 1: each document's text bytes are framed as
+    a valid RIFF/WAVE mono 16-bit PCM clip (q_media_audio_stats's exact
+    framing), decoded by the REAL chunk-walking WAV parser inside Arrow
+    mapInPandas, and fingerprinted on its ENERGY PROFILE: the 32-sample
+    clip splits into AF_WINDOWS windows, energy[w] = sum |s| over the
+    window (integer), bit w set iff AF_WINDOWS * energy[w] >
+    sum(all energies) — the strictly-greater integer form of "window
+    louder than the clip mean", the same no-float rule as
+    q_media_phash. Output (doc_id, afp, n_same): duplicate clips group
+    by ONE keyed shuffle on the 8-bit fingerprint.
+
+    The energy-profile hash is loudness-SHAPE sensitive but overall-gain
+    tolerant (scaling every sample leaves above-mean bits unchanged) —
+    the property a byte digest lacks, pytest-pinned. The oracle
+    re-derives every little-endian int16 arithmetically from
+    hex(encode(text)) and mirrors the windowed bits."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        _wav_header,
+        AUDIO_BYTES,
+    )
+
+    docs = load_split(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(substring(encode(text, 'UTF-8'), 1, {AUDIO_BYTES}),"
+        f" {AUDIO_BYTES}, X'20')"
+    )
+    framed = docs.select(
+        "doc_id", F.concat(F.lit(_wav_header(AUDIO_BYTES)), body).alias("payload")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = M.decode_audio(bytes(payload))
+                s = np.abs(samples.astype(np.int64)).reshape(-1)
+                win = s.reshape(AF_WINDOWS, -1).sum(axis=1)
+                total = int(win.sum())
+                afp = 0
+                for w, e in enumerate(win.tolist()):
+                    if AF_WINDOWS * e > total:
+                        afp |= 1 << w
+                ids.append(doc_id)
+                fps.append(afp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    hashed = framed.mapInPandas(gen, "doc_id long, afp long").persist()
+    groups = hashed.groupBy("afp").agg(F.count("*").cast("bigint").alias("n_same"))
+    return hashed.join(groups, "afp").select("doc_id", "afp", "n_same")
+
+
 QUERIES = {
     "q_url_canonical": q_url_canonical,
     "q_weighted_reservoir": q_weighted_reservoir,
@@ -644,6 +719,7 @@ QUERIES = {
     "q_time_decay": q_time_decay,
     "q_media_phash": q_media_phash,
     "q_kmv_overlap": q_kmv_overlap,
+    "q_audio_fingerprint": q_audio_fingerprint,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -970,6 +1046,53 @@ SELECT e.src_a, e.src_b, e.est_union,
 FROM est e JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
 """
 
+# little-endian int16 parse, identical to the q_media_audio_stats oracle
+_AF_BYTES = 64  # multimodal_queries.AUDIO_BYTES (32 mono int16 samples)
+_AF_SAMPLE = (
+    "CASE WHEN CAST(('0x' || substring(hx, 4*{i} - 3, 2)) AS INT)"
+    "        + 256 * CAST(('0x' || substring(hx, 4*{i} - 1, 2)) AS INT)"
+    "       >= 32768"
+    "     THEN CAST(('0x' || substring(hx, 4*{i} - 3, 2)) AS INT)"
+    "        + 256 * CAST(('0x' || substring(hx, 4*{i} - 1, 2)) AS INT)"
+    "        - 65536"
+    "     ELSE CAST(('0x' || substring(hx, 4*{i} - 3, 2)) AS INT)"
+    "        + 256 * CAST(('0x' || substring(hx, 4*{i} - 1, 2)) AS INT)"
+    " END"
+)
+
+_AFP_SQL = f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(substring(hex(encode(text)), 1, {_AF_BYTES * 2}),
+              {_AF_BYTES * 2}, '20') AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, {_AF_BYTES // 2}),
+                        i -> abs({_AF_SAMPLE.format(i="i")})) AS sa
+  FROM body
+),
+e AS (
+  SELECT doc_id,
+         list_transform(range(0, {AF_WINDOWS}),
+                        w -> sa[4*w + 1] + sa[4*w + 2]
+                           + sa[4*w + 3] + sa[4*w + 4]) AS win
+  FROM s
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {AF_WINDOWS}),
+              w -> CASE WHEN {AF_WINDOWS} * win[w + 1] > list_sum(win)
+                        THEN (CAST(1 AS BIGINT) << w) ELSE 0 END)) AS BIGINT)
+           AS afp
+  FROM e
+)
+SELECT doc_id, afp,
+       CAST(COUNT(*) OVER (PARTITION BY afp) AS BIGINT) AS n_same
+FROM h
+"""
+
 ORACLES = {
     "q_url_canonical": _URL_SQL,
     "q_weighted_reservoir": _RESERVOIR_SQL,
@@ -979,4 +1102,5 @@ ORACLES = {
     "q_time_decay": _DECAY_SQL,
     "q_media_phash": _PHASH_SQL,
     "q_kmv_overlap": _KMV_SQL,
+    "q_audio_fingerprint": _AFP_SQL,
 }

@@ -275,3 +275,44 @@ def test_kmv_overlap_estimates_track_exact(spark, sf_dir):
     # correlation proxy — mean absolute jaccard error bounded
     errs = [abs(r["est_jaccard_bp"] - r["exact_jaccard_bp"]) for r in rows]
     assert sum(errs) / len(errs) < 1500
+
+
+def test_audio_fingerprint_gain_tolerance(spark, sf_dir):
+    """Energy-profile invariants through the REAL WAV decoder: groups
+    count exactly; the fingerprint is 8-bit; and a gain-scaled copy of
+    a clip keeps the SAME fingerprint (above-mean bits are scale
+    invariant) while the payload bytes differ — the property a byte
+    digest lacks."""
+    from collections import Counter
+
+    import numpy as np
+    import struct
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        _wav_header,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+        AF_WINDOWS,
+    )
+
+    rows = QUERIES["q_audio_fingerprint"](spark, sf_dir).collect()
+    by_fp = Counter(r["afp"] for r in rows)
+    for r in rows:
+        assert r["n_same"] == by_fp[r["afp"]]
+        assert 0 <= r["afp"] < (1 << AF_WINDOWS)
+    assert any(n > 1 for n in by_fp.values())
+
+    def fp_of(samples):
+        payload = _wav_header(len(samples) * 2) + struct.pack(
+            f"<{len(samples)}h", *samples
+        )
+        s, _ = M.decode_audio(payload)
+        win = np.abs(s.astype(np.int64)).reshape(AF_WINDOWS, -1).sum(axis=1)
+        total = int(win.sum())
+        return sum(1 << w for w, e in enumerate(win.tolist()) if AF_WINDOWS * e > total)
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(-3000, 3000, size=32).tolist()
+    doubled = [2 * x for x in base]
+    assert fp_of(base) == fp_of(doubled)
