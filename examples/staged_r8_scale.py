@@ -39,6 +39,7 @@ BIG_DIR = {
     "q_media_phash": "/tmp/sf_family100x",
     "q_kmv_overlap": "/tmp/sf_family100x",
     "q_audio_fingerprint": "/tmp/sf_family100x",
+    "q_mmr_diversify": "/tmp/sf_family100x",
 }
 
 

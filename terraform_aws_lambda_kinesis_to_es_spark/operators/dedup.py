@@ -255,10 +255,11 @@ def prefix_filtered_pairs(
     return pairs.distinct()
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (LSH_BANDS bands x LSH_ROWS rows); candidates are
-    ids sharing any (band, band_key) bucket. Single signature pass, single
-    keyed shuffle (see pairs_within_buckets)."""
+def banded_keys(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a 64-perm signature into its (id, band, bkey) LSH bucket
+    rows (LSH_BANDS bands x LSH_ROWS rows per band) — the row-local
+    banding shared by the batch pipeline (lsh_candidate_pairs) and the
+    persisted-index path (save/probe_lsh_index)."""
     bands = F.array(
         *[
             F.struct(
@@ -270,11 +271,17 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for j in range(LSH_BANDS)
         ]
     )
-    exploded = (
+    return (
         sig_df.select(F.col(id_col), F.explode(bands).alias("b"))
         .select(id_col, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
     )
-    return pairs_within_buckets(exploded, ["band", "bkey"], id_col)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (LSH_BANDS bands x LSH_ROWS rows); candidates are
+    ids sharing any (band, band_key) bucket. Single signature pass, single
+    keyed shuffle (see pairs_within_buckets)."""
+    return pairs_within_buckets(banded_keys(sig_df, id_col), ["band", "bkey"], id_col)
 
 
 def verify_pairs_jaccard(
@@ -748,3 +755,153 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+# ------------------------------------------------- persisted LSH index (r7)
+#
+# The build-once/serve-many form of the MinHash+LSH near-dup pipeline —
+# the text-side sibling of similarity.save_ivfpq_index. At 100 TB the
+# standing corpus is NEVER re-shingled per ingest batch: its banded
+# bucket rows and shingle-hash sets live as parquet tables, and each new
+# batch probes them with one (band, bkey) equi-join.
+
+
+def save_lsh_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the near-dup index as two parquet artifacts under
+    ``path``:
+
+    * ``buckets`` — (id, band, bkey), PARTITIONED BY band: one row per
+      (doc, band), the LSH join surface. Probes are (band, bkey)
+      equi-joins, so at rest each band's rows cluster into its own
+      files — band-parallel compaction and band-local shuffles.
+    * ``shingles`` — (id, sh_hashes): the 64-bit shingle-hash sets the
+      exact-Jaccard verify step needs (hashes, not strings — the ~3x
+      smaller representation minhash_dedup_pairs already standardized).
+
+    Docs with empty shingle sets are excluded exactly as in the batch
+    pipeline (they cannot near-duplicate anything; their sentinel
+    signatures would collide into one hot bucket)."""
+    shingled = (
+        with_hashed_shingles(df, text_col)
+        .filter(F.size("sh_hashes") > 0)
+        .select(id_col, "sh_hashes")
+        .persist()
+    )
+    try:
+        sig = with_minhash_signature(shingled, shingle_col="sh_hashes", prehashed=True)
+        banded_keys(sig, id_col).write.partitionBy("band").mode("overwrite").parquet(
+            f"{path}/buckets"
+        )
+        shingled.write.mode("overwrite").parquet(f"{path}/shingles")
+    finally:
+        shingled.unpersist()
+
+
+def extend_lsh_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Append a new batch to a saved index (the incremental-ingest write
+    half): the batch's bucket rows and shingle sets land in the same two
+    artifacts in append mode. Ids must be new — the index carries no
+    tombstones (replacing a doc means compacting the index, exactly like
+    any append-only table)."""
+    shingled = (
+        with_hashed_shingles(df, text_col)
+        .filter(F.size("sh_hashes") > 0)
+        .select(id_col, "sh_hashes")
+        .persist()
+    )
+    try:
+        sig = with_minhash_signature(shingled, shingle_col="sh_hashes", prehashed=True)
+        banded_keys(sig, id_col).write.partitionBy("band").mode("append").parquet(
+            f"{path}/buckets"
+        )
+        shingled.write.mode("append").parquet(f"{path}/shingles")
+    finally:
+        shingled.unpersist()
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back (buckets, shingles) written by :func:`save_lsh_index`."""
+    return (
+        spark.read.parquet(f"{path}/buckets"),
+        spark.read.parquet(f"{path}/shingles"),
+    )
+
+
+def probe_lsh_index(
+    buckets: DataFrame,
+    shingles: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_bp: int = 5000,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch — against the standing
+    corpus AND within the batch — without touching the corpus text:
+
+    * new-vs-index candidates: the batch's banded keys equi-join the
+      loaded ``buckets`` on (band, bkey) — the corpus contributes only
+      its (id, band, bkey) rows, read once;
+    * new-vs-new candidates: pairs_within_buckets over the batch's own
+      banded keys (the batch is usually small — this is the cheap leg);
+    * exact verify: one-intersect cross-multiplied Jaccard threshold
+      over the union of the loaded ``shingles`` and the batch's sets.
+
+    Output (doc_a, doc_b, jaccard_bp) with doc_a < doc_b — IDENTICAL to
+    what the full-batch ``minhash_dedup_pairs`` over (corpus + batch)
+    emits for pairs involving a batch doc (pinned by
+    tests/test_components.py::test_lsh_index_probe_equals_batch): the
+    banding is per-doc, so bucket co-membership is the same whether the
+    corpus was banded in this job or last month's."""
+    new_sh = (
+        with_hashed_shingles(new_docs, text_col)
+        .filter(F.size("sh_hashes") > 0)
+        .select(id_col, "sh_hashes")
+        .persist()
+    )
+    new_sig = with_minhash_signature(new_sh, shingle_col="sh_hashes", prehashed=True)
+    nb = banded_keys(new_sig, id_col).persist()
+
+    old_b = buckets.select(
+        F.col(id_col).alias("_old_id"), "band", "bkey"
+    )
+    cand_no = (
+        nb.join(old_b, ["band", "bkey"])
+        .filter(F.col(id_col) != F.col("_old_id"))
+        .select(
+            F.least(F.col(id_col), F.col("_old_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("_old_id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_nn = pairs_within_buckets(nb, ["band", "bkey"], id_col)
+    cands = cand_no.unionByName(cand_nn).distinct()
+
+    all_sh = shingles.select(id_col, "sh_hashes").unionByName(new_sh).dropDuplicates(
+        [id_col]
+    )
+    sa = all_sh.select(F.col(id_col).alias("id_a"), F.col("sh_hashes").alias("sh_a"))
+    sb = all_sh.select(F.col(id_col).alias("id_b"), F.col("sh_hashes").alias("sh_b"))
+    out = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.expr(
+                f"{10000 + threshold_bp} * size(array_intersect(sh_a, sh_b))"
+                f" >= {threshold_bp} * (size(sh_a) + size(sh_b))"
+            )
+        )
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.expr(
+                "CAST((10000 * _isz)"
+                " DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return out

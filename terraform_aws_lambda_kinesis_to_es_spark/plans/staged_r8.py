@@ -62,6 +62,13 @@ surface lacks today:
   iff the window is above the clip mean (integer form) — the audio
   analogue of q_media_phash, hash-bucketed duplicate clips by one
   keyed shuffle.
+- ``q_mmr_diversify``: Maximal Marginal Relevance re-ranking
+  (Carbonell & Goldstein, SIGIR'98) of a cosine-retrieval shortlist —
+  greedy lambda*rel - (1-lambda)*max-sim-to-selected selection, the
+  standard result-diversification step after ANN/hybrid retrieval.
+  Corpus work is ONE cosine scan (the shortlist top-k); the greedy
+  loop runs over the bounded 20-row shortlist, unrolled in the oracle
+  as fixed CTE steps.
 """
 
 from __future__ import annotations
@@ -74,9 +81,15 @@ from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     hash60_sql,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
 from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
     _SHINGLES,
     JACCARD_THRESHOLD_BP,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+    _cosine_sql,
+    _vec,
+    _VEC_CTE,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import _TOKS
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
@@ -710,6 +723,99 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(groups, "afp").select("doc_id", "afp", "n_same")
 
 
+# -------------------------------------------------------------------- MMR
+
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_QUERY_VEC_ID = 0
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from the top-MMR_POOL cosine shortlist for the id-0 query
+    vector, greedily select MMR_K results maximizing
+    lambda * rel(c) - (1 - lambda) * max sim(c, s) over selected s —
+    relevance traded against redundancy, the diversification step run
+    after ANN/hybrid retrieval. Output (rank, doc_id, rel, score); the
+    first pick scores its bare relevance (no penalty term exists yet).
+
+    Determinism / cross-engine exactness: rel and pairwise sims are
+    ROUND(cosine, 4) doubles over the house bit-identical fold; the MMR
+    score is 0.7*rel - 0.3*maxsim — IEEE multiply/subtract on identical
+    doubles is exact, so comparisons agree; ties break to lowest id.
+    The displayed score is ROUND(score, 5): the true value has at most
+    5 decimals (one-decimal lambda x four-decimal inputs), so the
+    rounding is exact and midpoint-free on both engines.
+
+    Scale shape: corpus-sized work is exactly ONE cosine scan ending in
+    a distributed TakeOrdered(MMR_POOL); the pairwise-sim matrix and
+    every greedy step run over the bounded 20-row shortlist (broadcast
+    joins on <= 20-row frames). The greedy loop is unrolled driver-side
+    into a fixed MMR_K-step plan — no collect, no Python on data."""
+    vecs = _vec(spark, sf_dir)
+    qv = vecs.filter(F.col("vec_id") == MMR_QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    short = (
+        vecs.filter(F.col("vec_id") != MMR_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "v",
+            F.round(S.cosine(F.col("v"), F.col("qv")), 4).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(MMR_POOL)
+        .persist()
+    )
+    a = short.select(F.col("doc_id").alias("ida"), F.col("v").alias("va"))
+    b = short.select(F.col("doc_id").alias("idb"), F.col("v").alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select(
+            "ida", "idb", F.round(S.cosine(F.col("va"), F.col("vb")), 4).alias("sim")
+        )
+        .persist()
+    )
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    selected = (
+        short.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("rank"),
+            "doc_id",
+            "rel",
+            F.round(F.col("rel"), 5).alias("score"),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        remaining = short.join(
+            selected.select("doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", "rel")
+        pen = (
+            sims.join(
+                selected.select(F.col("doc_id").alias("idb")), "idb"
+            )
+            .groupBy(F.col("ida").alias("doc_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            remaining.join(pen, "doc_id")
+            .withColumn("mmr", lam * F.col("rel") - mu * F.col("maxsim"))
+            .orderBy(F.col("mmr").desc(), F.col("doc_id"))
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("rank"),
+                "doc_id",
+                "rel",
+                F.round(F.col("mmr"), 5).alias("score"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected
+
+
 QUERIES = {
     "q_url_canonical": q_url_canonical,
     "q_weighted_reservoir": q_weighted_reservoir,
@@ -720,6 +826,7 @@ QUERIES = {
     "q_media_phash": q_media_phash,
     "q_kmv_overlap": q_kmv_overlap,
     "q_audio_fingerprint": q_audio_fingerprint,
+    "q_mmr_diversify": q_mmr_diversify,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -1093,6 +1200,57 @@ SELECT doc_id, afp,
 FROM h
 """
 
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as fixed CTE steps: shortlist + full pairwise
+    sim matrix, then one CTE per rank — each picks the argmax of
+    0.7*rel - 0.3*(max sim to everything already selected), ties to
+    lowest id, excluding prior picks. Mirrors the Spark loop exactly."""
+    lam, mu = MMR_LAMBDA, round(1.0 - MMR_LAMBDA, 10)
+    steps = ["sel1 AS (SELECT doc_id, rel FROM short ORDER BY rel DESC, doc_id LIMIT 1)"]
+    unions = ["SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel, ROUND(rel, 5) AS score FROM sel1"]
+    prev_union = "SELECT doc_id FROM sel1"
+    for k in range(2, MMR_K + 1):
+        steps.append(f"""
+        sel{k} AS (
+          SELECT s.doc_id, s.rel,
+                 {lam} * s.rel - {mu} * (
+                   SELECT MAX(p.sim) FROM sims p
+                   WHERE p.ida = s.doc_id AND p.idb IN ({prev_union})
+                 ) AS mmr
+          FROM short s
+          WHERE s.doc_id NOT IN ({prev_union})
+          ORDER BY mmr DESC, s.doc_id LIMIT 1
+        )""")
+        unions.append(
+            f"SELECT CAST({k} AS BIGINT) AS rank, doc_id, rel,"
+            f" ROUND(mmr, 5) AS score FROM sel{k}"
+        )
+        prev_union += f" UNION ALL SELECT doc_id FROM sel{k}"
+    return f"""
+        WITH vecs AS ({_VEC_CTE}),
+        q AS (SELECT v AS qv FROM vecs WHERE vec_id = {MMR_QUERY_VEC_ID}),
+        -- MATERIALIZED: the 64-term cosine fold is a huge expression; the
+        -- greedy steps reference short/sims many times, and CTE inlining
+        -- would replicate the fold per reference (planner OOM, measured)
+        short AS MATERIALIZED (
+          SELECT c.vec_id AS doc_id, c.v,
+                 ROUND({_cosine_sql("c.v", "q.qv")}, 4) AS rel
+          FROM vecs c CROSS JOIN q
+          WHERE c.vec_id <> {MMR_QUERY_VEC_ID}
+          QUALIFY ROW_NUMBER() OVER (
+            ORDER BY ROUND({_cosine_sql("c.v", "q.qv")}, 4) DESC, c.vec_id
+          ) <= {MMR_POOL}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 ROUND({_cosine_sql("a.v", "b.v")}, 4) AS sim
+          FROM short a JOIN short b ON a.doc_id <> b.doc_id
+        ),
+        {",".join(steps)}
+        {" UNION ALL ".join(unions)}
+    """
+
+
 ORACLES = {
     "q_url_canonical": _URL_SQL,
     "q_weighted_reservoir": _RESERVOIR_SQL,
@@ -1103,4 +1261,5 @@ ORACLES = {
     "q_media_phash": _PHASH_SQL,
     "q_kmv_overlap": _KMV_SQL,
     "q_audio_fingerprint": _AFP_SQL,
+    "q_mmr_diversify": _mmr_sql(),
 }

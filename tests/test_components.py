@@ -429,3 +429,58 @@ def test_suggest_files_per_trigger_model():
         suggest_files_per_trigger(0)
     with pytest.raises(ValueError):
         suggest_files_per_trigger(5000, max_overhead_fraction=1.5)
+
+
+def test_lsh_index_probe_equals_batch(spark, sf_dir, tmp_path):
+    """save_lsh_index -> probe_lsh_index must emit EXACTLY the pairs the
+    full-batch minhash_dedup_pairs over (corpus + batch) emits for pairs
+    involving a batch doc — the build-once/serve-many contract of the
+    incremental ingest path (banding is per-doc, so bucket co-membership
+    is identical whether the corpus was banded now or at save time).
+    Also pins the at-rest layout (buckets hive-partitioned by band) and
+    extend_lsh_index equivalence with a from-scratch rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "lsh")
+    D.save_lsh_index(old, path)
+
+    parts = [d for d in os.listdir(f"{path}/buckets") if d.startswith("band=")]
+    assert parts, "buckets must be hive-partitioned by band"
+
+    buckets, shingles = D.load_lsh_index(spark, path)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in D.probe_lsh_index(buckets, shingles, new).collect()
+    }
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in D.minhash_dedup_pairs(docs).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert got == want
+    assert want, "fixture must exercise cross-batch near-dups"
+    # both legs fire: at least one pair crosses old<->new
+    assert any((a in new_ids) != (b in new_ids) for a, b, _ in want)
+
+    # extend: appending the batch makes the index equal a from-scratch
+    # rebuild over the union (same rows, any order)
+    D.extend_lsh_index(new, path)
+    b2, s2 = D.load_lsh_index(spark, path)
+    path_full = str(tmp_path / "lsh_full")
+    D.save_lsh_index(docs, path_full)
+    bf, sf = D.load_lsh_index(spark, path_full)
+    assert sorted(map(tuple, b2.collect())) == sorted(map(tuple, bf.collect()))
+    assert (
+        sorted((r["doc_id"], tuple(r["sh_hashes"])) for r in s2.collect())
+        == sorted((r["doc_id"], tuple(r["sh_hashes"])) for r in sf.collect())
+    )

@@ -316,3 +316,57 @@ def test_audio_fingerprint_gain_tolerance(spark, sf_dir):
     base = rng.randint(-3000, 3000, size=32).tolist()
     doubled = [2 * x for x in base]
     assert fp_of(base) == fp_of(doubled)
+
+
+def test_mmr_diversify_tradeoff(spark, sf_dir):
+    """MMR invariants: exactly K ranked rows from the POOL shortlist;
+    rank 1 is the relevance argmax; every later score <= lambda * its
+    rel (the penalty only subtracts); scores are non-increasing in rank
+    (greedy argmax over a shrinking candidate set of a submodular-style
+    objective... pinned empirically on the fixed fixtures); and the
+    selection diversifies: it is NOT simply the top-K by relevance
+    (otherwise the penalty term did nothing on this corpus)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        MMR_QUERY_VEC_ID,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+        _vec,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        QUERIES["q_mmr_diversify"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, MMR_K + 1))
+    assert rows[0]["score"] == round(rows[0]["rel"], 5)
+    # score = lambda*rel - (1-lambda)*maxsim with maxsim in [-1, 1]
+    # (cosines go NEGATIVE, so the penalty term can ADD up to 1-lambda)
+    for r in rows[1:]:
+        assert r["score"] <= MMR_LAMBDA * r["rel"] + (1 - MMR_LAMBDA) + 1e-9
+        assert r["score"] >= MMR_LAMBDA * r["rel"] - (1 - MMR_LAMBDA) - 1e-9
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    vecs = _vec(spark, sf_dir)
+    qv = vecs.filter(F.col("vec_id") == MMR_QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    top_rel = [
+        r["doc_id"]
+        for r in vecs.filter(F.col("vec_id") != MMR_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(S.cosine(F.col("v"), F.col("qv")), 4).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(MMR_K)
+        .collect()
+    ]
+    assert [r["doc_id"] for r in rows] != top_rel
+    assert len({r["doc_id"] for r in rows}) == MMR_K
