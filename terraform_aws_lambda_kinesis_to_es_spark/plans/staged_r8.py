@@ -248,7 +248,11 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Z_BITS = 8          # bits per dimension -> 16-bit z-value
 Z_FILE_SHIFT = 10   # z >> shift = file id -> up to 64 z-files
-LIN_FILE_DIV = 64   # linear layout: date bucket DIV -> ~4 files' worth each
+# linear layout: date bucket DIV 4 -> up to 64 files, the SAME file
+# count the z >> 10 cut yields — the pruning comparison is fair only at
+# equal granularity (a coarser linear layout would understate linear
+# pruning for free)
+LIN_FILE_DIV = 4
 Z_PRED_LO, Z_PRED_HI = 64, 95  # the audited predicate: cx in [64, 95]
 
 
