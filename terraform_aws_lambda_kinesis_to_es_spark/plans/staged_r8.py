@@ -377,7 +377,11 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_CONFIGS = ((32, 2), (16, 4), (8, 8))  # (bands, rows): b*r = N_PERM = 64
 
 
-def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_tuning(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Band/row sensitivity sweep over ONE shared 64-permutation portable
     signature: for each (bands, rows) config, the banded candidate pairs
     are generated (same pairs_within_buckets shape as the production
@@ -397,6 +401,8 @@ def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.with_minhash_signature(
         sh.filter(F.size("shingles") > 0), portable=True
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(sig)
     legs = []
     for bands, rows in LSH_CONFIGS:
         band_arr = F.array(
@@ -485,7 +491,11 @@ PH_W, PH_H = 8, 4  # q_media_decode's framing: 8x4 RGB = 96 body bytes
 PH_PIXELS = PH_W * PH_H
 
 
-def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_phash(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Perceptual image dedup via average-hash (aHash): each document's
     text bytes are framed as a valid binary-PPM exactly like
     q_media_decode (header + rpad-to-96-byte body), decoded by the REAL
@@ -536,6 +546,8 @@ def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashed = framed.mapInPandas(gen, "doc_id long, ahash long").persist()
+    if cache_registry is not None:
+        cache_registry.append(hashed)
     groups = hashed.groupBy("ahash").agg(F.count("*").cast("bigint").alias("n_same"))
     return hashed.join(groups, "ahash").select("doc_id", "ahash", "n_same")
 
@@ -547,7 +559,11 @@ KMV_NGRAM = 3
 _POW60 = 1 << 60
 
 
-def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmv_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Source-pair set-overlap estimation with KMV (k-minimum-values /
     bottom-k theta) sketches, audited against exact values. Per source,
     the sketch is the K smallest distinct hash60 values of its word
@@ -588,6 +604,8 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(sg)
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy(F.col("h").asc())
@@ -663,7 +681,11 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 AF_WINDOWS = 8  # 32 mono int16 samples -> 8 windows of 4
 
 
-def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audio_fingerprint(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Audio near-dup stage 1: each document's text bytes are framed as
     a valid RIFF/WAVE mono 16-bit PCM clip (q_media_audio_stats's exact
     framing), decoded by the REAL chunk-walking WAV parser inside Arrow
@@ -723,6 +745,8 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashed = framed.mapInPandas(gen, "doc_id long, afp long").persist()
+    if cache_registry is not None:
+        cache_registry.append(hashed)
     groups = hashed.groupBy("afp").agg(F.count("*").cast("bigint").alias("n_same"))
     return hashed.join(groups, "afp").select("doc_id", "afp", "n_same")
 
@@ -735,7 +759,11 @@ MMR_LAMBDA = 0.7
 MMR_QUERY_VEC_ID = 0
 
 
-def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mmr_diversify(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98): from the top-MMR_POOL cosine shortlist for the id-0 query
     vector, greedily select MMR_K results maximizing
@@ -773,6 +801,8 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(MMR_POOL)
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(short)
     a = short.select(F.col("doc_id").alias("ida"), F.col("v").alias("va"))
     b = short.select(F.col("doc_id").alias("idb"), F.col("v").alias("vb"))
     sims = (
@@ -782,6 +812,8 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(sims)
     lam, mu = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
     selected = (
         short.orderBy(F.col("rel").desc(), F.col("doc_id"))
