@@ -188,7 +188,16 @@ def main() -> None:
         for n, ref in CANARY_REFS.items()
         if timings.get(n) is not None
     )
-    canary_factor = round(ratios[len(ratios) // 2], 3) if ratios else None
+    # true median: with an even count (one canary errored) the naive
+    # middle index returns the MAX of two, letting a single inflated
+    # canary set the factor instead of being damped
+    if not ratios:
+        canary_factor = None
+    elif len(ratios) % 2:
+        canary_factor = round(ratios[len(ratios) // 2], 3)
+    else:
+        mid = len(ratios) // 2
+        canary_factor = round((ratios[mid - 1] + ratios[mid]) / 2, 3)
     print(
         json.dumps(
             {

@@ -52,7 +52,8 @@ def main() -> None:
     for i, batch in enumerate(batches):
         buckets, shingles = D.load_lsh_index(spark, path)
         t0 = time.time()
-        hits = D.probe_lsh_index(buckets, shingles, batch)
+        reg = []  # standing loop: release the probe's cached frames per batch
+        hits = D.probe_lsh_index(buckets, shingles, batch, cache_registry=reg)
         n_pairs = hits.count()
         dup_ids = hits.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
@@ -66,6 +67,8 @@ def main() -> None:
         t0 = time.time()
         D.extend_lsh_index(batch, path)
         print(f"batch {i} appended to the index in {time.time() - t0:.1f}s")
+        for f in reg:
+            f.unpersist()
 
     spark.stop()
 

@@ -838,6 +838,7 @@ def probe_lsh_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_bp: int = 5000,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch — against the standing
     corpus AND within the batch — without touching the corpus text:
@@ -855,7 +856,14 @@ def probe_lsh_index(
     emits for pairs involving a batch doc (pinned by
     tests/test_components.py::test_lsh_index_probe_equals_batch): the
     banding is per-doc, so bucket co-membership is the same whether the
-    corpus was banded in this job or last month's."""
+    corpus was banded in this job or last month's.
+
+    Cache lifecycle: the batch's shingle and banded-key frames persist
+    inside the returned lazy plan (each feeds two consumers). One-shot
+    callers rely on clearCache/LRU; a STANDING serving loop (one probe
+    per ingest batch, examples/near_dup_serving.py) passes
+    ``cache_registry`` and unpersists after its terminal action —
+    otherwise it accumulates two cached frames per batch."""
     new_sh = (
         with_hashed_shingles(new_docs, text_col)
         .filter(F.size("sh_hashes") > 0)
@@ -864,6 +872,8 @@ def probe_lsh_index(
     )
     new_sig = with_minhash_signature(new_sh, shingle_col="sh_hashes", prehashed=True)
     nb = banded_keys(new_sig, id_col).persist()
+    if cache_registry is not None:
+        cache_registry.extend((new_sh, nb))
 
     old_b = buckets.select(
         F.col(id_col).alias("_old_id"), "band", "bkey"

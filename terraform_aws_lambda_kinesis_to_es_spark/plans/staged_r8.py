@@ -344,19 +344,29 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one keyed exchange. The fastText trick (hashing trick, no
     vocabulary) is exactly what makes this viable at 100 TB."""
     docs = load_split(spark, sf_dir, "documents")
-    toks = F.expr("filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')")
-    grams = F.concat(
-        toks,
-        F.expr(
-            "zip_with(slice(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''), 1,"
-            " size(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')) - 1),"
-            " slice(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''), 2,"
-            " size(filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''))),"
-            " (a, b) -> concat(a, ' ', b))"
+    # tokenize ONCE into an aliased column — Catalyst inlines shared
+    # projections into every reference rather than CSE-ing them (the
+    # with_minhash_signature lesson), so repeating the regex split per
+    # use would pay it 5x per row. Bigram slice lengths are size-1 for
+    # BOTH sides, guarded: slice with a negative length is a runtime
+    # error on a zero-token doc (empty/whitespace text — routine in
+    # crawl curation); the empty branch drops the doc exactly like the
+    # oracle's empty unnest.
+    toked = docs.select(
+        "doc_id",
+        F.expr("filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')").alias(
+            "ts"
         ),
     )
+    grams = F.expr(
+        "CASE WHEN size(ts) >= 2 THEN"
+        " concat(ts, zip_with(slice(ts, 1, size(ts) - 1),"
+        "                     slice(ts, 2, size(ts) - 1),"
+        "                     (a, b) -> concat(a, ' ', b)))"
+        " ELSE ts END"
+    )
     feat = (
-        docs.select("doc_id", F.explode(grams).alias("g"))
+        toked.select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", (hash60(F.col("g")) % LQ_DIMS).alias("dim"))
         .distinct()
     )
@@ -419,7 +429,13 @@ def q_lsh_tuning(
         exploded = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
             "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
         )
-        cands = D.pairs_within_buckets(exploded, ["band", "bkey"], "doc_id")
+        # persisted: the candidate subtree (banding shuffle + pair
+        # expansion + distinct) feeds BOTH the volume count and the
+        # verify leg — without it each config runs its dominant shuffle
+        # twice (6 shuffles where 3 suffice)
+        cands = D.pairs_within_buckets(exploded, ["band", "bkey"], "doc_id").persist()
+        if cache_registry is not None:
+            cache_registry.append(cands)
         verified = D.verify_pairs_jaccard(
             cands,
             sig.select("doc_id", "shingles"),
@@ -814,7 +830,11 @@ def q_mmr_diversify(
     )
     if cache_registry is not None:
         cache_registry.append(sims)
-    lam, mu = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    # mu must be the SAME double literal the oracle renders: 1.0 - 0.7
+    # evaluates to 0.30000000000000004 (1 ulp off the parsed literal
+    # 0.3), and the determinism contract rests on identical doubles —
+    # round to the decimal the SQL side parses
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(round(1.0 - MMR_LAMBDA, 10))
     selected = (
         short.orderBy(F.col("rel").desc(), F.col("doc_id"))
         .limit(1)

@@ -175,8 +175,9 @@ def test_time_decay_integer_halving(spark, sf_dir):
     # type a: fresh event 10000 + 7-day-old 5000; type b: 70 days -> >>10
     assert got["a"]["decayed_bp"] == 15000
     assert got["b"]["decayed_bp"] == 10000 >> 10
-    for f in os.listdir(d):
-        pass  # leave tmp for the OS; nothing persisted beyond the test
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def _plan_of(spark, sf_dir, name: str) -> str:
