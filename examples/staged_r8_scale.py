@@ -40,6 +40,10 @@ BIG_DIR = {
     "q_kmv_overlap": "/tmp/sf_family100x",
     "q_audio_fingerprint": "/tmp/sf_family100x",
     "q_mmr_diversify": "/tmp/sf_family100x",
+    "q_ngram_novelty": "/tmp/sf_family100x",
+    # 100x fact + 1x dimension (symlink corpus /tmp/sf_join100x): the
+    # realistic join-growth mode — facts scale, dimensions do not
+    "q_join_size_est": "/tmp/sf_join100x",
 }
 
 

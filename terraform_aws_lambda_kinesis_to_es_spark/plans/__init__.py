@@ -80,7 +80,8 @@ _PROMOTED = (
 # Round-8 head plan (for the next rotation): promote the staged names
 # from plans/staged_r8.py (q_url_canonical, q_weighted_reservoir,
 # q_layout_skipping, q_linear_quality, q_lsh_tuning, q_time_decay,
-# q_media_phash, q_kmv_overlap, q_audio_fingerprint, q_mmr_diversify
+# q_media_phash, q_kmv_overlap, q_audio_fingerprint, q_mmr_diversify,
+# q_ngram_novelty, q_join_size_est (12 names)
 # — oracle-backed, driver-protocol
 # pytest-proven at sf0.001 AND sf0.01,
 # 100x scale evidence in PLANS.md/PERF.md), then the 12-name r3-era

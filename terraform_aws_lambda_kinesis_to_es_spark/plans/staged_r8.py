@@ -69,6 +69,18 @@ surface lacks today:
   Corpus work is ONE cosine scan (the shortlist top-k); the greedy
   loop runs over the bounded 20-row shortlist, unrolled in the oracle
   as fixed CTE steps.
+- ``q_ngram_novelty``: per-source novelty profile — what fraction of a
+  source's distinct 5-gram shingles appears in NO other source — the
+  mix-design signal that says which sources bring unique content vs
+  re-serve shared boilerplate (complements q_dataset_card's dup rate
+  and q_dup_source_matrix's pairwise counts).
+- ``q_join_size_est``: join-cardinality estimation from CMS sketches —
+  |A join B on k| estimated as min over hash rows of the inner product
+  of the two sides' count-min rows (AMS/CMS inner-product estimate,
+  Cormode & Muthukrishnan '05), audited against the exact join count.
+  The optimizer-statistics shape: two fixed-size mergeable sketches
+  meet in a 2048-cell product instead of a shuffle — and the estimate
+  is an OVERESTIMATE by construction, pinned.
 """
 
 from __future__ import annotations
@@ -872,6 +884,110 @@ def q_mmr_diversify(
     return selected
 
 
+# ------------------------------------------------------------ n-gram novelty
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty profile: of a source's DISTINCT 5-gram
+    shingles, how many appear in no other source (novel), and the
+    novelty rate in bp — which sources bring unique content to a
+    pretraining mix vs re-serving shared boilerplate. Complements
+    q_dataset_card (per-source dup rate) and q_dup_source_matrix
+    (pairwise dup counts) with the set-uniqueness view.
+
+    Scale shape: one shingle explode -> distinct (source, gram) -> a
+    gram-keyed aggregate counting sources per gram -> a source-keyed
+    rollup. Two keyed exchanges, both map-side combining; no pair
+    expansion anywhere (novelty needs per-gram source COUNTS, not the
+    source pairs)."""
+    docs = load_split(spark, sf_dir, "documents")
+    sg = (
+        D.with_shingles(docs)
+        .select("source", F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    per_gram = sg.groupBy("g").agg(F.count("*").alias("n_sources"))
+    return (
+        sg.join(per_gram, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_bp", F.expr("CAST((10000 * n_novel) DIV n_grams AS BIGINT)")
+        )
+    )
+
+
+# ----------------------------------------------------------- join size est
+
+JSE_DEPTH = 4
+JSE_WIDTH = 512
+
+
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches (the
+    AMS/CMS inner-product estimator, Cormode & Muthukrishnan '05):
+    |orders JOIN customer ON custkey| = sum_k f_A(k) * f_B(k) is
+    estimated as min over hash rows j of dot(cms_A[j], cms_B[j]) —
+    collisions only ADD cross terms, so the estimate is an
+    OVERESTIMATE by construction (pinned) — next to the exact join
+    count and the error in bp.
+
+    This is the optimizer-statistics shape: each side reduces to a
+    fixed DEPTH x WIDTH = 2048-cell MERGEABLE sketch (map-side partial
+    aggregation does ~all the work), the sketches meet in a 2048-row
+    equi-join, and no corpus-sized shuffle exists on the estimate path
+    — the exact leg is the audit, which a 100 TB planner would not
+    run. One output row: (est_join, exact_join, err_bp)."""
+    orders = load_split(spark, sf_dir, "orders")
+    cust = load_split(spark, sf_dir, "customer")
+
+    def cms(df: DataFrame, key) -> DataFrame:
+        cells = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            (
+                                hash60(F.concat(F.lit(f"{j}:"), key.cast("string")))
+                                % JSE_WIDTH
+                            ).alias("bucket"),
+                        )
+                        for j in range(JSE_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        return cells.groupBy("cell.j", "cell.bucket").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+    a = cms(orders, F.col("o_custkey")).withColumnRenamed("cnt", "ca")
+    b = cms(cust, F.col("c_custkey")).withColumnRenamed("cnt", "cb")
+    est = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").cast("bigint").alias("est_join"))
+    )
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .join(cust.select(F.col("c_custkey").alias("k")), "k")
+        .agg(F.count("*").cast("bigint").alias("exact_join"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join",
+        "exact_join",
+        F.expr(
+            "CAST((10000 * (est_join - exact_join)) DIV exact_join AS BIGINT)"
+        ).alias("err_bp"),
+    )
+
+
 QUERIES = {
     "q_url_canonical": q_url_canonical,
     "q_weighted_reservoir": q_weighted_reservoir,
@@ -883,6 +999,8 @@ QUERIES = {
     "q_kmv_overlap": q_kmv_overlap,
     "q_audio_fingerprint": q_audio_fingerprint,
     "q_mmr_diversify": q_mmr_diversify,
+    "q_ngram_novelty": q_ngram_novelty,
+    "q_join_size_est": q_join_size_est,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -1307,6 +1425,52 @@ def _mmr_sql() -> str:
     """
 
 
+_NOVELTY_SQL = f"""
+WITH sg AS (
+  SELECT DISTINCT source, g
+  FROM (SELECT source, unnest({_SHINGLES}) AS g FROM documents)
+),
+per_gram AS (SELECT g, COUNT(*) AS n_sources FROM sg GROUP BY g)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST((10000 * SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS novelty_bp
+FROM sg JOIN per_gram USING (g)
+GROUP BY source
+"""
+
+
+def _jse_cms_sql(table: str, key: str) -> str:
+    buckets = " UNION ALL ".join(
+        f"SELECT {j} AS j, ({hash60_sql(chr(39) + str(j) + ':' + chr(39) + ' || CAST(' + key + ' AS VARCHAR)')}) % {JSE_WIDTH} AS bucket FROM {table}"
+        for j in range(JSE_DEPTH)
+    )
+    return f"SELECT j, bucket, COUNT(*) AS cnt FROM ({buckets}) GROUP BY j, bucket"
+
+
+_JSE_SQL = f"""
+WITH a AS ({_jse_cms_sql("orders", "o_custkey")}),
+b AS ({_jse_cms_sql("customer", "c_custkey")}),
+est AS (
+  SELECT CAST(MIN(dot) AS BIGINT) AS est_join
+  FROM (
+    SELECT a.j, SUM(a.cnt * b.cnt) AS dot
+    FROM a JOIN b ON a.j = b.j AND a.bucket = b.bucket
+    GROUP BY a.j
+  )
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_join
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT est_join, exact_join,
+       CAST((10000 * (est_join - exact_join)) // exact_join AS BIGINT)
+         AS err_bp
+FROM est, exact
+"""
+
 ORACLES = {
     "q_url_canonical": _URL_SQL,
     "q_weighted_reservoir": _RESERVOIR_SQL,
@@ -1318,4 +1482,6 @@ ORACLES = {
     "q_kmv_overlap": _KMV_SQL,
     "q_audio_fingerprint": _AFP_SQL,
     "q_mmr_diversify": _mmr_sql(),
+    "q_ngram_novelty": _NOVELTY_SQL,
+    "q_join_size_est": _JSE_SQL,
 }

@@ -371,3 +371,49 @@ def test_mmr_diversify_tradeoff(spark, sf_dir):
     ]
     assert [r["doc_id"] for r in rows] != top_rel
     assert len({r["doc_id"] for r in rows}) == MMR_K
+
+
+def test_ngram_novelty_set_algebra(spark, sf_dir):
+    """Novelty invariants: n_novel <= n_grams per source; summing
+    n_novel over sources equals the count of grams with exactly one
+    source (each novel gram counted once); rates in [0, 10000]."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    rows = QUERIES["q_ngram_novelty"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert 0 <= r["novelty_bp"] <= 10000
+    docs = load_split(spark, sf_dir, "documents")
+    singletons = (
+        D.with_shingles(docs)
+        .select("source", F.explode("shingles").alias("g"))
+        .distinct()
+        .groupBy("g")
+        .count()
+        .filter(F.col("count") == 1)
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == singletons
+
+
+def test_join_size_est_overestimates_only(spark, sf_dir):
+    """The CMS inner-product estimator can only overcount (collision
+    cross terms add, never subtract) and must be within the textbook
+    error envelope on this key distribution: err <= exact + N_a*N_b/W
+    per row, and the min-over-rows should land well under one full
+    extra width-collision budget."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+        JSE_WIDTH,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    row = QUERIES["q_join_size_est"](spark, sf_dir).collect()[0]
+    assert row["est_join"] >= row["exact_join"]
+    assert row["err_bp"] >= 0
+    n_a = load_split(spark, sf_dir, "orders").count()
+    n_b = load_split(spark, sf_dir, "customer").count()
+    assert row["est_join"] - row["exact_join"] <= n_a * n_b // JSE_WIDTH + 1
