@@ -8,10 +8,14 @@ driver collect bottleneck).
 
 Round-5 methodology changes (VERDICT r4 #3 + ADVICE):
 - Each query runs SPARK_GRAFT_RUNS times (default 3); "queries" carries
-  the per-query MEDIAN and "value" the sum of medians. PERF.md documents
+  the per-query MEDIAN (true median — even run counts average the two
+  central runs) and "value" the sum of medians. PERF.md documents
   ±30% single-shot wall jitter on this host — bigger than most real
   deltas — so medians make cross-round per-query comparisons signal.
   The raw singles stay in "runs" so spread remains inspectable.
+- Round 8 (VERDICT r7 #4): "queries_min"/"value_min" carry the per-query
+  MIN across runs — the cross-round comparison in PERF.md reads min,
+  which a single contended outlier run cannot inflate.
 - The timer starts BEFORE the query-construction call, so queries that
   run an eager Spark job while building the plan (q_semdedup_bucketed's
   codebook-sizing count) are no longer silently under-reported.
@@ -110,6 +114,18 @@ HEADLINE = (
     "q_domain_cap",
     "q_hist_quantiles",
     "q_bloom_semijoin",
+    # round-8 headliners: the promoted corpus tranche's representative
+    # shapes (canonical key, weighted top-k, layout audit, hashed linear
+    # scoring, banding sweep, KMV sketch pairs, Arrow decode hash, CMS
+    # join estimate)
+    "q_url_canonical",
+    "q_weighted_reservoir",
+    "q_layout_skipping",
+    "q_linear_quality",
+    "q_lsh_tuning",
+    "q_kmv_overlap",
+    "q_media_phash",
+    "q_join_size_est",
 )
 
 
@@ -150,6 +166,11 @@ def main() -> None:
     spark.catalog.clearCache()
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     timings: dict[str, float | None] = {}
+    # per-query MIN across runs (VERDICT r7 #4): the cross-round
+    # comparison reads min — a median-of-3 still doubles on one 4x
+    # contended outlier run, while min is the least-contended sample
+    # and the plan's cost is a lower bound, not a distribution
+    mins: dict[str, float | None] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in headline:
@@ -175,9 +196,19 @@ def main() -> None:
         # (partial singles stay in `runs` for inspection) — cross-round
         # totals must never mix full medians with partial ones.
         if singles and name not in errors:
-            timings[name] = sorted(singles)[len(singles) // 2]
+            # true median (same rule as the canary block below): the
+            # naive upper-middle index is the MAX of the two central
+            # runs for even n — one contended run then inflates the
+            # reported number instead of being damped
+            s = sorted(singles)
+            mid = len(s) // 2
+            timings[name] = (
+                s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+            )
+            mins[name] = s[0]
         else:
             timings[name] = None
+            mins[name] = None
     total = round(sum(t for t in timings.values() if t is not None), 3)
     # contention normalization: per-canary current/reference ratios,
     # canary_factor = their median (robust to one canary hiccup). 1.0 on
@@ -205,6 +236,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "value_min": round(
+                    sum(t for t in mins.values() if t is not None), 3
+                ),
                 "runs": runs,
                 "n_runs": n_runs,
                 "canary_factor": canary_factor,

@@ -174,6 +174,16 @@ def main() -> None:
     spark = get_spark(
         "family_scale_sweep", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    # VERDICT r7 #5: the replicated corpora exceed the exhaustive-baseline
+    # rail (default 100k rows, operators/similarity.py) — the railed exact
+    # contracts (q_semdedup, q_embed_near_dup, q_knn_cosine, q_ann_recall's
+    # truth leg) are deliberately part of the sweep, so raise the rail for
+    # THIS session only and log the override to keep its protection
+    # visible. Everywhere else the rail still fires by default
+    # (tests/test_components.py::test_exhaustive_rail_blocks_oversized_corpus).
+    spark.conf.set("spark.graft.exhaustiveMaxRows", "100000000")
+    print("exhaustive rail raised for sweep: spark.graft.exhaustiveMaxRows=100000000",
+          file=sys.stderr)
 
     if not os.path.isdir(f"{out_dir}/documents.parquet"):
         materialize(spark, out_dir, replicas)

@@ -21,26 +21,26 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("training-data-pipeline")
     queries, _ = collect_surface()
-    # staged (pre-declaration) ops join the demo from the staging module
+    # corpus-tranche ops join the demo from their promoted module
     # (the round-6 curation tranche graduated into collect_surface in
-    # round 7; staged_r8 is the current pre-declaration batch)
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r8 import (
+    # round 7; corpus_queries was promoted in round 8)
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
         QUERIES,
     )
 
     queries = {**queries, **QUERIES}
 
     stages = (
-        ("URL canonicalization dedup key (staged r8)", "q_url_canonical"),
+        ("URL canonicalization dedup key (corpus tranche)", "q_url_canonical"),
         ("clean corpus (exact+near dedup, quality, langid)", "q_clean_corpus"),
         ("ExactSubstr duplicated-span removal", "q_substring_strip"),
         ("per-domain document capping", "q_domain_cap"),
-        ("model-based quality gate (staged r8)", "q_linear_quality"),
+        ("model-based quality gate (corpus tranche)", "q_linear_quality"),
         ("semantic dedup over embeddings", "q_semdedup"),
         ("contamination scan vs held-out eval set", "q_contamination"),
         ("repetition quality signals", "q_repetition"),
         ("stratified source downsample", "q_stratified_sample"),
-        ("weighted sample w/o replacement (staged r8)", "q_weighted_reservoir"),
+        ("weighted sample w/o replacement (corpus tranche)", "q_weighted_reservoir"),
         ("token-budget sequence packing", "q_pack_sequences"),
     )
     for label, name in stages:

@@ -805,8 +805,15 @@ def extend_lsh_index(
     """Append a new batch to a saved index (the incremental-ingest write
     half): the batch's bucket rows and shingle sets land in the same two
     artifacts in append mode. Ids must be new — the index carries no
-    tombstones (replacing a doc means compacting the index, exactly like
-    any append-only table)."""
+    tombstones (replacing a doc means :func:`compact_lsh_index`, exactly
+    like any append-only table).
+
+    Write order is shingles FIRST, buckets second: the two appends are
+    not atomic, and a failure between them must leave the index
+    conservative. An orphan shingle set (no bucket rows) is harmless —
+    nothing joins to it; an orphan bucket row (no shingle set) would
+    surface candidates that the verify join then silently drops, losing
+    near-dup pairs with no error signal."""
     shingled = (
         with_hashed_shingles(df, text_col)
         .filter(F.size("sh_hashes") > 0)
@@ -814,13 +821,62 @@ def extend_lsh_index(
         .persist()
     )
     try:
+        shingled.write.mode("append").parquet(f"{path}/shingles")
         sig = with_minhash_signature(shingled, shingle_col="sh_hashes", prehashed=True)
         banded_keys(sig, id_col).write.partitionBy("band").mode("append").parquet(
             f"{path}/buckets"
         )
-        shingled.write.mode("append").parquet(f"{path}/shingles")
     finally:
         shingled.unpersist()
+
+
+def compact_lsh_index(
+    spark,
+    path: str,
+    drop_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> None:
+    """Rewrite a saved index to its canonical minimal form: one shingle
+    row and one bucket row per (id, band) — duplicate rows from replayed
+    appends collapse, and every id in ``drop_ids`` (a one-column frame
+    of tombstoned ids) disappears from both artifacts. After compaction,
+    :func:`probe_lsh_index` results are IDENTICAL to probing a fresh
+    :func:`save_lsh_index` build of the surviving corpus (pinned by
+    tests/test_components.py::test_lsh_index_compaction_equals_fresh).
+
+    Cost shape: one distinct per artifact (keyed by id/band — map-side
+    combining) plus an optional broadcast anti-join on the tombstones;
+    the rewrite streams through a sibling staging dir and swaps via
+    rename, so a crash mid-compaction leaves the live index untouched.
+    At 100 TB this runs band-parallel off the partitioned layout, on the
+    same cadence as any append-only table's compaction."""
+    import os
+    import shutil
+
+    buckets, shingles = load_lsh_index(spark, path)
+    if drop_ids is not None:
+        keep = F.broadcast(
+            drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col)).distinct()
+        )
+        buckets = buckets.join(keep, id_col, "left_anti")
+        shingles = shingles.join(keep, id_col, "left_anti")
+    staged = f"{path}/.compact"
+    # bucket rows are exact duplicates when replayed (same id -> same
+    # signature -> same bkey), so distinct() is the full dedupe; shingle
+    # rows dedupe by id (the set is a function of the id's text)
+    buckets.distinct().write.partitionBy("band").mode("overwrite").parquet(
+        f"{staged}/buckets"
+    )
+    shingles.dropDuplicates([id_col]).write.mode("overwrite").parquet(
+        f"{staged}/shingles"
+    )
+    for art in ("buckets", "shingles"):
+        live, new = f"{path}/{art}", f"{staged}/{art}"
+        old = f"{path}/.old_{art}"
+        os.rename(live, old)
+        os.rename(new, live)
+        shutil.rmtree(old)
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def load_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:

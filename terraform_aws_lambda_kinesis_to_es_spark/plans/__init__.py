@@ -52,54 +52,54 @@ _R3_ERA = (
     "q_unigram_ppl", "q_value_buckets",
 )
 
-# Round 7 (VERDICT r6 #1/#2/#3): head, exactly 50 =
-#   (a) the 11 PROMOTED curation_queries names (staged + driver-protocol
-#       pytest-proven in r6 as plans/staged_r7.py; q_semdedup_hashseed
-#       retired — its rule IS the q_semdedup_bucketed re-contract, so
-#       declaring it too would register the identical query twice);
-#   (b) q_semdedup_bucketed — RE-CONTRACTED this round to the
-#       hash-ranked seed rule (clears the r6 `weak`);
-#   (c) q_lsh_eval / q_dup_method_agreement (truth legs sample-bounded
-#       in r6 at positions 51+, still without a driver verdict on the
-#       changed predicate) and q_minhash_est (latest verdict r3, missed
-#       two windows);
-#   (d) 35 names from the r3-era cohort (oldest tier; q_minhash_est
-#       placed in (c), q_incremental_dedup re-proven in the r6 window
-#       so it rejoins the tail). The cohort's 12-name tail rolls to the
-#       round-8 head: q_repeat_upsample, q_salted_agg, q_semdedup,
-#       q_set_ops, q_source_mix, q_stratified_sample, q_string_functions,
-#       q_temperature_mix, q_text_normalize, q_token_budget,
-#       q_unigram_ppl, q_value_buckets.
-_PROMOTED = (
-    "q_hybrid_rrf", "q_heavy_hitters", "q_sorted_neighborhood",
-    "q_substring_spans", "q_substring_strip", "q_domain_cap",
-    "q_dataset_card", "q_hist_quantiles", "q_scd2_intervals",
-    "q_semdedup_assign_agreement", "q_bloom_semijoin",
+# Round 8 (VERDICT r7 #1/#2): head, exactly 50 =
+#   (a) the 12 PROMOTED corpus_queries names (built + staged in r7 as
+#       plans/staged_r8.py with two-SF driver-protocol pytest and 100x
+#       scale evidence; promoted after the round-8 ADVICE fixes —
+#       q_kmv_overlap's disjoint-pair left join and
+#       q_weighted_reservoir's coarse integer ranking key);
+#   (b) the 12-name r3-era leftover (latest verdicts round 3, four
+#       rounds old — the rotation debt VERDICT r7 #2 schedules);
+#   (c) 26 names from the r4-fresh cohort (the oldest remaining tier,
+#       46 names whose latest verdict is round 4), oldest-first in
+#       their r4 verdict order. The cohort's 20-name tail
+#       (q_functional_deps .. q_label_balance) rolls to the round-9
+#       head, followed by the r5 tier.
+_R8_PROMOTED = (
+    "q_url_canonical", "q_weighted_reservoir", "q_layout_skipping",
+    "q_linear_quality", "q_lsh_tuning", "q_time_decay",
+    "q_media_phash", "q_kmv_overlap", "q_audio_fingerprint",
+    "q_mmr_diversify", "q_ngram_novelty", "q_join_size_est",
 )
-
-# Round-8 head plan (for the next rotation): promote the staged names
-# from plans/staged_r8.py (q_url_canonical, q_weighted_reservoir,
-# q_layout_skipping, q_linear_quality, q_lsh_tuning, q_time_decay,
-# q_media_phash, q_kmv_overlap, q_audio_fingerprint, q_mmr_diversify,
-# q_ngram_novelty, q_join_size_est (12 names)
-# — oracle-backed, driver-protocol
-# pytest-proven at sf0.001 AND sf0.01,
-# 100x scale evidence in PLANS.md/PERF.md), then the 12-name r3-era
-# leftover list below, then fill remaining slots from the r4-fresh
-# cohort (oldest tier after this round's rotation).
-_R3_FILL = tuple(
-    n for n in _R3_ERA if n not in ("q_minhash_est", "q_incremental_dedup")
-)[:35]
-_HEAD = (
-    _PROMOTED
-    + ("q_semdedup_bucketed",)
-    + ("q_lsh_eval", "q_dup_method_agreement", "q_minhash_est")
-    + _R3_FILL
+_R3_LEFTOVER = (
+    "q_repeat_upsample", "q_salted_agg", "q_semdedup", "q_set_ops",
+    "q_source_mix", "q_stratified_sample", "q_string_functions",
+    "q_temperature_mix", "q_text_normalize", "q_token_budget",
+    "q_unigram_ppl", "q_value_buckets",
 )
+# The full r4 tier in its CORRECTNESS_r04 verdict order; [:26] fills
+# this round's window, the rest is explicitly queued for round 9.
+_R4_FRESH = (
+    "q_parse_props", "q_validate_route", "q_whitelist", "q_unknown_route",
+    "q_rollup_merge", "q_duplicate_payloads", "q_quality_classifier",
+    "q_doc_chunks", "q_oov_rate", "q_skyline", "q_zorder_layout",
+    "q_orphan_check", "q_approx_quantiles", "q_entity_match",
+    "q_k_anonymity", "q_gap_fill", "q_ann_recall", "q_media_patchify",
+    "q_hll_merge", "q_entity_clusters", "q_expectations", "q_value_drift",
+    "q_inverted_index", "q_top_paths", "q_winsorize", "q_forget_users",
+    "q_functional_deps", "q_benford", "q_attribution", "q_cohort_orders",
+    "q_compaction_plan", "q_data_freshness", "q_dead_hours",
+    "q_doc_manifest", "q_json_schema_infer", "q_out_of_order",
+    "q_pagerank", "q_rate_limit", "q_reservoir_sample", "q_salted_join",
+    "q_shard_assignment", "q_trending_parts", "q_profile_columns_approx",
+    "q_tokenizer_fertility", "q_ann_pq", "q_label_balance",
+)
+_HEAD = _R8_PROMOTED + _R3_LEFTOVER + _R4_FRESH[:26]
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (
+        corpus_queries,
         curation_queries,
         dedup_queries,
         events_analytics,
@@ -131,6 +131,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         search_queries,
         pipeline_queries,
         curation_queries,
+        corpus_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)

@@ -1,17 +1,17 @@
-"""STAGED query surface for the round-8 declaration head.
+"""Corpus-level curation and layout queries (round-8 tranche).
 
-Same staging contract as round 6's tranche (promoted in round 7 as
-plans/curation_queries.py): these queries are implemented,
-oracle-backed, and pytest-verified with the driver's own compare
-protocol (tests/test_staged_r8.py), but NOT declared yet — the round-7
-driver window (50 names) is fully allocated to the 11 promotions, the
-q_semdedup_bucketed re-contract, the changed detectors, and the r3-era
-verdict rotation (plans/__init__.py _HEAD). Round 8 promotes
-QUERIES/ORACLES into the head verbatim, alongside the 12 r3-era
-leftovers listed in the _HEAD note.
+Built and staged in round 7 (as plans/staged_r8.py) with the driver's
+own compare protocol applied pre-declaration
+(tests/test_corpus_queries.py), PROMOTED into the declared surface in
+round 8 (plans/__init__.py _HEAD) after the round-8 ADVICE fixes:
+q_kmv_overlap's exact-intersection leg became a left join + COALESCE so
+fully-disjoint source pairs report exact_jaccard_bp = 0 instead of
+vanishing, and q_weighted_reservoir ranks/emits its coarse integer key
+floor(ln(u)/w * 1e6) on both engines, closing the 1-ulp JVM-vs-libm
+log() exposure.
 
 Contents — ops a crawl-curation / data-layout stack needs that the
-surface lacks today:
+surface otherwise lacks:
 
 - ``q_url_canonical``: URL canonicalization + per-domain canonical-dup
   accounting — the crawl-side exact-dedup key (scheme/host case, www,
@@ -235,24 +235,33 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan + a distributed TakeOrdered(k) — the sampler
     is one-pass and MERGEABLE (per-partition top-k unions exactly, the
     property that lets 100 TB sample in one map round + a k-row reduce).
-    Output keys are integer-scaled (1e9) so the hash compare is integer;
-    selection itself uses full double precision on both engines.
+
+    Determinism: keys are ln(u)/w DOUBLES, and JVM Math.log vs DuckDB
+    libm log guarantee agreement only to ~1 ulp — ranking raw doubles
+    would let a last-ulp disagreement flip adjacent ranks cross-engine.
+    So BOTH the ranking and the emitted key use the same coarse integer
+    form floor(key * 1e6) (ties broken by doc_id): a flip now needs the
+    true key within ~1e-10 relative of a 1e-6 grid boundary, and floor
+    (never CAST: Spark truncates toward zero while DuckDB rounds — the
+    q_quantize lesson) is the one double->bigint conversion both engines
+    agree on.
     """
     docs = load_split(spark, sf_dir, "documents")
     u = (hash60(F.col("doc_id").cast("string")) + 1) / F.lit(float(1 << 60))
     key = F.ln(u) / F.col("n_chars")
     ranked = (
-        docs.select("doc_id", "n_chars", key.alias("k"))
-        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.floor(key * F.lit(1e6)).cast("bigint").alias("key_e6"),
+        )
+        .orderBy(F.col("key_e6").desc(), F.col("doc_id").asc())
         .limit(RESERVOIR_K)
     )
     return ranked.select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        # floor, never CAST: Spark truncates double->bigint toward zero
-        # while DuckDB rounds — floor is the one conversion both agree on
-        # (the q_quantize lesson)
-        F.floor(F.col("k") * F.lit(1e9)).cast("bigint").alias("key_e9"),
+        "key_e6",
     )
 
 
@@ -672,7 +681,10 @@ def q_kmv_overlap(
         .withColumn("est_union", F.expr(est.format(k="merged")))
     )
     # exact intersection per pair: one equi-join of the distinct
-    # (source, gram-hash) relation against itself
+    # (source, gram-hash) relation against itself. LEFT join + coalesce:
+    # a pair sharing ZERO grams produces no inter row, and an inner join
+    # would silently drop exactly the fully-disjoint pairs the overlap
+    # audit exists to surface (they must report exact_jaccard_bp = 0).
     ia = sg.select(F.col("source").alias("src_a"), "h")
     ib = sg.select(F.col("source").alias("src_b"), "h")
     inter = (
@@ -682,7 +694,8 @@ def q_kmv_overlap(
         .agg(F.count("*").cast("bigint").alias("n_inter"))
     )
     return (
-        pairs.join(inter, ["src_a", "src_b"])
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint")))
         .select(
             "src_a",
             "src_b",
@@ -1078,11 +1091,11 @@ _RESERVOIR_SQL = f"""
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(floor(ln(({hash60_sql("CAST(doc_id AS VARCHAR)")} + 1)
-                     / {float(1 << 60)}) / n_chars * 1e9) AS BIGINT) AS key_e9
+                     / {float(1 << 60)}) / n_chars * 1e6) AS BIGINT) AS key_e6
 FROM documents
 QUALIFY ROW_NUMBER() OVER (
-  ORDER BY ln(({hash60_sql("CAST(doc_id AS VARCHAR)")} + 1)
-              / {float(1 << 60)}) / n_chars DESC, doc_id ASC
+  ORDER BY CAST(floor(ln(({hash60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+              / {float(1 << 60)}) / n_chars * 1e6) AS BIGINT) DESC, doc_id ASC
 ) <= {RESERVOIR_K}
 """
 
@@ -1316,15 +1329,15 @@ est AS (
   FROM pairs
 )
 SELECT e.src_a, e.src_b, e.est_union,
-       CAST(na + nb - n_inter AS BIGINT) AS exact_union,
-       CAST((10000 * abs(e.est_union - (na + nb - n_inter)))
-            // (na + nb - n_inter) AS BIGINT) AS union_err_bp,
+       CAST(na + nb - COALESCE(i.n_inter, 0) AS BIGINT) AS exact_union,
+       CAST((10000 * abs(e.est_union - (na + nb - COALESCE(i.n_inter, 0))))
+            // (na + nb - COALESCE(i.n_inter, 0)) AS BIGINT) AS union_err_bp,
        CAST(GREATEST(CAST(0 AS BIGINT),
             (10000 * (est_a + est_b - e.est_union)) // e.est_union)
          AS BIGINT) AS est_jaccard_bp,
-       CAST((10000 * n_inter) // (na + nb - n_inter) AS BIGINT)
-         AS exact_jaccard_bp
-FROM est e JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+       CAST((10000 * COALESCE(i.n_inter, 0)) // (na + nb - COALESCE(i.n_inter, 0))
+         AS BIGINT) AS exact_jaccard_bp
+FROM est e LEFT JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
 """
 
 # little-endian int16 parse, identical to the q_media_audio_stats oracle

@@ -484,3 +484,60 @@ def test_lsh_index_probe_equals_batch(spark, sf_dir, tmp_path):
         sorted((r["doc_id"], tuple(r["sh_hashes"])) for r in s2.collect())
         == sorted((r["doc_id"], tuple(r["sh_hashes"])) for r in sf.collect())
     )
+
+
+def test_lsh_index_compaction_equals_fresh(spark, sf_dir, tmp_path):
+    """compact_lsh_index contract (VERDICT r7 #6): after replayed
+    appends (duplicate rows) and tombstoned ids, compaction rewrites the
+    index to the canonical minimal form — probe results equal probing a
+    FRESH build of the surviving corpus, duplicate rows are gone, no
+    stale id remains, and the hive band partitioning survives the
+    rewrite. Also pins crash-safety plumbing: no staging dir left."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("doc_id") % 7 != 0)
+    dead = docs.filter(F.col("doc_id") % 7 == 0)
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    path = str(tmp_path / "lsh_dirty")
+    D.save_lsh_index(docs, path)
+    # a replayed append: every row now exists twice for the dead cohort
+    D.extend_lsh_index(dead, path)
+    b_dirty, s_dirty = D.load_lsh_index(spark, path)
+    n_dirty_b, n_dirty_s = b_dirty.count(), s_dirty.count()
+
+    D.compact_lsh_index(spark, path, drop_ids=dead.select("doc_id"))
+    buckets, shingles = D.load_lsh_index(spark, path)
+
+    dead_ids = {r["doc_id"] for r in dead.select("doc_id").collect()}
+    assert not set(
+        r["doc_id"] for r in shingles.select("doc_id").distinct().collect()
+    ) & dead_ids
+    assert not set(
+        r["doc_id"] for r in buckets.select("doc_id").distinct().collect()
+    ) & dead_ids
+    assert buckets.count() < n_dirty_b and shingles.count() < n_dirty_s
+    assert buckets.count() == buckets.distinct().count()
+    assert shingles.select("doc_id").distinct().count() == shingles.count()
+    assert any(
+        d.startswith("band=") for d in os.listdir(f"{path}/buckets")
+    ), "band partitioning must survive compaction"
+    assert not os.path.exists(f"{path}/.compact")
+
+    got = {
+        tuple(r)
+        for r in D.probe_lsh_index(buckets, shingles, probe_batch).collect()
+    }
+    fresh = str(tmp_path / "lsh_fresh")
+    D.save_lsh_index(keep, fresh)
+    bf, sf_ = D.load_lsh_index(spark, fresh)
+    want = {
+        tuple(r) for r in D.probe_lsh_index(bf, sf_, probe_batch).collect()
+    }
+    assert got == want
+    assert want, "fixture must exercise post-compaction near-dups"

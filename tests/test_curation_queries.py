@@ -30,23 +30,21 @@ def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
 
 
 def test_promotion_contract():
-    """Round 7 (VERDICT r6 #1): all 11 curation names are DECLARED, carry
-    oracles, and sit inside the driver's 50-name check window (declaration
-    order = check order). q_semdedup_hashseed is gone — its rule became
+    """Round 7 (VERDICT r6 #1): all 11 curation names are DECLARED and
+    carry oracles. They occupied the round-7 50-name verdict window
+    (declaration order = check order) and went driver-green there
+    (CORRECTNESS_r07); the round-8 rotation then correctly evicted them
+    for the corpus tranche + verdict-age rotation, so head membership is
+    no longer asserted — only the standing declaration contract is.
+    q_semdedup_hashseed stays gone — its rule became
     q_semdedup_bucketed's declared contract (VERDICT r6 #2)."""
     assert set(QUERIES) == set(ORACLES)
     declared = entrypoint.queries()
     declared_oracles = entrypoint.oracle_sql()
-    head50 = list(declared)[:50]
     for name in QUERIES:
         assert name in declared, name
         assert name in declared_oracles, name
-        assert name in head50, name
     assert "q_semdedup_hashseed" not in declared
-    # the re-contract and the two changed detectors share the window
-    for name in ("q_semdedup_bucketed", "q_lsh_eval",
-                 "q_dup_method_agreement", "q_minhash_est"):
-        assert name in head50, name
 
 
 def test_heavy_hitters_overestimates_only(spark, sf_dir):

@@ -171,13 +171,13 @@ _INTENTIONAL_PRODUCT = {
     # promoted round 7 (was plans/staged_r7.py; see test_curation_queries)
     "q_hybrid_rrf",        # x broadcast(1-row bm25 stats) + x broadcast(1 query vec)
     "q_semdedup_assign_agreement",  # bounded id-hash sample x broadcast(seeds), both legs
-    # staged for round 8 (plans/staged_r8.py) — inert until promoted, but
-    # the sweep must not trip the day they join the declared surface:
+    # promoted round 8 (was plans/staged_r8.py; see test_corpus_queries)
     "q_mmr_diversify",     # x broadcast(1 query vec); 20-row shortlist self-product (sims)
     "q_kmv_overlap",       # 20-row sketch frames joined on source < source
     "q_layout_skipping",   # x broadcast(single-row extents)
     "q_time_decay",        # x broadcast(single-row high-water mark)
     "q_lsh_tuning",        # three 1-row count legs broadcast-attached
+    "q_join_size_est",     # 1-row CMS estimate x 1-row exact-count combine
 }
 
 
