@@ -96,6 +96,16 @@ _R4_FRESH = (
 )
 _HEAD = _R8_PROMOTED + _R3_LEFTOVER + _R4_FRESH[:26]
 
+# Round-9 head plan (for the next rotation): promote the staged names
+# from plans/staged_r9.py (q_crawl_frontier, q_snapshot_delta,
+# q_code_detect, q_score_calibration, q_zipf_fit, q_heaps_law,
+# q_js_divergence, q_split_balance, q_fellegi_sunter, q_audio_silence,
+# q_media_dominant_color, q_epoch_schedule — 12 names, oracle-backed,
+# driver-protocol pytest-proven at sf0.001 AND sf0.01 in
+# tests/test_staged_r9.py), then the 20-name r4-tier leftover
+# (_R4_FRESH[26:], q_functional_deps .. q_label_balance), then fill the
+# remaining ~18 slots from the r5 tier oldest-first.
+
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (
