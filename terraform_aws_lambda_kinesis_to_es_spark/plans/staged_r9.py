@@ -628,7 +628,7 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic record linkage (Fellegi & Sunter, JASA 1969):
     registry A (customer) against a deterministically corrupted clone B
     (:func:`_fs_registry_b` — the injected-input pattern), BLOCKED on
-    (nationkey, name digits 6-8) — a key every corruption leaves
+    (nationkey, name digits 1-8) — a key every corruption leaves
     intact — then scored by per-field agreement log-odds weights in
     integer centinats (FS_W, derived from documented m/u
     probabilities). total >= FS_MATCH_MIN -> match, >= FS_REVIEW_MIN ->
@@ -648,8 +648,12 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("a_seg"),
     )
     b = _fs_registry_b(cust)
-    a = a.withColumn("blk", F.substring(F.col("a_name"), 15, 3))
-    b = b.withColumn("blk", F.substring(F.col("b_name"), 15, 3))
+    # block on name digits 1-8 (all but the corruptible last digit):
+    # block size stays O(1) per (nation, prefix) at ANY registry size —
+    # a coarser key (e.g. 3 digits) degenerates to quadratic blocks on
+    # a 100x registry
+    a = a.withColumn("blk", F.substring(F.col("a_name"), 10, 8))
+    b = b.withColumn("blk", F.substring(F.col("b_name"), 10, 8))
     pairs = a.join(
         b, (F.col("a_nation") == F.col("b_nation")) & (a["blk"] == b["blk"])
     )
@@ -1159,7 +1163,7 @@ pairs AS (
          a.c_mktsegment = b.b_seg AS seg_agree
   FROM customer a
   JOIN b ON a.c_nationkey = b.b_nation
-        AND substring(a.c_name, 15, 3) = substring(b.b_name, 15, 3)
+        AND substring(a.c_name, 10, 8) = substring(b.b_name, 10, 8)
 ),
 scored AS (
   SELECT a_id, b_id, name_agree, bal_agree, seg_agree,
