@@ -763,3 +763,198 @@ def near_dup_stream_tws(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (Space-Saving / Misra-Gries) — round 8
+# ---------------------------------------------------------------------------
+
+HH_SCHEMA = (
+    "grp string, item string, est_count long, max_err long, version long"
+)
+_HH_STATE = "items array<string>, counts array<long>, errs array<long>, version long"
+
+
+def _space_saving_fn_factory(cap: int, topn: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per group key: maintain a Space-Saving counter table (Metwally
+        et al., ICDT 2005) of at most ``cap`` items. A new item beyond
+        capacity takes over the MINIMUM counter: est = min + batch count,
+        err = min — giving the classic guarantees (est overcounts by at
+        most err <= N/cap; every item with true count > N/cap is in the
+        table). Batch items merge in sorted order and eviction picks the
+        (count, item)-minimal entry, so the table is deterministic for a
+        given batch sequence. Emits the top-``topn`` per batch tagged
+        with a monotonically increasing version — consumers (and the
+        test) read the max-version emission as 'current'."""
+        if state.exists:
+            items, counts, errs, version = state.get
+            table: dict[str, list[int]] = {
+                it: [int(c), int(e)] for it, c, e in zip(items, counts, errs)
+            }
+            version = int(version)
+        else:
+            table, version = {}, 0
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for it, c in pdf["item"].value_counts().items():
+                batch[it] = batch.get(it, 0) + int(c)
+        for it in sorted(batch):
+            c = batch[it]
+            if it in table:
+                table[it][0] += c
+            elif len(table) < cap:
+                table[it] = [c, 0]
+            else:
+                evict_it, (evict_c, _e) = min(
+                    table.items(), key=lambda kv: (kv[1][0], kv[0])
+                )
+                del table[evict_it]
+                table[it] = [evict_c + c, evict_c]
+        version += 1
+        its = sorted(table)
+        state.update(
+            (
+                its,
+                [table[i][0] for i in its],
+                [table[i][1] for i in its],
+                version,
+            )
+        )
+        top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[:topn]
+        if top:
+            yield pd.DataFrame(
+                {
+                    "grp": [key[0]] * len(top),
+                    "item": [t[0] for t in top],
+                    "est_count": [t[1][0] for t in top],
+                    "max_err": [t[1][1] for t in top],
+                    "version": [version] * len(top),
+                }
+            )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    group_col: str = "log_type",
+    item_col: str = "log_id",
+    cap: int = 8,
+    topn: int = 5,
+) -> DataFrame:
+    """STREAMING heavy hitters: per ``group_col``, track the top items by
+    frequency with a bounded Space-Saving counter table (``cap``
+    entries) — the streaming sibling of the declared CMS q_heavy_hitters
+    with the complementary guarantee (CMS answers point queries,
+    Space-Saving maintains the top-k list itself). Emits the current
+    top-``topn`` per group per micro-batch, versioned; est_count
+    overcounts the true count by at most max_err <= N_group/cap, and any
+    item with true count above that bound is guaranteed present.
+
+    Scale posture: state is ``cap`` (item, count, err) triples per
+    group — CONSTANT in the stream length; the per-batch merge is one
+    pandas value_counts + a dict merge over at most cap + distinct-batch
+    items. At 100 TB/day the same operator runs per shard and the
+    per-shard tables MERGE (Space-Saving tables are mergeable) in a
+    batch rollup — the lambda-architecture shape."""
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _space_saving_fn_factory(cap, topn),
+        outputStructType=HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling-window anomaly detection — round 8
+# ---------------------------------------------------------------------------
+
+ANOM_SCHEMA = (
+    "grp string, batch_n long, hist_len long, hist_sum long, spike boolean,"
+    " version long"
+)
+_ANOM_STATE = "hist array<long>, version long"
+
+
+def _anomaly_fn_factory(window: int, z_threshold: int, min_hist: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per key: keep the last ``window`` per-batch row counts and
+        flag a batch whose count sits more than ``z_threshold`` trailing
+        standard deviations from the trailing mean. The z-test is the
+        EXACT integer inequality (len*x - s)^2 > T^2 * (len*ss - s^2)
+        (both sides integers — the q_anomaly_days rule in streaming
+        form), so the flag is bit-deterministic; no flag until
+        ``min_hist`` batches of history exist or when variance is 0 and
+        x equals the constant history."""
+        if state.exists:
+            hist, version = state.get
+            hist = [int(h) for h in hist]
+            version = int(version)
+        else:
+            hist, version = [], 0
+        x = 0
+        for pdf in pdfs:
+            x += len(pdf)
+        n = len(hist)
+        s = sum(hist)
+        ss = sum(h * h for h in hist)
+        spike = False
+        if n >= min_hist:
+            lhs = (n * x - s) ** 2
+            rhs = z_threshold * z_threshold * (n * ss - s * s)
+            # zero-variance history: any deviation at all is a spike
+            spike = lhs > rhs if rhs > 0 else x * n != s
+        version += 1
+        hist = (hist + [x])[-window:]
+        state.update((hist, version))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "batch_n": [x],
+                "hist_len": [n],
+                "hist_sum": [s],
+                "spike": [spike],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def anomaly_stream(
+    df: DataFrame,
+    key_col: str = "log_type",
+    window: int = 8,
+    z_threshold: int = 3,
+    min_hist: int = 3,
+) -> DataFrame:
+    """STREAMING volume-anomaly detection: per key, each micro-batch's
+    row count is z-scored against the trailing ``window`` batch counts
+    with EXACT integer arithmetic (the streaming sibling of the declared
+    q_anomaly_days daily z-score). Emits one row per key per batch with
+    the count, the history it was judged against, and the spike flag.
+
+    Scale posture: state is at most ``window`` longs per key — constant;
+    the judgment is O(window) integer ops per key per batch. Keys are
+    the shuffle partitioning, so a million monitored keys spread across
+    executors; the trailing window lives with the key, never globally."""
+    keyed = df.select(F.col(key_col).cast("string").alias("grp"))
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _anomaly_fn_factory(window, z_threshold, min_hist),
+        outputStructType=ANOM_SCHEMA,
+        stateStructType=_ANOM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -584,3 +584,75 @@ def test_near_dup_stream_tws_state_expires(spark, tmp_path):
         _run_to_memory(out, "nd_tws_exp_t", str(tmp_path / "ck_nd_tws_exp"))
     pairs = {(r.doc_id, r.dup_of) for r in spark.table("nd_tws_exp_t").collect()}
     assert pairs == {(4, 3)}
+
+
+def test_heavy_hitters_stream_space_saving(spark, tmp_path):
+    """Space-Saving guarantees through a real 3-batch stream: with
+    cap=4 counters and N=15 'app' rows, every item with true count >
+    N/cap (u1=7, u2=4 > 3.75) must sit in the final top list; estimates
+    overcount by at most max_err, and est - err never exceeds the true
+    count."""
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def rows(items, t0):
+        return [
+            {"log_id": it, "log_type": "app", "log_ts": f"2024-03-01T10:00:{t0 + i:02d}"}
+            for i, it in enumerate(items)
+        ]
+
+    _write_batch(src, "b1", rows(["u1"] * 4 + ["u2"] * 2 + ["u3", "u4"], 0))
+    _write_batch(src, "b2", rows(["u1"] * 3 + ["u5", "u6", "u7"], 10))
+    _write_batch(src, "b3", rows(["u2"] * 2 + ["u8"], 20))
+    out = stateful.heavy_hitters_stream(_stream(spark, src), cap=4, topn=3)
+    _run_to_memory(out, "hh_t", str(tmp_path / "ck"))
+    all_rows = spark.table("hh_t").collect()
+    assert all_rows
+    last_v = max(r.version for r in all_rows)
+    final = {r.item: r for r in all_rows if r.version == last_v}
+    true = {"u1": 7, "u2": 4}
+    for it, cnt in true.items():
+        assert it in final, f"{it} (true {cnt} > N/cap) must be present"
+        r = final[it]
+        assert r.est_count >= cnt
+        assert r.est_count - r.max_err <= cnt
+    # top list is count-descending with deterministic item tie-break
+    ordered = sorted(final.values(), key=lambda r: (-r.est_count, r.item))
+    assert [r.item for r in ordered][0] == "u1"
+
+
+def test_anomaly_stream_flags_volume_spike(spark, tmp_path):
+    """Four steady 2-row batches build history, then a 9-row batch must
+    flag for 'app'; the steady 'web' key never flags (zero-variance
+    history + matching count). The z-test is the exact integer
+    inequality, so this is bit-deterministic."""
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def batch(name, n_app, n_web, t0):
+        rows = [
+            {"log_id": f"a{t0+i}", "log_type": "app", "log_ts": f"2024-03-01T10:{t0:02d}:{i:02d}"}
+            for i in range(n_app)
+        ] + [
+            {"log_id": f"w{t0+i}", "log_type": "web", "log_ts": f"2024-03-01T10:{t0:02d}:{30+i:02d}"}
+            for i in range(n_web)
+        ]
+        _write_batch(src, name, rows)
+        # the file source orders same-mtime files arbitrarily — pin
+        # strictly increasing mtimes so batch order is the staged order
+        import os
+
+        os.utime(f"{src}/{name}.json", (1700000000 + t0, 1700000000 + t0))
+
+    for i, name in enumerate(["b1", "b2", "b3", "b4"]):
+        batch(name, 2, 2, i)
+    batch("b5", 9, 2, 4)
+    out = stateful.anomaly_stream(_stream(spark, src), window=8, min_hist=3)
+    _run_to_memory(out, "anom_t", str(tmp_path / "ck"))
+    rows = spark.table("anom_t").collect()
+    app = sorted((r for r in rows if r.grp == "app"), key=lambda r: r.version)
+    web = [r for r in rows if r.grp == "web"]
+    assert len(app) == 5
+    assert [r.batch_n for r in app] == [2, 2, 2, 2, 9]
+    assert [r.spike for r in app] == [False, False, False, False, True]
+    assert all(not r.spike for r in web)
