@@ -27,20 +27,30 @@ def main() -> None:
     from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
         QUERIES,
     )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import (
+        QUERIES as R9_QUERIES,
+    )
 
-    queries = {**queries, **QUERIES}
+    queries = {**queries, **QUERIES, **R9_QUERIES}
 
     stages = (
         ("URL canonicalization dedup key (corpus tranche)", "q_url_canonical"),
+        ("crawl-frontier politeness schedule (staged r9)", "q_crawl_frontier"),
+        ("snapshot delta vs last crawl (staged r9)", "q_snapshot_delta"),
+        ("code/prose modality gate (staged r9)", "q_code_detect"),
         ("clean corpus (exact+near dedup, quality, langid)", "q_clean_corpus"),
         ("ExactSubstr duplicated-span removal", "q_substring_strip"),
         ("per-domain document capping", "q_domain_cap"),
         ("model-based quality gate (corpus tranche)", "q_linear_quality"),
+        ("quality-score calibration audit (staged r9)", "q_score_calibration"),
         ("semantic dedup over embeddings", "q_semdedup"),
         ("contamination scan vs held-out eval set", "q_contamination"),
         ("repetition quality signals", "q_repetition"),
+        ("source divergence matrix (staged r9)", "q_js_divergence"),
         ("stratified source downsample", "q_stratified_sample"),
         ("weighted sample w/o replacement (corpus tranche)", "q_weighted_reservoir"),
+        ("split stratification audit (staged r9)", "q_split_balance"),
+        ("WRR epoch ordering (staged r9)", "q_epoch_schedule"),
         ("token-budget sequence packing", "q_pack_sequences"),
     )
     for label, name in stages:
