@@ -39,7 +39,7 @@ def _item(i: int) -> str:
     return f"u{(i * 131) % ITEMS}"
 
 
-def stage(src_dir: str, n_rows: int, n_files: int) -> None:
+def stage(src_dir: str, n_rows: int, n_files: int) -> int:
     per_file = n_rows // n_files
     base = time.time() - n_files - 10
     i = 0
@@ -55,6 +55,7 @@ def stage(src_dir: str, n_rows: int, n_files: int) -> None:
                 fh.write(json.dumps(row) + "\n")
                 i += 1
         os.utime(path, (base + f, base + f))
+    return i  # actual staged rows (n_files * per_file, not n_rows)
 
 
 def drive(spark, src_dir: str, op, name: str, n_rows: int) -> dict:
@@ -72,8 +73,14 @@ def drive(spark, src_dir: str, op, name: str, n_rows: int) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     wall = time.perf_counter() - t0
+    if not finished:
+        # a timed-out stream would otherwise report inflated rec/s,
+        # have its live checkpoint deleted, and contend with the next
+        # benchmark — stop it and fail loudly instead
+        q.stop()
+        raise RuntimeError(f"{name} did not finish within 600s")
     shutil.rmtree(ck, ignore_errors=True)
     return {
         "op": name,
@@ -91,7 +98,7 @@ def main() -> None:
         "stream_analytics_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     src = tempfile.mkdtemp(prefix="stream_analytics_src_")
-    stage(src, n_rows, n_files)
+    staged_rows = stage(src, n_rows, n_files)
     print(
         json.dumps(
             drive(
@@ -99,14 +106,14 @@ def main() -> None:
                 src,
                 lambda s: stateful.heavy_hitters_stream(s, cap=16, topn=5),
                 "heavy_hitters_stream",
-                n_rows,
+                staged_rows,
             )
         ),
         flush=True,
     )
     print(
         json.dumps(
-            drive(spark, src, stateful.anomaly_stream, "anomaly_stream", n_rows)
+            drive(spark, src, stateful.anomaly_stream, "anomaly_stream", staged_rows)
         ),
         flush=True,
     )

@@ -845,13 +845,39 @@ def compact_lsh_index(
     tests/test_components.py::test_lsh_index_compaction_equals_fresh).
 
     Cost shape: one distinct per artifact (keyed by id/band — map-side
-    combining) plus an optional broadcast anti-join on the tombstones;
-    the rewrite streams through a sibling staging dir and swaps via
-    rename, so a crash mid-compaction leaves the live index untouched.
+    combining) plus an optional broadcast anti-join on the tombstones.
+    The rewrite streams through a sibling staging dir; the long Spark
+    write is crash-tolerant (a crash leaves only the staging dir). The
+    final cutover moves the live index into a backup dir and the staged
+    one in — a short multi-rename window during which
+    :func:`load_lsh_index` can observe a missing artifact, but NEVER a
+    mixed one (new buckets against old shingles is impossible: the
+    backup keeps every pre-compaction artifact until the new index is
+    fully in place). A crash anywhere in the window is self-healing:
+    the next :func:`compact_lsh_index` call restores whatever the
+    backup still holds — reverting to the intact pre-compaction index —
+    before recompacting. On HDFS/S3 the cutover would be the catalog's
+    atomic pointer swap instead; this local layout mirrors that
+    contract as closely as renames can.
     At 100 TB this runs band-parallel off the partitioned layout, on the
     same cadence as any append-only table's compaction."""
     import os
     import shutil
+
+    staged = f"{path}/.compact"
+    old = f"{path}/.old_compact"
+    # a dead previous run may have left staging/backup dirs: staging is
+    # garbage (rebuildable); a backup dir means that run died somewhere
+    # in the cutover window — restore every artifact it still holds
+    # (clobbering any half-cut-over new artifact: that reverts to the
+    # verbatim pre-compaction index, and compaction is re-runnable)
+    if os.path.isdir(old):
+        for art in ("buckets", "shingles"):
+            if os.path.isdir(f"{old}/{art}"):
+                shutil.rmtree(f"{path}/{art}", ignore_errors=True)
+                os.rename(f"{old}/{art}", f"{path}/{art}")
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     buckets, shingles = load_lsh_index(spark, path)
     if drop_ids is not None:
@@ -860,7 +886,6 @@ def compact_lsh_index(
         )
         buckets = buckets.join(keep, id_col, "left_anti")
         shingles = shingles.join(keep, id_col, "left_anti")
-    staged = f"{path}/.compact"
     # bucket rows are exact duplicates when replayed (same id -> same
     # signature -> same bkey), so distinct() is the full dedupe; shingle
     # rows dedupe by id (the set is a function of the id's text)
@@ -870,12 +895,18 @@ def compact_lsh_index(
     shingles.dropDuplicates([id_col]).write.mode("overwrite").parquet(
         f"{staged}/shingles"
     )
-    for art in ("buckets", "shingles"):
-        live, new = f"{path}/{art}", f"{staged}/{art}"
-        old = f"{path}/.old_{art}"
-        os.rename(live, old)
-        os.rename(new, live)
-        shutil.rmtree(old)
+    # cutover: move the whole live index into the backup dir, then the
+    # whole staged index in. A crash at ANY point in this window is
+    # recovered by the restore branch above (the backup keeps every
+    # artifact until the final rmtree, so recovery always reverts to
+    # the intact pre-compaction index; a crash after the rmtree has
+    # already committed the new index)
+    os.makedirs(old)
+    os.rename(f"{path}/shingles", f"{old}/shingles")
+    os.rename(f"{path}/buckets", f"{old}/buckets")
+    os.rename(f"{staged}/buckets", f"{path}/buckets")
+    os.rename(f"{staged}/shingles", f"{path}/shingles")
+    shutil.rmtree(old)
     shutil.rmtree(staged, ignore_errors=True)
 
 

@@ -392,7 +392,7 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciled = docs.select(
         "doc_id", F.ntile(HEAPS_DECILES).over(w_doc).alias("decile")
     )
-    toks = load_split(spark, sf_dir, "documents").select(
+    toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )
     # token occurrences per decile + each token's first decile
@@ -407,7 +407,6 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_new"))
         .withColumnRenamed("first_decile", "decile")
     )
-    n_docs = docs.groupBy().agg(F.count("*").alias("n"))
     base = (
         per_decile_tokens.join(first, "decile", "left")
         .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
@@ -562,7 +561,15 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "split",
         "o",
-        F.expr("(10000 * abs(o * n - rt * ct)) div (rt * ct)")
+        # DECIMAL(38,0) intermediates: o*n reaches ~1e18 at a 1e9-row
+        # corpus and 10000*|o*n - rt*ct| passes int64 — bigint math
+        # would wrap silently here while the DuckDB oracle's HUGEINT
+        # stays exact (`div` on decimals returns bigint)
+        F.expr(
+            "(CAST(10000 AS DECIMAL(38,0))"
+            " * abs(CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct))"
+            " div (CAST(rt AS DECIMAL(38,0)) * ct)"
+        )
         .cast("bigint")
         .alias("dev_bp"),
         F.round((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e, 4)
@@ -597,8 +604,12 @@ def _fs_registry_b(cust: DataFrame) -> DataFrame:
     segment rotates to the next in the fixed list."""
     last = F.substring(F.col("c_name"), -1, 1)
     bumped = ((last.cast("int") + 1) % 10).cast("string")
+    # digit guard: on a name NOT ending in a digit, Spark's cast yields
+    # NULL (silently nulling b_name and dropping the pair) while DuckDB
+    # CAST hard-errors — gate the bump so both engines pass such names
+    # through unchanged (TRY_CAST mirrors the guard in the oracle)
     name2 = F.when(
-        F.col("c_custkey") % 3 == 0,
+        (F.col("c_custkey") % 3 == 0) & last.between("0", "9"),
         F.concat(F.expr("substring(c_name, 1, length(c_name) - 1)"), bumped),
     ).otherwise(F.col("c_name"))
     bal2 = F.when(
@@ -1145,9 +1156,10 @@ _FS_SQL = f"""
 WITH b AS (
   SELECT c_custkey + {FS_B_OFFSET} AS b_id,
          CASE WHEN c_custkey % 3 = 0
+               AND substring(c_name, length(c_name), 1) BETWEEN '0' AND '9'
               THEN substring(c_name, 1, length(c_name) - 1)
-                   || CAST((CAST(substring(c_name, length(c_name), 1) AS INT)
-                            + 1) % 10 AS VARCHAR)
+                   || CAST((TRY_CAST(substring(c_name, length(c_name), 1)
+                                     AS INT) + 1) % 10 AS VARCHAR)
               ELSE c_name END AS b_name,
          c_nationkey AS b_nation,
          CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 1.0

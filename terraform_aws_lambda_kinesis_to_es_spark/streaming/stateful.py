@@ -946,6 +946,17 @@ def anomaly_stream(
     q_anomaly_days daily z-score). Emits one row per key per batch with
     the count, the history it was judged against, and the spike flag.
 
+    BOUNDARY — absence is invisible: applyInPandasWithState only
+    invokes keys PRESENT in the micro-batch, so the trailing window is
+    over the batches the key appeared in (a gap batch contributes no
+    zero sample) and a key going fully silent emits nothing — this
+    operator detects volume SPIKES among active keys, not silence.
+    Silence/liveness detection needs a timer-driven operator (state
+    timeouts firing without input); pair with `latest_per_key` +
+    downstream staleness checks, or drive this operator from a
+    key-complete input (per-batch counts unioned with the monitored key
+    universe) when zero-count batches must enter the window.
+
     Scale posture: state is at most ``window`` longs per key — constant;
     the judgment is O(window) integer ops per key per batch. Keys are
     the shuffle partitioning, so a million monitored keys spread across

@@ -541,3 +541,66 @@ def test_lsh_index_compaction_equals_fresh(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want, "fixture must exercise post-compaction near-dups"
+
+
+def test_lsh_index_compaction_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash inside the compaction cutover window leaves a backup dir
+    (.old_compact) holding the pre-compaction artifacts; the next
+    compact_lsh_index call must restore them and complete normally, for
+    every crash position: (a) one artifact moved out, (b) both moved
+    out, (c) a new artifact half cut over. Probe results afterwards
+    equal a clean compaction's."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents")
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    clean = str(tmp_path / "clean")
+    D.save_lsh_index(docs, clean)
+    D.compact_lsh_index(spark, clean)
+    bc, sc = D.load_lsh_index(spark, clean)
+    want = {tuple(r) for r in D.probe_lsh_index(bc, sc, probe_batch).collect()}
+
+    def crashed_index(name, crash):
+        path = str(tmp_path / name)
+        D.save_lsh_index(docs, path)
+        old = f"{path}/.old_compact"
+        os.makedirs(old)
+        crash(path, old)
+        return path
+
+    # (a) crash after moving shingles out, buckets still live
+    p = crashed_index(
+        "a", lambda path, old: os.rename(f"{path}/shingles", f"{old}/shingles")
+    )
+    D.compact_lsh_index(spark, p)
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+    assert not os.path.exists(f"{p}/.old_compact")
+
+    # (b) crash with both artifacts moved out (live index empty)
+    def both_out(path, old):
+        os.rename(f"{path}/shingles", f"{old}/shingles")
+        os.rename(f"{path}/buckets", f"{old}/buckets")
+
+    p = crashed_index("b", both_out)
+    D.compact_lsh_index(spark, p)
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    # (c) crash with a NEW buckets artifact half cut over: backup must
+    # win (never new buckets against old shingles)
+    def half_cutover(path, old):
+        both_out(path, old)
+        # fake "new" buckets: an empty dir standing in for a partial write
+        shutil.copytree(f"{old}/buckets", f"{path}/buckets")
+
+    p = crashed_index("c", half_cutover)
+    D.compact_lsh_index(spark, p)
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want

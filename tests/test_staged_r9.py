@@ -312,3 +312,34 @@ def test_epoch_schedule_wrr_shares(spark, sf_dir):
     for s, w in weights.items():
         expect = EPOCH_K * w / total_w
         assert abs(counts[s] - expect) <= 2 + expect * 0.1, (s, counts[s], expect)
+
+
+def test_fellegi_sunter_nondigit_names_cross_engine(spark, tmp_path):
+    """Regression (round-8 review): a registry name NOT ending in a
+    digit must pass through the corruption step unchanged on BOTH
+    engines — ungated, Spark's cast-to-int yields NULL (silently
+    nulling b_name and dropping the pair) while DuckDB's CAST
+    hard-errors. The digit guard + TRY_CAST keep the engines agreeing."""
+    import duckdb
+
+    cust = spark.createDataFrame(
+        [
+            (1, "Customer#000000001", 0, 100.0, "BUILDING"),
+            (3, "Alpha Corp", 0, 200.0, "BUILDING"),
+            (6, "Beta LLC x", 0, 300.0, "MACHINERY"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    d = str(tmp_path / "fs_nondigit")
+    cust.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    got = sorted(tuple(r) for r in QUERIES["q_fellegi_sunter"](spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["q_fellegi_sunter"]).fetchall())
+    con.close()
+    assert got == want
+    # un-bumpable names survive verbatim -> their clone pairs fully agree
+    assert all(r[5] == 1292 and r[6] == "match" for r in got)
