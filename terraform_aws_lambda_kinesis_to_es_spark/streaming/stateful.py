@@ -951,11 +951,11 @@ def anomaly_stream(
     over the batches the key appeared in (a gap batch contributes no
     zero sample) and a key going fully silent emits nothing — this
     operator detects volume SPIKES among active keys, not silence.
-    Silence/liveness detection needs a timer-driven operator (state
-    timeouts firing without input); pair with `latest_per_key` +
-    downstream staleness checks, or drive this operator from a
-    key-complete input (per-batch counts unioned with the monitored key
-    universe) when zero-count batches must enter the window.
+    Silence/liveness detection needs a timer-driven operator — pair
+    with :func:`silence_stream` (ProcessingTimeTimeout timers firing
+    without input), or drive this operator from a key-complete input
+    (per-batch counts unioned with the monitored key universe) when
+    zero-count gap batches must enter the trailing window.
 
     Scale posture: state is at most ``window`` longs per key — constant;
     the judgment is O(window) integer ops per key per batch. Keys are
@@ -968,4 +968,74 @@ def anomaly_stream(
         stateStructType=_ANOM_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming silence / liveness detection — round 8
+# ---------------------------------------------------------------------------
+
+SILENCE_SCHEMA = "grp string, n_seen long, silent boolean"
+_SIL_STATE = "n_seen long"
+
+
+def _silence_fn_factory(silence_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per key: every arrival re-arms a processing-time timer; if the
+        key then sends NOTHING for ``silence_ms``, the timer fires at the
+        next micro-batch boundary and emits one silent=true row (then
+        drops the state, so a returning key starts a fresh liveness
+        cycle and re-silencing re-alerts). This is the timer-driven
+        complement to anomaly_stream, whose per-key state is only ever
+        invoked for keys PRESENT in a batch."""
+        if state.hasTimedOut:
+            got = state.get if state.exists else (0,)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "grp": [key[0]],
+                    "n_seen": [int(got[0])],
+                    "silent": [True],
+                }
+            )
+            return
+        n = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(silence_ms)
+        yield pd.DataFrame({"grp": [key[0]], "n_seen": [n], "silent": [False]})
+
+    return fn
+
+
+def silence_stream(
+    df: DataFrame, key_col: str = "log_type", silence_ms: int = 60_000
+) -> DataFrame:
+    """STREAMING liveness monitor: emits (key, n_seen, silent=false) on
+    every batch a key appears in, and ONE (key, n_seen, silent=true) row
+    when a previously-seen key has sent nothing for ``silence_ms`` of
+    processing time — the dead-producer alert that per-key volume
+    operators (anomaly_stream) structurally cannot raise, because their
+    state is only invoked for keys present in the batch. Timer-driven:
+    GroupStateTimeout.ProcessingTimeTimeout invokes the function with
+    hasTimedOut for expired keys even when no input arrives for them.
+
+    Scale posture: one long of state per key plus its timer; silent
+    keys clean their state up on firing, so the state store tracks the
+    LIVE key population, not the historical one. Timers fire at
+    micro-batch boundaries — detection latency is silence_ms plus one
+    trigger interval, the standard structured-streaming contract. An
+    availableNow drain runs a final timer pass at end-of-input, so a
+    drained stream marks its (expired) keys silent — the correct
+    reading of end-of-input, pinned in the e2e test."""
+    keyed = df.select(F.col(key_col).cast("string").alias("grp"))
+    return keyed.groupBy("grp").applyInPandasWithState(
+        _silence_fn_factory(silence_ms),
+        outputStructType=SILENCE_SCHEMA,
+        stateStructType=_SIL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

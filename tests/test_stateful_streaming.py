@@ -656,3 +656,64 @@ def test_anomaly_stream_flags_volume_spike(spark, tmp_path):
     assert [r.batch_n for r in app] == [2, 2, 2, 2, 9]
     assert [r.spike for r in app] == [False, False, False, False, True]
     assert all(not r.spike for r in web)
+
+
+def test_silence_stream_flags_dead_producer(spark, tmp_path):
+    """'app' appears only in batch 1, 'web' in all three: with a 1 ms
+    silence window, app's processing-time timer fires on a later batch
+    boundary (timer-driven invocation WITHOUT input for the key) and
+    emits exactly ONE silent=true row carrying its lifetime count — and
+    the availableNow drain's final timer pass then fires web's expired
+    timer too (end-of-input means every key has gone silent, the
+    correct reading of a drained stream). State removal on firing is
+    pinned by the exactly-once flag per key."""
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def batch(name, types, order):
+        rows = [
+            {"log_id": f"{t}{i}", "log_type": t, "log_ts": "2024-03-01T10:00:00"}
+            for i, t in enumerate(types)
+        ]
+        _write_batch(src, name, rows)
+        os.utime(f"{src}/{name}.json", (1700000000 + order, 1700000000 + order))
+
+    batch("b1", ["app", "app", "web"], 0)
+    batch("b2", ["web"], 1)
+    batch("b3", ["web"], 2)
+    out = stateful.silence_stream(_stream(spark, src), silence_ms=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sil_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # an availableNow query with ProcessingTimeTimeout timers can stay
+    # alive polling for further expirations after the drain — wait for
+    # the four data/timer batches, then poll the sink for the two
+    # silent rows and stop the query (it has nothing left to do)
+    import time as _time
+
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        if q.awaitTermination(5):
+            break
+        done = [r for r in spark.table("sil_t").collect() if r.silent]
+        if len(done) >= 2:
+            break
+    if q.isActive:
+        q.stop()
+    rows = spark.table("sil_t").collect()
+    app_silent = [r for r in rows if r.grp == "app" and r.silent]
+    web_silent = [r for r in rows if r.grp == "web" and r.silent]
+    assert len(app_silent) == 1, "exactly one alert per silent key"
+    assert app_silent[0].n_seen == 2
+    assert len(web_silent) == 1
+    assert web_silent[0].n_seen == 3
+    # presence rows flow for both keys on every batch they appear in
+    assert len([r for r in rows if r.grp == "app" and not r.silent]) == 1
+    assert len([r for r in rows if r.grp == "web" and not r.silent]) == 3
