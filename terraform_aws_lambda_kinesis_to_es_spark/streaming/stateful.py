@@ -775,20 +775,67 @@ HH_SCHEMA = (
 _HH_STATE = "items array<string>, counts array<long>, errs array<long>, version long"
 
 
+def _batch_item_counts(pdfs: Iterator[pd.DataFrame]) -> dict[str, int]:
+    """Exact per-batch item counts (vectorized value_counts per Arrow
+    chunk, merged) — shared by both API forms of the heavy hitter."""
+    batch: dict[str, int] = {}
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        for it, c in pdf["item"].value_counts().items():
+            batch[it] = batch.get(it, 0) + int(c)
+    return batch
+
+
+def _space_saving_merge(
+    table: dict[str, list[int]], batch: dict[str, int], cap: int
+) -> None:
+    """Merge a batch's exact counts into a Space-Saving table (Metwally
+    et al., ICDT 2005) of at most ``cap`` items, in place. A new item
+    beyond capacity takes over the MINIMUM counter: est = min + batch
+    count, err = min — giving the classic guarantees (est overcounts by
+    at most err <= N/cap; every item with true count > N/cap is in the
+    table). Batch items merge in sorted order and eviction picks the
+    (count, item)-minimal entry, so the table is deterministic for a
+    given batch sequence. Shared by the legacy and TWS operator forms."""
+    for it in sorted(batch):
+        c = batch[it]
+        if it in table:
+            table[it][0] += c
+        elif len(table) < cap:
+            table[it] = [c, 0]
+        else:
+            evict_it, (evict_c, _e) = min(
+                table.items(), key=lambda kv: (kv[1][0], kv[0])
+            )
+            del table[evict_it]
+            table[it] = [evict_c + c, evict_c]
+
+
+def _space_saving_emit(
+    key: tuple, table: dict[str, list[int]], topn: int, version: int
+) -> Iterator[pd.DataFrame]:
+    top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[:topn]
+    if top:
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(top),
+                "item": [t[0] for t in top],
+                "est_count": [t[1][0] for t in top],
+                "max_err": [t[1][1] for t in top],
+                "version": [version] * len(top),
+            }
+        )
+
+
 def _space_saving_fn_factory(cap: int, topn: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        """Per group key: maintain a Space-Saving counter table (Metwally
-        et al., ICDT 2005) of at most ``cap`` items. A new item beyond
-        capacity takes over the MINIMUM counter: est = min + batch count,
-        err = min — giving the classic guarantees (est overcounts by at
-        most err <= N/cap; every item with true count > N/cap is in the
-        table). Batch items merge in sorted order and eviction picks the
-        (count, item)-minimal entry, so the table is deterministic for a
-        given batch sequence. Emits the top-``topn`` per batch tagged
-        with a monotonically increasing version — consumers (and the
-        test) read the max-version emission as 'current'."""
+        """Space-Saving table per group key (see _space_saving_merge for
+        the algorithm + guarantees). Emits the top-``topn`` per batch
+        tagged with a monotonically increasing version — consumers (and
+        the test) read the max-version emission as 'current'."""
         if state.exists:
             items, counts, errs, version = state.get
             table: dict[str, list[int]] = {
@@ -797,24 +844,7 @@ def _space_saving_fn_factory(cap: int, topn: int):
             version = int(version)
         else:
             table, version = {}, 0
-        batch: dict[str, int] = {}
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for it, c in pdf["item"].value_counts().items():
-                batch[it] = batch.get(it, 0) + int(c)
-        for it in sorted(batch):
-            c = batch[it]
-            if it in table:
-                table[it][0] += c
-            elif len(table) < cap:
-                table[it] = [c, 0]
-            else:
-                evict_it, (evict_c, _e) = min(
-                    table.items(), key=lambda kv: (kv[1][0], kv[0])
-                )
-                del table[evict_it]
-                table[it] = [evict_c + c, evict_c]
+        _space_saving_merge(table, _batch_item_counts(pdfs), cap)
         version += 1
         its = sorted(table)
         state.update(
@@ -825,17 +855,7 @@ def _space_saving_fn_factory(cap: int, topn: int):
                 version,
             )
         )
-        top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[:topn]
-        if top:
-            yield pd.DataFrame(
-                {
-                    "grp": [key[0]] * len(top),
-                    "item": [t[0] for t in top],
-                    "est_count": [t[1][0] for t in top],
-                    "max_err": [t[1][1] for t in top],
-                    "version": [version] * len(top),
-                }
-            )
+        yield from _space_saving_emit(key, table, topn, version)
 
     return fn
 
@@ -886,18 +906,35 @@ ANOM_SCHEMA = (
 _ANOM_STATE = "hist array<long>, version long"
 
 
+def _anomaly_judge(
+    hist: list[int], x: int, z_threshold: int, min_hist: int
+) -> tuple[int, int, bool]:
+    """(hist_len, hist_sum, spike) for batch count ``x`` against the
+    trailing history. The z-test is the EXACT integer inequality
+    (len*x - s)^2 > T^2 * (len*ss - s^2) (both sides integers — the
+    q_anomaly_days rule in streaming form), so the flag is
+    bit-deterministic; no flag until ``min_hist`` batches of history
+    exist, and a zero-variance history flags on ANY deviation. Shared
+    by the legacy and TWS operator forms."""
+    n = len(hist)
+    s = sum(hist)
+    ss = sum(h * h for h in hist)
+    spike = False
+    if n >= min_hist:
+        lhs = (n * x - s) ** 2
+        rhs = z_threshold * z_threshold * (n * ss - s * s)
+        spike = lhs > rhs if rhs > 0 else x * n != s
+    return n, s, spike
+
+
 def _anomaly_fn_factory(window: int, z_threshold: int, min_hist: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         """Per key: keep the last ``window`` per-batch row counts and
         flag a batch whose count sits more than ``z_threshold`` trailing
-        standard deviations from the trailing mean. The z-test is the
-        EXACT integer inequality (len*x - s)^2 > T^2 * (len*ss - s^2)
-        (both sides integers — the q_anomaly_days rule in streaming
-        form), so the flag is bit-deterministic; no flag until
-        ``min_hist`` batches of history exist or when variance is 0 and
-        x equals the constant history."""
+        standard deviations from the trailing mean (see _anomaly_judge
+        for the exact integer rule)."""
         if state.exists:
             hist, version = state.get
             hist = [int(h) for h in hist]
@@ -907,15 +944,7 @@ def _anomaly_fn_factory(window: int, z_threshold: int, min_hist: int):
         x = 0
         for pdf in pdfs:
             x += len(pdf)
-        n = len(hist)
-        s = sum(hist)
-        ss = sum(h * h for h in hist)
-        spike = False
-        if n >= min_hist:
-            lhs = (n * x - s) ** 2
-            rhs = z_threshold * z_threshold * (n * ss - s * s)
-            # zero-variance history: any deviation at all is a spike
-            spike = lhs > rhs if rhs > 0 else x * n != s
+        n, s, spike = _anomaly_judge(hist, x, z_threshold, min_hist)
         version += 1
         hist = (hist + [x])[-window:]
         state.update((hist, version))
@@ -1038,4 +1067,188 @@ def silence_stream(
         stateStructType=_SIL_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas ports of the round-8 analytics operators.
+# Same contracts as the legacy-API forms (the merge/judge hot logic is
+# the SAME shared functions — _space_saving_merge/_space_saving_emit,
+# _anomaly_judge); same RocksDB-provider + protobuf requirements as the
+# other _tws variants (tests skip when the wheel is absent, with the
+# legacy path as the verified default — see the verify skill notes).
+# ---------------------------------------------------------------------------
+
+
+class _HeavyHittersProcessor(StatefulProcessor):
+    """heavy_hitters_stream on transformWithStateInPandas: the
+    Space-Saving table rides in a ListState of (item, count, err) rows
+    plus a ValueState version counter."""
+
+    def __init__(self, cap: int, topn: int) -> None:
+        self._cap = cap
+        self._topn = topn
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._table = handle.getListState(
+            "table", "item string, count long, err long"
+        )
+        self._version = handle.getValueState("version", "v long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        table: dict[str, list[int]] = {}
+        if self._table.exists():
+            for row in self._table.get():
+                table[row[0]] = [int(row[1]), int(row[2])]
+        got = self._version.get()
+        version = int(got[0]) if got is not None else 0
+        _space_saving_merge(table, _batch_item_counts(rows), self._cap)
+        version += 1
+        self._table.put(
+            [(it, table[it][0], table[it][1]) for it in sorted(table)]
+        )
+        self._version.update((version,))
+        yield from _space_saving_emit(key, table, self._topn, version)
+
+    def close(self) -> None:
+        pass
+
+
+def heavy_hitters_stream_tws(
+    df: DataFrame,
+    group_col: str = "log_type",
+    item_col: str = "log_id",
+    cap: int = 8,
+    topn: int = 5,
+) -> DataFrame:
+    """heavy_hitters_stream on the Spark 4 arbitrary-state API —
+    contract identical to the legacy form (shared merge/emit logic)."""
+    keyed = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("grp").transformWithStateInPandas(
+        _HeavyHittersProcessor(cap, topn),
+        outputStructType=HH_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+class _AnomalyProcessor(StatefulProcessor):
+    """anomaly_stream on transformWithStateInPandas: the trailing batch
+    counts ride in a ListState (insertion-ordered, trimmed to the
+    window on rewrite) plus a ValueState version counter."""
+
+    def __init__(self, window: int, z_threshold: int, min_hist: int) -> None:
+        self._window = window
+        self._z = z_threshold
+        self._min_hist = min_hist
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._hist = handle.getListState("hist", "n long")
+        self._version = handle.getValueState("version", "v long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        hist = (
+            [int(r[0]) for r in self._hist.get()] if self._hist.exists() else []
+        )
+        got = self._version.get()
+        version = int(got[0]) if got is not None else 0
+        x = 0
+        for pdf in rows:
+            x += len(pdf)
+        n, s, spike = _anomaly_judge(hist, x, self._z, self._min_hist)
+        version += 1
+        self._hist.put([(h,) for h in (hist + [x])[-self._window:]])
+        self._version.update((version,))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "batch_n": [x],
+                "hist_len": [n],
+                "hist_sum": [s],
+                "spike": [spike],
+                "version": [version],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def anomaly_stream_tws(
+    df: DataFrame,
+    key_col: str = "log_type",
+    window: int = 8,
+    z_threshold: int = 3,
+    min_hist: int = 3,
+) -> DataFrame:
+    """anomaly_stream on the Spark 4 arbitrary-state API — contract
+    identical to the legacy form (shared exact-integer judge); the same
+    absence-blindness boundary applies (see anomaly_stream)."""
+    keyed = df.select(F.col(key_col).cast("string").alias("grp"))
+    return keyed.groupBy("grp").transformWithStateInPandas(
+        _AnomalyProcessor(window, z_threshold, min_hist),
+        outputStructType=ANOM_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+class _SilenceProcessor(StatefulProcessor):
+    """silence_stream on transformWithStateInPandas: a ValueState seen
+    counter plus a processing-time timer re-armed on every arrival;
+    the timer firing without input is the silence alert."""
+
+    def __init__(self, silence_ms: int) -> None:
+        self._silence_ms = silence_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._seen = handle.getValueState("seen", "n long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        got = self._seen.get()
+        n = int(got[0]) if got is not None else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._seen.update((n,))
+        for t_ms in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t_ms)
+        self._handle.registerTimer(
+            timer_values.getCurrentProcessingTimeInMs() + self._silence_ms
+        )
+        yield pd.DataFrame({"grp": [key[0]], "n_seen": [n], "silent": [False]})
+
+    def handleExpiredTimer(
+        self, key: tuple, timer_values: TimerValues, expired_timer_info
+    ) -> Iterator[pd.DataFrame]:
+        got = self._seen.get()
+        n = int(got[0]) if got is not None else 0
+        self._seen.clear()
+        yield pd.DataFrame({"grp": [key[0]], "n_seen": [n], "silent": [True]})
+
+    def close(self) -> None:
+        pass
+
+
+def silence_stream_tws(
+    df: DataFrame, key_col: str = "log_type", silence_ms: int = 60_000
+) -> DataFrame:
+    """silence_stream on the Spark 4 arbitrary-state API — contract
+    identical to the legacy form (one alert per silent key, state
+    dropped on firing)."""
+    keyed = df.select(F.col(key_col).cast("string").alias("grp"))
+    return keyed.groupBy("grp").transformWithStateInPandas(
+        _SilenceProcessor(silence_ms),
+        outputStructType=SILENCE_SCHEMA,
+        outputMode="update",
+        timeMode="processingTime",
     )

@@ -717,3 +717,131 @@ def test_silence_stream_flags_dead_producer(spark, tmp_path):
     # presence rows flow for both keys on every batch they appear in
     assert len([r for r in rows if r.grp == "app" and not r.silent]) == 1
     assert len([r for r in rows if r.grp == "web" and not r.silent]) == 3
+
+
+def _with_rocksdb(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+
+    return cm()
+
+
+def test_heavy_hitters_stream_tws_variant(spark, tmp_path):
+    """Same Space-Saving contract through the transformWithState port
+    (shared merge/emit logic with the legacy form). Skips without the
+    protobuf wheel, like the other _tws e2e tests."""
+    pytest.importorskip("google.protobuf")
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def rows(items, t0):
+        return [
+            {"log_id": it, "log_type": "app", "log_ts": f"2024-03-01T10:00:{t0 + i:02d}"}
+            for i, it in enumerate(items)
+        ]
+
+    _write_batch(src, "b1", rows(["u1"] * 4 + ["u2"] * 2 + ["u3", "u4"], 0))
+    _write_batch(src, "b2", rows(["u1"] * 3 + ["u5", "u6", "u7"], 10))
+    _write_batch(src, "b3", rows(["u2"] * 2 + ["u8"], 20))
+    for i, n in enumerate(["b1", "b2", "b3"]):
+        os.utime(f"{src}/{n}.json", (1700000000 + i, 1700000000 + i))
+    with _with_rocksdb(spark):
+        out = stateful.heavy_hitters_stream_tws(_stream(spark, src), cap=4, topn=3)
+        _run_to_memory(out, "hh_tws_t", str(tmp_path / "ck"))
+    all_rows = spark.table("hh_tws_t").collect()
+    last_v = max(r.version for r in all_rows)
+    final = {r.item: r for r in all_rows if r.version == last_v}
+    for it, cnt in {"u1": 7, "u2": 4}.items():
+        assert it in final
+        assert final[it].est_count >= cnt
+        assert final[it].est_count - final[it].max_err <= cnt
+
+
+def test_anomaly_stream_tws_variant(spark, tmp_path):
+    """Same exact-integer z-test through the transformWithState port."""
+    pytest.importorskip("google.protobuf")
+    import os
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, n_app) in enumerate(
+        [("b1", 2), ("b2", 2), ("b3", 2), ("b4", 2), ("b5", 9)]
+    ):
+        _write_batch(
+            src,
+            name,
+            [
+                {"log_id": f"a{i}{j}", "log_type": "app",
+                 "log_ts": f"2024-03-01T10:{i:02d}:{j:02d}"}
+                for j in range(n_app)
+            ],
+        )
+        os.utime(f"{src}/{name}.json", (1700000000 + i, 1700000000 + i))
+    with _with_rocksdb(spark):
+        out = stateful.anomaly_stream_tws(_stream(spark, src), window=8, min_hist=3)
+        _run_to_memory(out, "anom_tws_t", str(tmp_path / "ck"))
+    app = sorted(spark.table("anom_tws_t").collect(), key=lambda r: r.version)
+    assert [r.batch_n for r in app] == [2, 2, 2, 2, 9]
+    assert [r.spike for r in app] == [False, False, False, False, True]
+
+
+def test_silence_stream_tws_variant(spark, tmp_path):
+    """Same one-alert-per-silent-key contract through the
+    transformWithState port (processing-time timers)."""
+    pytest.importorskip("google.protobuf")
+    import os
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (name, types) in enumerate(
+        [("b1", ["app", "app", "web"]), ("b2", ["web"]), ("b3", ["web"])]
+    ):
+        _write_batch(
+            src,
+            name,
+            [
+                {"log_id": f"{t}{j}", "log_type": t, "log_ts": "2024-03-01T10:00:00"}
+                for j, t in enumerate(types)
+            ],
+        )
+        os.utime(f"{src}/{name}.json", (1700000000 + i, 1700000000 + i))
+    with _with_rocksdb(spark):
+        out = stateful.silence_stream_tws(_stream(spark, src), silence_ms=1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sil_tws_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if q.awaitTermination(5):
+                break
+            if len([r for r in spark.table("sil_tws_t").collect() if r.silent]) >= 2:
+                break
+        if q.isActive:
+            q.stop()
+    rows = spark.table("sil_tws_t").collect()
+    app_silent = [r for r in rows if r.grp == "app" and r.silent]
+    assert len(app_silent) == 1 and app_silent[0].n_seen == 2
