@@ -710,8 +710,14 @@ class _NearDupProcessor(StatefulProcessor):
             )
 
     def handleExpiredTimer(
-        self, key: tuple, timer_values: TimerValues, expired_timer_info
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo=None
     ) -> Iterator[pd.DataFrame]:
+        # parameter names MUST be the base class's camelCase: the
+        # framework invokes this callback with KEYWORD arguments
+        # (stateful_processor_util._handle_expired_timers calls
+        # handleExpiredTimer(key=..., timerValues=...,
+        # expiredTimerInfo=...)), so snake_case names raise TypeError
+        # at the first expiry and kill the query.
         # idle past the horizon: every retained entry is behind the
         # watermark by construction of the timer timestamp — drop the
         # bucket's state entirely
@@ -1228,8 +1234,10 @@ class _SilenceProcessor(StatefulProcessor):
         yield pd.DataFrame({"grp": [key[0]], "n_seen": [n], "silent": [False]})
 
     def handleExpiredTimer(
-        self, key: tuple, timer_values: TimerValues, expired_timer_info
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo=None
     ) -> Iterator[pd.DataFrame]:
+        # camelCase names required — the framework calls this with
+        # keyword arguments (see _NearDupProcessor.handleExpiredTimer)
         got = self._seen.get()
         n = int(got[0]) if got is not None else 0
         self._seen.clear()

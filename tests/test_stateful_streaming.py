@@ -719,29 +719,6 @@ def test_silence_stream_flags_dead_producer(spark, tmp_path):
     assert len([r for r in rows if r.grp == "web" and not r.silent]) == 3
 
 
-def _with_rocksdb(spark):
-    import contextlib
-
-    @contextlib.contextmanager
-    def cm():
-        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-        try:
-            yield
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-            else:
-                spark.conf.set(
-                    "spark.sql.streaming.stateStore.providerClass", prev
-                )
-
-    return cm()
-
-
 def test_heavy_hitters_stream_tws_variant(spark, tmp_path):
     """Same Space-Saving contract through the transformWithState port
     (shared merge/emit logic with the legacy form). Skips without the
@@ -845,3 +822,22 @@ def test_silence_stream_tws_variant(spark, tmp_path):
     rows = spark.table("sil_tws_t").collect()
     app_silent = [r for r in rows if r.grp == "app" and r.silent]
     assert len(app_silent) == 1 and app_silent[0].n_seen == 2
+
+
+def test_tws_expired_timer_signatures_match_framework():
+    """Regression (round-8 review): pyspark invokes handleExpiredTimer
+    with KEYWORD arguments (stateful_processor_util calls
+    handleExpiredTimer(key=..., timerValues=..., expiredTimerInfo=...)),
+    so a processor naming them snake_case raises TypeError at the first
+    expiry and kills the query. The bug is invisible here because the
+    TWS e2e tests protobuf-skip — this signature pin is the
+    environment-independent guard, checked for every timer-bearing
+    processor in the module."""
+    import inspect
+
+    for proc_cls in (stateful._NearDupProcessor, stateful._SilenceProcessor):
+        params = list(
+            inspect.signature(proc_cls.handleExpiredTimer).parameters
+        )
+        assert params[:3] == ["self", "key", "timerValues"], proc_cls
+        assert params[3] == "expiredTimerInfo", proc_cls
