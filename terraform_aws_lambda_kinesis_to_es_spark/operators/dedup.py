@@ -850,15 +850,20 @@ def compact_lsh_index(
     write is crash-tolerant (a crash leaves only the staging dir). The
     final cutover moves the live index into a backup dir and the staged
     one in — a short multi-rename window during which
-    :func:`load_lsh_index` can observe a missing artifact, but NEVER a
-    mixed one (new buckets against old shingles is impossible: the
-    backup keeps every pre-compaction artifact until the new index is
-    fully in place). A crash anywhere in the window is self-healing:
-    the next :func:`compact_lsh_index` call restores whatever the
-    backup still holds — reverting to the intact pre-compaction index —
-    before recompacting. On HDFS/S3 the cutover would be the catalog's
-    atomic pointer swap instead; this local layout mirrors that
-    contract as closely as renames can.
+    :func:`load_lsh_index` can observe a missing artifact, but never
+    the HARMFUL mix (bucket rows whose ids have no shingle sets — the
+    direction that silently loses candidate pairs; see
+    :func:`extend_lsh_index`). The COMMIT POINT is one atomic rename of
+    the backup dir to a trash name: before it, recovery restores the
+    backup (shingles first — the conservative order) and reverts to the
+    intact pre-compaction index; after it, the new index is committed
+    and the trash is garbage regardless of how far its deletion got
+    (deleting the backup in place was the subtle bug: a crash mid-rmtree
+    leaves a PARTIAL backup that recovery would restore over the
+    committed index). A crash anywhere is self-healing on the next
+    :func:`compact_lsh_index` call. On HDFS/S3 the cutover would be the
+    catalog's atomic pointer swap instead; this local layout mirrors
+    that contract as closely as renames can.
     At 100 TB this runs band-parallel off the partitioned layout, on the
     same cadence as any append-only table's compaction."""
     import os
@@ -866,13 +871,19 @@ def compact_lsh_index(
 
     staged = f"{path}/.compact"
     old = f"{path}/.old_compact"
-    # a dead previous run may have left staging/backup dirs: staging is
-    # garbage (rebuildable); a backup dir means that run died somewhere
-    # in the cutover window — restore every artifact it still holds
-    # (clobbering any half-cut-over new artifact: that reverts to the
-    # verbatim pre-compaction index, and compaction is re-runnable)
+    trash = f"{path}/.old_compact.deleting"
+    # a dead previous run may have left staging/backup/trash dirs:
+    # staging and trash are garbage (staging is rebuildable; trash is a
+    # backup whose run already COMMITTED — restoring it would clobber
+    # the committed index); a backup dir means that run died inside the
+    # cutover window — restore every artifact it still holds, shingles
+    # FIRST (an orphan shingle set is harmless, an orphan bucket row
+    # silently loses pairs), clobbering any half-cut-over new artifact:
+    # that reverts to the verbatim pre-compaction index, and compaction
+    # is re-runnable
+    shutil.rmtree(trash, ignore_errors=True)
     if os.path.isdir(old):
-        for art in ("buckets", "shingles"):
+        for art in ("shingles", "buckets"):
             if os.path.isdir(f"{old}/{art}"):
                 shutil.rmtree(f"{path}/{art}", ignore_errors=True)
                 os.rename(f"{old}/{art}", f"{path}/{art}")
@@ -896,17 +907,18 @@ def compact_lsh_index(
         f"{staged}/shingles"
     )
     # cutover: move the whole live index into the backup dir, then the
-    # whole staged index in. A crash at ANY point in this window is
-    # recovered by the restore branch above (the backup keeps every
-    # artifact until the final rmtree, so recovery always reverts to
-    # the intact pre-compaction index; a crash after the rmtree has
-    # already committed the new index)
+    # whole staged index in. A crash at ANY point up to the trash
+    # rename is recovered by the restore branch above (the backup keeps
+    # every artifact intact until then). The trash rename IS the commit
+    # point — a single atomic rename; after it the backup is garbage
+    # even if its deletion is interrupted halfway
     os.makedirs(old)
     os.rename(f"{path}/shingles", f"{old}/shingles")
     os.rename(f"{path}/buckets", f"{old}/buckets")
     os.rename(f"{staged}/buckets", f"{path}/buckets")
     os.rename(f"{staged}/shingles", f"{path}/shingles")
-    shutil.rmtree(old)
+    os.rename(old, trash)
+    shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staged, ignore_errors=True)
 
 

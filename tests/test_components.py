@@ -593,14 +593,31 @@ def test_lsh_index_compaction_crash_recovery(spark, sf_dir, tmp_path):
     b, s = D.load_lsh_index(spark, p)
     assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
 
-    # (c) crash with a NEW buckets artifact half cut over: backup must
-    # win (never new buckets against old shingles)
+    # (c) crash with a half-cut-over "new" buckets artifact: backup must
+    # WIN (recovery clobbers it). The fake is an EMPTY dir — observably
+    # different from the backup, so a regression that skips the clobber
+    # fails the parquet read / probe instead of passing vacuously
     def half_cutover(path, old):
         both_out(path, old)
-        # fake "new" buckets: an empty dir standing in for a partial write
-        shutil.copytree(f"{old}/buckets", f"{path}/buckets")
+        os.makedirs(f"{path}/buckets")
 
     p = crashed_index("c", half_cutover)
     D.compact_lsh_index(spark, p)
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    # (d) crash AFTER the commit point (backup renamed to the trash
+    # name, deletion interrupted): the trash must be treated as garbage,
+    # never restored over the committed index — the committed (fresh,
+    # uncompacted-equivalent) index must survive recompaction untouched
+    # by the stale trash artifacts
+    p = str(tmp_path / "d")
+    D.save_lsh_index(docs, p)
+    os.makedirs(f"{p}/.old_compact.deleting")
+    shutil.copytree(
+        str(tmp_path / "clean") + "/shingles", f"{p}/.old_compact.deleting/shingles"
+    )
+    D.compact_lsh_index(spark, p)
+    assert not os.path.exists(f"{p}/.old_compact.deleting")
     b, s = D.load_lsh_index(spark, p)
     assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
