@@ -9,7 +9,7 @@ Each staged query is timed at sf0.1 (base) and at its table's 100x
 corpus (big); flag = big > replicas * base + overhead (the same
 super-linear rule family_scale_sweep.py applies to declared queries).
 
-Run: python examples/staged_r9_scale.py
+Run: python examples/audit_queries_scale.py
 One JSON line per query + a summary line.
 """
 
@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import (  # noqa: E402
+from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (  # noqa: E402
     QUERIES,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: E402
@@ -94,7 +94,7 @@ def time_query(fn, spark, sf_dir: str, n_runs: int = 2) -> dict:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark(
-        "staged_r9_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "audit_queries_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     if not os.path.isdir(f"{CUST100X}/customer.parquet"):
         materialize_customer(spark)

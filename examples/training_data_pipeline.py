@@ -27,7 +27,7 @@ def main() -> None:
     from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
         QUERIES,
     )
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (
         QUERIES as R9_QUERIES,
     )
 

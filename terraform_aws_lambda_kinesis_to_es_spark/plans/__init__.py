@@ -52,33 +52,9 @@ _R3_ERA = (
     "q_unigram_ppl", "q_value_buckets",
 )
 
-# Round 8 (VERDICT r7 #1/#2): head, exactly 50 =
-#   (a) the 12 PROMOTED corpus_queries names (built + staged in r7 as
-#       plans/staged_r8.py with two-SF driver-protocol pytest and 100x
-#       scale evidence; promoted after the round-8 ADVICE fixes —
-#       q_kmv_overlap's disjoint-pair left join and
-#       q_weighted_reservoir's coarse integer ranking key);
-#   (b) the 12-name r3-era leftover (latest verdicts round 3, four
-#       rounds old — the rotation debt VERDICT r7 #2 schedules);
-#   (c) 26 names from the r4-fresh cohort (the oldest remaining tier,
-#       46 names whose latest verdict is round 4), oldest-first in
-#       their r4 verdict order. The cohort's 20-name tail
-#       (q_functional_deps .. q_label_balance) rolls to the round-9
-#       head, followed by the r5 tier.
-_R8_PROMOTED = (
-    "q_url_canonical", "q_weighted_reservoir", "q_layout_skipping",
-    "q_linear_quality", "q_lsh_tuning", "q_time_decay",
-    "q_media_phash", "q_kmv_overlap", "q_audio_fingerprint",
-    "q_mmr_diversify", "q_ngram_novelty", "q_join_size_est",
-)
-_R3_LEFTOVER = (
-    "q_repeat_upsample", "q_salted_agg", "q_semdedup", "q_set_ops",
-    "q_source_mix", "q_stratified_sample", "q_string_functions",
-    "q_temperature_mix", "q_text_normalize", "q_token_budget",
-    "q_unigram_ppl", "q_value_buckets",
-)
-# The full r4 tier in its CORRECTNESS_r04 verdict order; [:26] fills
-# this round's window, the rest is explicitly queued for round 9.
+# The full r4 tier in its CORRECTNESS_r04 verdict order. [:26] filled
+# the round-8 window (green in CORRECTNESS_r08); [26:] is the 20-name
+# leftover the round-9 head clears.
 _R4_FRESH = (
     "q_parse_props", "q_validate_route", "q_whitelist", "q_unknown_route",
     "q_rollup_merge", "q_duplicate_payloads", "q_quality_classifier",
@@ -94,21 +70,60 @@ _R4_FRESH = (
     "q_shard_assignment", "q_trending_parts", "q_profile_columns_approx",
     "q_tokenizer_fertility", "q_ann_pq", "q_label_balance",
 )
-_HEAD = _R8_PROMOTED + _R3_LEFTOVER + _R4_FRESH[:26]
+# The full r5 tier (47 names whose latest green verdict is round 5,
+# judge-recomputed from the CORRECTNESS_r01-r08 union) in its
+# CORRECTNESS_r05 verdict order. [:18] fills the rest of the round-9
+# window; [18:] (29 names, q_index_name .. q_wordcount) is the queued
+# round-10 rotation debt — see the round-10 head plan below.
+_R5_TIER = (
+    "q_ann_ivfpq", "q_shingle_containment", "q_exact_jaccard_pairs",
+    "q_minhash_dedup", "q_graph_triangles", "q_above_avg_orders",
+    "q_big_spenders", "q_blame_supplier", "q_chunk_count",
+    "q_cust_order_dist", "q_customer_order_semi", "q_daily_counts",
+    "q_dead_letter_fmt", "q_dedup", "q_disjunctive_join",
+    "q_doc_entropy", "q_doc_stats", "q_es_actions",
+    "q_event_transitions", "q_index_name", "q_langid",
+    "q_order_priority_rollup", "q_part_size_dist",
+    "q_part_supplier_variety", "q_passage_dedup", "q_price_deciles",
+    "q_pricing_summary", "q_promo_revenue", "q_props_typed", "q_quality",
+    "q_repetition", "q_retention", "q_returned_items",
+    "q_revenue_by_nation", "q_session_window", "q_sliding_window",
+    "q_small_qty_orders", "q_supplier_rank", "q_top_orders",
+    "q_top_supplier", "q_topk_users", "q_type_value_pivot",
+    "q_user_stats", "q_valuable_parts", "q_volume_shipping",
+    "q_wealthy_inactive", "q_wordcount",
+)
 
-# Round-9 head plan (for the next rotation): promote the staged names
-# from plans/staged_r9.py (q_crawl_frontier, q_snapshot_delta,
-# q_code_detect, q_score_calibration, q_zipf_fit, q_heaps_law,
-# q_js_divergence, q_split_balance, q_fellegi_sunter, q_audio_silence,
-# q_media_dominant_color, q_epoch_schedule — 12 names, oracle-backed,
-# driver-protocol pytest-proven at sf0.001 AND sf0.01 in
-# tests/test_staged_r9.py), then the 20-name r4-tier leftover
-# (_R4_FRESH[26:], q_functional_deps .. q_label_balance), then fill the
-# remaining ~18 slots from the r5 tier oldest-first.
+# Round 9 (VERDICT r8 #1): head, exactly 50 =
+#   (a) the 12 PROMOTED audit_queries names (built + staged in r8 as
+#       plans/staged_r9.py with two-SF driver-protocol pytest and 100x
+#       scale evidence; promoted after the round-9 ADVICE fix —
+#       q_js_divergence's greatest(t, 1) zero-token-source guard);
+#   (b) the 20-name r4-tier leftover (_R4_FRESH[26:], latest verdicts
+#       round 4, four rounds old — clears the r4 tier entirely);
+#   (c) the first 18 names of the r5 tier (_R5_TIER[:18]), oldest-first
+#       in their r5 verdict order.
+_R9_PROMOTED = (
+    "q_crawl_frontier", "q_snapshot_delta", "q_code_detect",
+    "q_score_calibration", "q_zipf_fit", "q_heaps_law",
+    "q_js_divergence", "q_split_balance", "q_fellegi_sunter",
+    "q_audio_silence", "q_media_dominant_color", "q_epoch_schedule",
+)
+_HEAD = _R9_PROMOTED + _R4_FRESH[26:] + _R5_TIER[:18]
+
+# Round-10 head plan (for the next rotation): promote the staged
+# round-10 tranche (plans/staged_r10.py, once it exists — same two-SF +
+# 100x protocol), then the 29-name r5-tier leftover (_R5_TIER[18:],
+# q_event_transitions .. q_wordcount), then fill any remaining slots
+# from the r6 tier oldest-first (50 names, latest verdicts round 6 —
+# pull their order from CORRECTNESS_r06 when building the r10 head).
+# With a 12-name tranche the window is 12 + 29 + 9 = 50, leaving the
+# r6 tier at 41 for round 11; no verdict ages past ~4 rounds.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (
+        audit_queries,
         corpus_queries,
         curation_queries,
         dedup_queries,
@@ -142,6 +157,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipeline_queries,
         curation_queries,
         corpus_queries,
+        audit_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)

@@ -1,13 +1,10 @@
-"""STAGED query surface for the round-9 declaration head.
+"""Corpus-statistics, dataset-ops, and QA-audit query surface.
 
-Same staging contract as the round-7/round-8 tranches (promoted as
-plans/curation_queries.py and plans/corpus_queries.py): these queries
-are implemented, oracle-backed, and pytest-verified with the driver's
-own compare protocol (tests/test_staged_r9.py), but NOT declared yet —
-the round-8 driver window (50 names) is fully allocated to the 12
-corpus-tranche promotions, the 12-name r3-era rotation, and 26 r4-tier
-names. Round 9 promotes QUERIES/ORACLES into the head verbatim,
-alongside the 20-name r4-tier leftover queued in plans/__init__.py.
+Built and staged in round 8 as plans/staged_r9.py (oracle-backed,
+two-SF driver-protocol pytest, 100x scale evidence in
+examples/audit_queries_scale.py), promoted into the declared registry
+in round 9 — the same staging pipeline that produced
+plans/curation_queries.py (r7) and plans/corpus_queries.py (r8).
 
 Contents — corpus statistics, dataset-ops, and QA audits a training-data
 platform needs that the surface lacks:
@@ -480,7 +477,10 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
         ).alias("cs"),
-        F.sum("c").cast("double").alias("t"),
+        # greatest(.,1) guards a source whose documents all tokenize to
+        # zero tokens: t=0 would make every term 0/0 = NaN; with t=1 the
+        # zero-count terms take the 0*ln(0)=0 convention branch instead
+        F.greatest(F.sum("c").cast("double"), F.lit(1.0)).alias("t"),
     )
     a = arrs.select(
         F.col("source").alias("src_a"), F.col("cs").alias("ca"), F.col("t").alias("ta")
@@ -1108,7 +1108,8 @@ dense AS (
   FROM grid g LEFT JOIN tagged t USING (source, idx)
 ),
 arrs AS (
-  SELECT source, list(c ORDER BY idx) AS cs, CAST(SUM(c) AS DOUBLE) AS t
+  SELECT source, list(c ORDER BY idx) AS cs,
+         CAST(GREATEST(SUM(c), 1) AS DOUBLE) AS t
   FROM dense GROUP BY source
 )
 SELECT a.source AS src_a, b.source AS src_b,

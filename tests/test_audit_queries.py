@@ -1,17 +1,17 @@
-"""Staged round-9 queries vs their DuckDB oracles — the driver's compare
-protocol applied BEFORE declaration (plans/staged_r9.py stays out of the
-declared registry until the round-9 head opens; see its module
-docstring). The oracle compare runs at BOTH sf0.001 (the sf_dir fixture)
-and sf0.01 (the driver's correctness SF) in this file. Also pins the
-staging contract itself (no staged name collides with a declared one,
-every staged query has an oracle) plus per-query semantic invariants."""
+"""Audit-tranche queries vs their DuckDB oracles — the driver's compare
+protocol, kept running after the round-9 promotion (the tranche was
+staged in round 8 as plans/staged_r9.py and verified here pre-
+declaration). The oracle compare runs at BOTH sf0.001 (the sf_dir
+fixture) and sf0.01 (the driver's correctness SF) in this file. Also
+pins the promotion contract (every audit query is declared with the
+identical oracle) plus per-query semantic invariants."""
 
 from __future__ import annotations
 
 import pytest
 
 import __spark_entry__ as entrypoint
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import (
+from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (
     ORACLES,
     QUERIES,
 )
@@ -51,7 +51,13 @@ def test_staged_query_matches_oracle_sf001(name, spark, duck01):
 
 def test_staging_contract():
     assert set(QUERIES) == set(ORACLES)
-    assert not set(QUERIES) & set(entrypoint.queries())
+    # promoted in round 9: every audit query is part of the declared
+    # surface, with the identical oracle string
+    declared_q = entrypoint.queries()
+    declared_o = entrypoint.oracle_sql()
+    assert set(QUERIES) <= set(declared_q)
+    for name, sql in ORACLES.items():
+        assert declared_o[name] == sql
 
 
 # ------------------------------------------------------ semantic pins
@@ -61,7 +67,7 @@ def test_crawl_frontier_politeness(spark, sf_dir):
     """No host fetches twice at one due time; waves are FR_DELAY_S
     apart; global positions are contiguous from 1; within a host the
     priority never increases across waves."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (
         FR_DELAY_S,
         FRONTIER_K,
     )
@@ -117,7 +123,7 @@ def test_snapshot_delta_reconciles(spark, sf_dir):
 def test_code_detect_separates_cohorts(spark, sf_dir):
     """The code-ified cohort (%CODE_MOD, docs with >= 3 words) must flag
     is_code; untouched fixture text has ZERO code symbols."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import CODE_MOD
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import CODE_MOD
 
     rows = QUERIES["q_code_detect"](spark, sf_dir).collect()
     flagged = [r for r in rows if r["is_code"]]
@@ -156,7 +162,7 @@ def test_score_calibration_partitions_corpus(spark, sf_dir):
 def test_zipf_fit_shape(spark, sf_dir):
     """Rank-frequency slope must be negative (freq falls with rank) and
     R^2 must be a valid share; n_ranks is bounded by ZIPF_K."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import ZIPF_K
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import ZIPF_K
 
     r = QUERIES["q_zipf_fit"](spark, sf_dir).collect()[0]
     assert 0 < r["n_ranks"] <= ZIPF_K
@@ -227,7 +233,7 @@ def test_fellegi_sunter_classes(spark, sf_dir):
     class 'match'; the doubly-corrupted %12 cohort (name AND balance
     disagree, weight -373) must be absent from the emitted queue; no
     emitted weight is below the review threshold."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import (
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (
         FS_B_OFFSET,
         FS_REVIEW_MIN,
         FS_W,
@@ -278,7 +284,7 @@ def test_dominant_color_distribution(spark, sf_dir):
     """Dominant buckets are valid gray buckets, image counts sum to the
     corpus size, and the floor'd shares sum to within rounding of
     10000."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import DC_BUCKETS
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import DC_BUCKETS
     from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
 
     rows = QUERIES["q_media_dominant_color"](spark, sf_dir).collect()
@@ -294,7 +300,7 @@ def test_epoch_schedule_wrr_shares(spark, sf_dir):
     """Virtual times never decrease along the schedule, and over the
     emitted window each source's share tracks weight / sum(weights)
     within a couple of slots (the WRR guarantee)."""
-    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r9 import EPOCH_K
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import EPOCH_K
 
     rows = sorted(
         QUERIES["q_epoch_schedule"](spark, sf_dir).collect(),

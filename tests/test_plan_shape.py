@@ -178,8 +178,7 @@ _INTENTIONAL_PRODUCT = {
     "q_time_decay",        # x broadcast(single-row high-water mark)
     "q_lsh_tuning",        # three 1-row count legs broadcast-attached
     "q_join_size_est",     # 1-row CMS estimate x 1-row exact-count combine
-    # staged for round 9 (plans/staged_r9.py) — inert until promoted, but
-    # the sweep must not trip the day they join the declared surface:
+    # promoted round 9 (was plans/staged_r9.py; see test_audit_queries)
     "q_js_divergence",     # |sources| x vocab-index grid + source < source pairs
     "q_split_balance",     # cells x broadcast(1-row grand total)
     "q_media_dominant_color",  # bucket rollup x broadcast(1-row total)
