@@ -1,0 +1,316 @@
+"""Versioned-manifest commit protocol for persisted index artifacts.
+
+The round-8 LSH-index compaction committed with POSIX renames, which is
+atomic only on a local filesystem — 100 TB indexes live on object
+storage where rename is a copy and never atomic. This module replaces
+the rename cutover with the metadata-log pattern public table formats
+use (Delta Lake's ``_delta_log/<version>.json``, Iceberg's numbered
+metadata files): artifact directories are immutable once committed and
+carry a version suffix, and the COMMIT POINT is the exclusive creation
+of the next numbered manifest file.
+
+Layout under an index root::
+
+    manifest-000001.json   {"version": 1, "artifacts": {"shingles": "shingles-000001", ...}}
+    manifest-000002.json   <- newest parseable manifest wins
+    shingles-000001/       parquet, immutable after commit (appends allowed)
+    buckets-000001/
+    shingles-000002/
+    buckets-000002/        <- named by manifest-000002
+    compact.lock           transient single-writer lock for compaction
+
+Protocol properties:
+
+* **Commit = one exclusive file create.** ``manifest-{N}.json`` is
+  created with overwrite=False and never modified. Before it exists the
+  index is the previous version (staged artifact dirs are invisible
+  orphans); after it exists the new version is live. No rename, no
+  multi-file window — a reader sees exactly one of the two states.
+* **Crash-tolerant in both directions.** A writer killed before the
+  manifest create leaves orphan artifact dirs (garbage, GC'd by the
+  next compaction). A writer killed mid-manifest-create leaves a
+  truncated JSON file: readers skip unparseable manifests and fall back
+  to the newest parseable one, and the next compaction deletes the
+  corrupt file. A writer killed after the create has committed — the
+  stale previous-version dirs are garbage.
+* **Concurrent commits conflict, not interleave.** Two writers racing
+  to the same version number hit the exclusive create; exactly one
+  wins. Compaction additionally takes ``compact.lock`` (created
+  exclusively, mtime-based staleness) so two compactors do not waste
+  duplicate Spark work or race garbage collection — the ADVICE r8
+  single-writer item.
+* **Readers race GC by at most one generation.** Compaction keeps the
+  previous generation's artifacts alive and collects them on the NEXT
+  compaction, so a reader holding yesterday's manifest keeps scanning.
+
+Filesystem access routes through one of two tiny adapters: plain
+``os``/``shutil`` for local paths, and the Hadoop ``FileSystem`` API
+(via the live JVM gateway) for any ``scheme://`` URI — the same
+FileSystem Spark itself writes the parquet through, so hdfs://, s3a://
+and file:// all work without Python-side cloud SDKs. On S3A the
+exclusive manifest create maps to a conditional PUT on current Hadoop
+releases; on older ones it is best-effort (document single-writer
+there), while the data-plane safety (immutable dirs + numbered
+manifests) holds regardless.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+_MANIFEST_RE = re.compile(r"^manifest-(\d{6})\.json$")
+_ARTIFACT_RE = re.compile(r"^(?:shingles|buckets)-(\d{6})$")
+LOCK_NAME = "compact.lock"
+
+
+def is_remote(path: str) -> bool:
+    """True when ``path`` is a URI Spark reaches through Hadoop (has a
+    scheme), false for plain local filesystem paths."""
+    return "://" in path
+
+
+class LocalIndexFS:
+    """Control-plane ops on a local index root (os/shutil)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def _p(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._p(rel))
+
+    def listdir(self) -> list[str]:
+        return sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []
+
+    def read_text(self, rel: str) -> str:
+        with open(self._p(rel), encoding="utf-8") as f:
+            return f.read()
+
+    def write_text_exclusive(self, rel: str, text: str) -> bool:
+        """Create ``rel`` with ``text``; False if it already exists.
+        O_EXCL makes create-if-absent one atomic syscall."""
+        os.makedirs(self.root, exist_ok=True)
+        try:
+            fd = os.open(self._p(rel), os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        return True
+
+    def delete(self, rel: str) -> None:
+        p = self._p(rel)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+
+    def mtime(self, rel: str) -> float:
+        return os.path.getmtime(self._p(rel))
+
+
+class HadoopIndexFS:
+    """Control-plane ops through the Hadoop FileSystem of the path's
+    scheme — the ADVICE r8 fix for compaction silently assuming POSIX:
+    any URI Spark can write parquet to, this adapter can commit on."""
+
+    def __init__(self, spark, root: str) -> None:
+        self._jvm = spark._jvm
+        self.root = root.rstrip("/")
+        jroot = self._jvm.org.apache.hadoop.fs.Path(self.root)
+        self._fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._jroot = jroot
+
+    def _jp(self, rel: str):
+        return self._jvm.org.apache.hadoop.fs.Path(f"{self.root}/{rel}")
+
+    def exists(self, rel: str) -> bool:
+        return bool(self._fs.exists(self._jp(rel)))
+
+    def listdir(self) -> list[str]:
+        if not self._fs.exists(self._jroot):
+            return []
+        return sorted(
+            st.getPath().getName() for st in self._fs.listStatus(self._jroot)
+        )
+
+    def read_text(self, rel: str) -> str:
+        stream = self._fs.open(self._jp(rel))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_exclusive(self, rel: str, text: str) -> bool:
+        jp = self._jp(rel)
+        try:
+            out = self._fs.create(jp, False)  # overwrite=False
+        except Exception:
+            if self._fs.exists(jp):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def delete(self, rel: str) -> None:
+        self._fs.delete(self._jp(rel), True)
+
+    def mtime(self, rel: str) -> float:
+        return self._fs.getFileStatus(self._jp(rel)).getModificationTime() / 1000.0
+
+
+def index_fs(spark, path: str):
+    return HadoopIndexFS(spark, path) if is_remote(path) else LocalIndexFS(path)
+
+
+def read_manifest(fs) -> tuple[int, dict[str, str] | None, list[str]]:
+    """Resolve the index's current state: (version, artifacts, corrupt).
+
+    The newest PARSEABLE manifest wins; unparseable ones (a writer died
+    mid-create) are skipped and returned in ``corrupt`` for the next
+    compaction to delete. (0, None, corrupt) when no manifest commits
+    exist — the caller falls back to the legacy unversioned layout."""
+    numbered = sorted(
+        (int(m.group(1)), name)
+        for name in fs.listdir()
+        if (m := _MANIFEST_RE.match(name))
+    )
+    corrupt: list[str] = []
+    for ver, name in reversed(numbered):
+        try:
+            doc = json.loads(fs.read_text(name))
+            arts = doc["artifacts"]
+            if doc["version"] == ver and "shingles" in arts and "buckets" in arts:
+                return ver, dict(arts), corrupt
+        except Exception:
+            pass
+        corrupt.append(name)
+    return 0, None, corrupt
+
+
+def next_version(fs) -> int:
+    """1 + the highest manifest number PRESENT (parseable or not) —
+    corrupt leftovers keep their number occupied so a fresh commit never
+    collides with a dead writer's truncated file."""
+    highest = 0
+    for name in fs.listdir():
+        m = _MANIFEST_RE.match(name)
+        if m:
+            highest = max(highest, int(m.group(1)))
+    return highest + 1
+
+
+def artifact_names(version: int) -> dict[str, str]:
+    return {
+        "shingles": f"shingles-{version:06d}",
+        "buckets": f"buckets-{version:06d}",
+    }
+
+
+def commit_manifest(fs, version: int, artifacts: dict[str, str]) -> None:
+    """THE commit point: exclusively create manifest-{version}.json.
+    Raises on conflict — the caller's staged dirs are orphans for GC, a
+    lost-update overwrite never happens silently."""
+    body = json.dumps({"version": version, "artifacts": artifacts})
+    if not fs.write_text_exclusive(f"manifest-{version:06d}.json", body):
+        raise RuntimeError(
+            f"concurrent commit: manifest-{version:06d}.json already exists"
+            f" under {fs.root}; re-read the index and retry"
+        )
+
+
+def acquire_compact_lock(fs, lock_timeout_s: float) -> None:
+    """Single-writer gate for compaction (ADVICE r8): exclusive create
+    of compact.lock; a lock older than ``lock_timeout_s`` is presumed
+    dead (crashed compactor) and broken. Raises if live-held."""
+    body = json.dumps({"acquired_unix": time.time()})
+    if fs.write_text_exclusive(LOCK_NAME, body):
+        return
+    try:
+        age = time.time() - fs.mtime(LOCK_NAME)
+    except Exception:
+        age = 0.0  # lock vanished between create and stat: someone GC'd
+    if age <= lock_timeout_s:
+        raise RuntimeError(
+            f"compaction already running on {fs.root} ({LOCK_NAME} is"
+            f" {age:.0f}s old, timeout {lock_timeout_s:.0f}s)"
+        )
+    fs.delete(LOCK_NAME)
+    if not fs.write_text_exclusive(LOCK_NAME, body):
+        raise RuntimeError(f"lost the race re-taking a stale {LOCK_NAME}")
+
+
+def release_compact_lock(fs) -> None:
+    fs.delete(LOCK_NAME)
+
+
+def gc_index(fs, committed_version: int) -> None:
+    """Collect everything the newly committed version obsoletes, keeping
+    the immediately-previous generation alive for in-flight readers
+    (it becomes garbage on the NEXT compaction):
+
+    * artifact dirs with version < committed that the previous
+      parseable manifest does not reference (orphans from crashed or
+      lost-race writers, and generations ≥2 behind);
+    * manifest files below the previous generation, and every corrupt
+      manifest below the committed version;
+    * the legacy unversioned layout (``shingles``/``buckets`` dirs and
+      the retired rename-protocol ``.compact*``/``.old_compact*``
+      dirs) — unless legacy IS the previous generation (a first,
+      migrating commit), in which case it survives one more cycle."""
+    names = fs.listdir()
+    live: set[str] = set(artifact_names(committed_version).values())
+    prev_ver = 0
+    prev_arts: dict[str, str] | None = None
+    numbered = sorted(
+        (int(m.group(1)), name)
+        for name in names
+        if (m := _MANIFEST_RE.match(name))
+    )
+    for ver, name in reversed(numbered):
+        if ver >= committed_version:
+            continue
+        try:
+            doc = json.loads(fs.read_text(name))
+            prev_ver, prev_arts = ver, dict(doc["artifacts"])
+            live.update(prev_arts.values())
+            break
+        except Exception:
+            continue
+    legacy_is_prev = prev_arts is None and (
+        "shingles" in names or "buckets" in names
+    )
+    for name in names:
+        m = _ARTIFACT_RE.match(name)
+        if m and name not in live and int(m.group(1)) < committed_version:
+            fs.delete(name)
+            continue
+        m = _MANIFEST_RE.match(name)
+        if m:
+            ver = int(m.group(1))
+            parseable = name == f"manifest-{prev_ver:06d}.json" or (
+                ver == committed_version
+            )
+            if ver < committed_version and not parseable:
+                fs.delete(name)
+            continue
+        if name in ("shingles", "buckets"):
+            if not legacy_is_prev:
+                fs.delete(name)
+            continue
+        if name.startswith((".compact", ".old_compact")):
+            fs.delete(name)

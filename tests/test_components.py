@@ -10,6 +10,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.operators.dedup import (
     minhash_dedup_pairs,
     near_dup_clusters,
 )
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
 
 
 def _run(spark, edges, **kw):
@@ -452,7 +453,9 @@ def test_lsh_index_probe_equals_batch(spark, sf_dir, tmp_path):
     path = str(tmp_path / "lsh")
     D.save_lsh_index(old, path)
 
-    parts = [d for d in os.listdir(f"{path}/buckets") if d.startswith("band=")]
+    info = D.lsh_index_info(spark, path)
+    assert info["version"] == 1 and not info["legacy"]
+    parts = [d for d in os.listdir(info["buckets"]) if d.startswith("band=")]
     assert parts, "buckets must be hive-partitioned by band"
 
     buckets, shingles = D.load_lsh_index(spark, path)
@@ -524,10 +527,12 @@ def test_lsh_index_compaction_equals_fresh(spark, sf_dir, tmp_path):
     assert buckets.count() < n_dirty_b and shingles.count() < n_dirty_s
     assert buckets.count() == buckets.distinct().count()
     assert shingles.select("doc_id").distinct().count() == shingles.count()
+    info = D.lsh_index_info(spark, path)
+    assert info["version"] == 2, "compaction must commit a new generation"
     assert any(
-        d.startswith("band=") for d in os.listdir(f"{path}/buckets")
+        d.startswith("band=") for d in os.listdir(info["buckets"])
     ), "band partitioning must survive compaction"
-    assert not os.path.exists(f"{path}/.compact")
+    assert not os.path.exists(f"{path}/compact.lock"), "lock must be released"
 
     got = {
         tuple(r)
@@ -543,81 +548,188 @@ def test_lsh_index_compaction_equals_fresh(spark, sf_dir, tmp_path):
     assert want, "fixture must exercise post-compaction near-dups"
 
 
-def test_lsh_index_compaction_crash_recovery(spark, sf_dir, tmp_path):
-    """A crash inside the compaction cutover window leaves a backup dir
-    (.old_compact) holding the pre-compaction artifacts; the next
-    compact_lsh_index call must restore them and complete normally, for
-    every crash position: (a) one artifact moved out, (b) both moved
-    out, (c) a new artifact half cut over. Probe results afterwards
-    equal a clean compaction's."""
+def test_lsh_index_manifest_crash_recovery(spark, sf_dir, tmp_path):
+    """Crash-point contract of the manifest commit protocol (VERDICT r8
+    #3): a compactor killed BEFORE the manifest create leaves the old
+    generation live (its staged dirs are orphans the next compaction
+    GCs); killed DURING it leaves a truncated manifest that readers
+    skip; killed AFTER it has committed (stale dirs GC'd next
+    compaction). Probe results at every point equal a clean build's."""
+    import json
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
     from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
-    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
 
     docs = load_split(spark, sf_dir, "documents")
     probe_batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
     clean = str(tmp_path / "clean")
     D.save_lsh_index(docs, clean)
-    D.compact_lsh_index(spark, clean)
     bc, sc = D.load_lsh_index(spark, clean)
     want = {tuple(r) for r in D.probe_lsh_index(bc, sc, probe_batch).collect()}
+    assert want, "fixture must exercise near-dups"
 
-    def crashed_index(name, crash):
-        path = str(tmp_path / name)
-        D.save_lsh_index(docs, path)
-        old = f"{path}/.old_compact"
-        os.makedirs(old)
-        crash(path, old)
-        return path
-
-    # (a) crash after moving shingles out, buckets still live
-    p = crashed_index(
-        "a", lambda path, old: os.rename(f"{path}/shingles", f"{old}/shingles")
-    )
-    D.compact_lsh_index(spark, p)
-    b, s = D.load_lsh_index(spark, p)
-    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
-    assert not os.path.exists(f"{p}/.old_compact")
-
-    # (b) crash with both artifacts moved out (live index empty)
-    def both_out(path, old):
-        os.rename(f"{path}/shingles", f"{old}/shingles")
-        os.rename(f"{path}/buckets", f"{old}/buckets")
-
-    p = crashed_index("b", both_out)
-    D.compact_lsh_index(spark, p)
-    b, s = D.load_lsh_index(spark, p)
-    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
-
-    # (c) crash with a half-cut-over "new" buckets artifact: backup must
-    # WIN (recovery clobbers it). The fake is an EMPTY dir — observably
-    # different from the backup, so a regression that skips the clobber
-    # fails the parquet read / probe instead of passing vacuously
-    def half_cutover(path, old):
-        both_out(path, old)
-        os.makedirs(f"{path}/buckets")
-
-    p = crashed_index("c", half_cutover)
-    D.compact_lsh_index(spark, p)
-    b, s = D.load_lsh_index(spark, p)
-    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
-
-    # (d) crash AFTER the commit point (backup renamed to the trash
-    # name, deletion interrupted): the trash must be treated as garbage,
-    # never restored over the committed index — the committed (fresh,
-    # uncompacted-equivalent) index must survive recompaction untouched
-    # by the stale trash artifacts
-    p = str(tmp_path / "d")
+    # (a) crash BEFORE the manifest create: staged v2 artifact dirs
+    # exist but manifest-000002.json does not -> readers still see v1;
+    # the next compaction commits v2 itself and GCs the orphans
+    p = str(tmp_path / "a")
     D.save_lsh_index(docs, p)
-    os.makedirs(f"{p}/.old_compact.deleting")
-    shutil.copytree(
-        str(tmp_path / "clean") + "/shingles", f"{p}/.old_compact.deleting/shingles"
-    )
-    D.compact_lsh_index(spark, p)
-    assert not os.path.exists(f"{p}/.old_compact.deleting")
+    os.makedirs(f"{p}/shingles-000002")  # empty orphan = dead staged write
+    os.makedirs(f"{p}/buckets-000002")
+    assert D.lsh_index_info(spark, p)["version"] == 1
     b, s = D.load_lsh_index(spark, p)
     assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+    D.compact_lsh_index(spark, p)
+    info = D.lsh_index_info(spark, p)
+    assert info["version"] == 2
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    # (b) crash DURING the manifest create (truncated JSON): readers
+    # must fall back to the newest parseable manifest; the next
+    # compaction must not collide with the dead file's number and must
+    # GC it once it is two generations stale
+    p = str(tmp_path / "b")
+    D.save_lsh_index(docs, p)
+    with open(f"{p}/manifest-000002.json", "w") as f:
+        f.write('{"version": 2, "artifa')  # truncated mid-write
+    assert D.lsh_index_info(spark, p)["version"] == 1
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+    D.compact_lsh_index(spark, p)
+    info = D.lsh_index_info(spark, p)
+    assert info["version"] == 3, "dead manifest number must stay occupied"
+    assert not os.path.exists(f"{p}/manifest-000002.json"), "corrupt GC'd"
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    # (c) crash AFTER the commit (GC never ran): the committed
+    # generation is live immediately; the next compaction collects the
+    # two-generations-stale dirs while keeping one previous generation
+    # for in-flight readers
+    p = str(tmp_path / "c")
+    D.save_lsh_index(docs, p)     # v1
+    D.compact_lsh_index(spark, p)  # v2 (keeps v1 dirs for readers)
+    assert os.path.isdir(f"{p}/shingles-000001"), "previous gen must survive"
+    D.compact_lsh_index(spark, p)  # v3 (collects v1)
+    assert not os.path.isdir(f"{p}/shingles-000001")
+    assert not os.path.isdir(f"{p}/buckets-000001")
+    assert os.path.isdir(f"{p}/shingles-000002"), "one gen kept for readers"
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    # commit is an EXCLUSIVE create: a racing writer that lost must get
+    # a conflict error, never a silent overwrite
+    fs = index_store.index_fs(spark, p)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        index_store.commit_manifest(
+            fs, D.lsh_index_info(spark, p)["version"], {"shingles": "x", "buckets": "y"}
+        )
+
+    # single-writer lock (ADVICE r8): a live lock blocks a second
+    # compactor; a stale one (crashed compactor) is broken by timeout
+    with open(f"{p}/compact.lock", "w") as f:
+        json.dump({"acquired_unix": 0}, f)
+    with pytest.raises(RuntimeError, match="already running"):
+        D.compact_lsh_index(spark, p, lock_timeout_s=3600.0)
+    D.compact_lsh_index(spark, p, lock_timeout_s=0.0)  # stale -> broken
+    assert not os.path.exists(f"{p}/compact.lock")
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+
+def test_lsh_index_legacy_layout_migration(spark, sf_dir, tmp_path):
+    """A round-8 (pre-manifest) index — unversioned shingles/buckets
+    dirs, no manifest — must keep loading, accept appends, and be
+    migrated to the manifest layout by its first compaction (legacy dirs
+    survive one generation for in-flight readers, gone after two)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    docs = load_split(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    probe_batch = docs.filter(F.col("doc_id") % 3 == 0).limit(40)
+
+    # build a legacy layout by relocating a fresh build's artifacts
+    p = str(tmp_path / "legacy")
+    D.save_lsh_index(old, p)
+    info = D.lsh_index_info(spark, p)
+    os.rename(info["shingles"], f"{p}/shingles")
+    os.rename(info["buckets"], f"{p}/buckets")
+    os.remove(f"{p}/manifest-000001.json")
+
+    assert D.lsh_index_info(spark, p)["legacy"]
+    D.extend_lsh_index(new, p)  # appends must land in the legacy dirs
+    b, s = D.load_lsh_index(spark, p)
+    full = str(tmp_path / "full")
+    D.save_lsh_index(docs, full)
+    bf, sf_ = D.load_lsh_index(spark, full)
+    want = {tuple(r) for r in D.probe_lsh_index(bf, sf_, probe_batch).collect()}
+    got = {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()}
+    assert got == want and want
+
+    D.compact_lsh_index(spark, p)
+    info = D.lsh_index_info(spark, p)
+    assert info["version"] == 1 and not info["legacy"]
+    assert os.path.isdir(f"{p}/shingles"), "legacy = previous gen, kept once"
+    D.compact_lsh_index(spark, p)
+    assert not os.path.isdir(f"{p}/shingles"), "legacy GC'd on 2nd compaction"
+    assert not os.path.isdir(f"{p}/buckets")
+    b, s = D.load_lsh_index(spark, p)
+    got = {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()}
+    assert got == want
+
+
+def test_lsh_index_hadoop_fs_adapter(spark, sf_dir, tmp_path):
+    """The scheme:// control-plane branch: the whole
+    save/extend/compact/load lifecycle against a file:// URI exercises
+    the Hadoop FileSystem adapter (exists/list/read/exclusive-create/
+    delete through the JVM) end-to-end — the code path an s3a:// or
+    hdfs:// index takes, on the only scheme this sandbox serves."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+    docs = load_split(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    probe_batch = docs.filter(F.col("doc_id") % 3 == 0).limit(40)
+
+    local = str(tmp_path / "uri")
+    uri = f"file://{local}"
+    assert index_store.is_remote(uri)
+    assert isinstance(
+        index_store.index_fs(spark, uri), index_store.HadoopIndexFS
+    )
+
+    D.save_lsh_index(old, uri)
+    assert os.path.exists(f"{local}/manifest-000001.json")
+    D.extend_lsh_index(new, uri)
+    D.compact_lsh_index(spark, uri)
+    info = D.lsh_index_info(spark, uri)
+    assert info["version"] == 2 and info["buckets"].startswith("file://")
+    b, s = D.load_lsh_index(spark, uri)
+    got = {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()}
+
+    plain = str(tmp_path / "plain")
+    D.save_lsh_index(docs, plain)
+    bf, sf_ = D.load_lsh_index(spark, plain)
+    want = {tuple(r) for r in D.probe_lsh_index(bf, sf_, probe_batch).collect()}
+    assert got == want and want
+
+    # the exclusive-create primitive itself, through the JVM
+    fs = index_store.index_fs(spark, uri)
+    assert fs.write_text_exclusive("probe.txt", "x")
+    assert not fs.write_text_exclusive("probe.txt", "y")
+    assert fs.read_text("probe.txt") == "x"
+    fs.delete("probe.txt")
+    assert not fs.exists("probe.txt")
