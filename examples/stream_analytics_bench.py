@@ -1,17 +1,27 @@
-"""Throughput benchmark for the round-8 streaming analytics operators
-(heavy_hitters_stream, anomaly_stream) — PERF.md 'streaming analytics'
-rows.
+"""Throughput benchmark for the streaming analytics operators
+(heavy_hitters_stream, anomaly_stream, silence_stream) — PERF.md
+'streaming analytics' rows.
 
 Stages N synthetic log rows (Zipf-ish item skew across GROUPS group
 keys, so the heavy-hitter tables have real work) as file-source
 micro-batches, then drives each operator end-to-end with availableNow
-and reports wall + rec/s. Both operators keep CONSTANT state per key
-(cap counter triples / window longs), so throughput should track the
-near-dup bench's per-batch overhead model, not the corpus.
+and reports wall + rec/s. All three operators keep CONSTANT state per
+key (cap counter triples / window longs / one long + timer), so
+throughput should track the near-dup bench's per-batch overhead model,
+not the corpus.
+
+silence_stream additionally gets a DETECTION-LATENCY experiment
+(VERDICT r8 #4): a live processingTime-trigger stream with a writer
+thread that keeps half the keys alive and lets the other half go
+silent; the report records, per silenced key, the wall-clock gap
+between (last row written + silence_ms) and the silent=true row
+landing in the sink. The structured-streaming contract is
+silence_ms + one trigger interval + one batch's processing time;
+the emitted p50/max latencies measure that contract.
 
 Run: python examples/stream_analytics_bench.py [n_rows] [n_files]
 e.g.  python examples/stream_analytics_bench.py 200000 8
-One JSON line per operator.
+One JSON line per operator (+ one for the latency experiment).
 """
 
 from __future__ import annotations
@@ -90,6 +100,145 @@ def drive(spark, src_dir: str, op, name: str, n_rows: int) -> dict:
     }
 
 
+def drive_silence(spark, src_dir: str, n_rows: int) -> dict:
+    """Throughput drive for silence_stream: an availableNow query with
+    ProcessingTimeTimeout timers can stay alive polling for further
+    expirations after the input drain, so termination is 'all staged
+    rows ingested' (recentProgress numInputRows), not query exit."""
+    ck = tempfile.mkdtemp(prefix="ck_silence_")
+    stream = (
+        spark.readStream.schema("log_id string, log_type string, log_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stateful.silence_stream(stream, silence_ms=60_000)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        ingested = sum(p["numInputRows"] for p in q.recentProgress)
+        if ingested >= n_rows:
+            break
+    else:
+        q.stop()
+        raise RuntimeError("silence_stream did not ingest all rows within 600s")
+    wall = time.perf_counter() - t0
+    if q.isActive:
+        q.stop()
+    shutil.rmtree(ck, ignore_errors=True)
+    return {
+        "op": "silence_stream",
+        "records": n_rows,
+        "seconds": round(wall, 1),
+        "records_per_sec": int(n_rows / wall),
+    }
+
+
+def silence_latency(
+    spark,
+    silence_ms: int = 3_000,
+    trigger: str = "500 milliseconds",
+    n_keys: int = 16,
+    live_s: float = 6.0,
+) -> dict:
+    """Detection-latency experiment: keys g0..g{n/2-1} keep producing
+    for ``live_s`` seconds, g{n/2}..g{n-1} stop after the first file.
+    The memory sink is polled on a side thread that stamps the wall
+    clock the FIRST time each key's silent=true row is visible; latency
+    per silenced key = t(visible) - t(last row written) - silence_ms.
+    The operator's contract bounds it by one trigger interval plus one
+    batch's processing time."""
+    import threading
+
+    src = tempfile.mkdtemp(prefix="silence_lat_src_")
+    ck = tempfile.mkdtemp(prefix="ck_silence_lat_")
+    keys = [f"g{i}" for i in range(n_keys)]
+    silenced = set(keys[n_keys // 2 :])
+
+    def write_file(idx: int, ks: list[str]) -> float:
+        path = f"{src}/b{idx:05d}.json"
+        with open(path, "w") as fh:
+            for k in ks:
+                fh.write(
+                    json.dumps(
+                        {"log_id": k, "log_type": k, "log_ts": "2024-03-01T10:00:00"}
+                    )
+                    + "\n"
+                )
+        return time.time()
+
+    last_written = {k: write_file(0, keys) for k in keys}
+
+    stream = (
+        spark.readStream.schema("log_id string, log_type string, log_ts timestamp")
+        .json(src)
+    )
+    q = (
+        stateful.silence_stream(stream, silence_ms=silence_ms)
+        .writeStream.format("memory")
+        .queryName("silence_lat")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+    detected: dict[str, float] = {}
+    stop_poll = threading.Event()
+
+    def poll() -> None:
+        while not stop_poll.is_set():
+            now = time.time()
+            for r in spark.table("silence_lat").collect():
+                if r.silent and r.grp not in detected:
+                    detected[r.grp] = now
+            if silenced <= set(detected):
+                return
+            time.sleep(0.1)
+
+    poller = threading.Thread(target=poll, daemon=True)
+    poller.start()
+
+    # keep the live half producing so micro-batches (and thus timer
+    # sweeps) keep firing while the silenced half's timers expire
+    t_end = time.time() + live_s
+    idx = 1
+    while time.time() < t_end:
+        t = write_file(idx, keys[: n_keys // 2])
+        for k in keys[: n_keys // 2]:
+            last_written[k] = t
+        idx += 1
+        time.sleep(0.5)
+    poller.join(timeout=60)
+    stop_poll.set()
+    q.stop()
+    shutil.rmtree(ck, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+
+    lats = sorted(
+        detected[k] - last_written[k] - silence_ms / 1000.0
+        for k in silenced
+        if k in detected
+    )
+    return {
+        "op": "silence_stream_latency",
+        "silence_ms": silence_ms,
+        "trigger": trigger,
+        "n_silenced": len(silenced),
+        "n_detected": len(lats),
+        "latency_p50_s": round(lats[len(lats) // 2], 2) if lats else None,
+        "latency_max_s": round(lats[-1], 2) if lats else None,
+    }
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -117,6 +266,10 @@ def main() -> None:
         ),
         flush=True,
     )
+    # silence_stream throughput on the same corpus (the final availableNow
+    # timer drain marks every key silent — irrelevant to wall/rec/s)
+    print(json.dumps(drive_silence(spark, src, staged_rows)), flush=True)
+    print(json.dumps(silence_latency(spark)), flush=True)
     shutil.rmtree(src, ignore_errors=True)
     spark.stop()
 

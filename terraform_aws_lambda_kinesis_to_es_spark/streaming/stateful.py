@@ -783,12 +783,18 @@ _HH_STATE = "items array<string>, counts array<long>, errs array<long>, version 
 
 def _batch_item_counts(pdfs: Iterator[pd.DataFrame]) -> dict[str, int]:
     """Exact per-batch item counts (vectorized value_counts per Arrow
-    chunk, merged) — shared by both API forms of the heavy hitter."""
+    chunk, merged) — shared by both API forms of the heavy hitter.
+
+    Null items are DELIBERATELY counted under the sentinel ``"<null>"``
+    (value_counts would silently drop them): a null-heavy stream is
+    itself a signal worth surfacing as a heavy hitter, and N in the
+    est <= true + N/cap bound stays the full row count — consistent
+    with anomaly_stream, which counts every row (ADVICE r8)."""
     batch: dict[str, int] = {}
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        for it, c in pdf["item"].value_counts().items():
+        for it, c in pdf["item"].fillna("<null>").value_counts().items():
             batch[it] = batch.get(it, 0) + int(c)
     return batch
 

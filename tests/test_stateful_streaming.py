@@ -621,6 +621,26 @@ def test_heavy_hitters_stream_space_saving(spark, tmp_path):
     assert [r.item for r in ordered][0] == "u1"
 
 
+def test_heavy_hitters_null_items_counted_under_sentinel():
+    """Null items must not silently vanish from the heavy-hitter totals
+    (pandas value_counts drops NaN by default — ADVICE r8): they count
+    under the '<null>' sentinel, so N in the est <= true + N/cap bound
+    is the full row count, consistent with anomaly_stream counting every
+    row."""
+    import pandas as pd
+
+    counts = stateful._batch_item_counts(
+        iter(
+            [
+                pd.DataFrame({"item": ["a", None, "a", None, None]}),
+                pd.DataFrame({"item": [None, "b"]}),
+            ]
+        )
+    )
+    assert counts == {"a": 2, "b": 1, "<null>": 4}
+    assert sum(counts.values()) == 7, "N must be the full row count"
+
+
 def test_anomaly_stream_flags_volume_spike(spark, tmp_path):
     """Four steady 2-row batches build history, then a 9-row batch must
     flag for 'app'; the steady 'web' key never flags (zero-variance
@@ -778,6 +798,64 @@ def test_anomaly_stream_tws_variant(spark, tmp_path):
     app = sorted(spark.table("anom_tws_t").collect(), key=lambda r: r.version)
     assert [r.batch_n for r in app] == [2, 2, 2, 2, 9]
     assert [r.spike for r in app] == [False, False, False, False, True]
+
+
+def test_silence_stream_detection_latency_bound(spark, tmp_path):
+    """Detection-latency contract (VERDICT r8 #4): with a live
+    processingTime trigger, a key's silent=true row must land within
+    silence_ms + one trigger interval + batch-processing slack of its
+    last row — and NEVER before silence_ms has elapsed. 'dead' stops
+    after the first file; 'live' keeps producing so micro-batches (and
+    timer sweeps) keep firing."""
+    import os
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    silence_ms = 1_500
+
+    def write(idx, types):
+        rows = [
+            {"log_id": f"{t}{idx}", "log_type": t, "log_ts": "2024-03-01T10:00:00"}
+            for t in types
+        ]
+        _write_batch(src, f"b{idx:03d}", rows)
+        os.utime(
+            f"{src}/b{idx:03d}.json", (1700000000 + idx, 1700000000 + idx)
+        )
+        return _time.time()
+
+    t_dead_last = write(0, ["dead", "live"])
+    out = stateful.silence_stream(_stream(spark, src), silence_ms=silence_ms)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sil_lat_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    t_detect = None
+    deadline = _time.time() + 60
+    idx = 1
+    while _time.time() < deadline and t_detect is None:
+        write(idx, ["live"])
+        idx += 1
+        _time.sleep(0.4)
+        for r in spark.table("sil_lat_t").collect():
+            if r.grp == "dead" and r.silent:
+                t_detect = _time.time()
+                break
+    q.stop()
+    assert t_detect is not None, "silent key never detected within 60s"
+    latency = t_detect - t_dead_last - silence_ms / 1000.0
+    # the timer is registered when the batch CONTAINING the last row is
+    # processed (>= write time), so detection can never undercut the
+    # silence window measured from the write
+    assert latency >= 0.0, f"fired {-latency:.2f}s before the window elapsed"
+    # contract: one trigger interval (0.5s) + batch processing; 20s is
+    # the generous contended-host slack, still far below the 60s rail
+    assert latency <= 20.0, f"detection took {latency:.2f}s past the window"
 
 
 def test_silence_stream_tws_variant(spark, tmp_path):
