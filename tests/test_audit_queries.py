@@ -349,3 +349,29 @@ def test_fellegi_sunter_nondigit_names_cross_engine(spark, tmp_path):
     assert got == want
     # un-bumpable names survive verbatim -> their clone pairs fully agree
     assert all(r[5] == 1292 and r[6] == "match" for r in got)
+
+
+def test_score_calibration_shares_linear_quality_subtree(spark, sf_dir, monkeypatch):
+    """VERDICT r8 #5 promotion pin: q_score_calibration's score leg IS
+    the declared q_linear_quality (called exactly once, plan subtree
+    shared at the source level) — a drifting reimplementation would
+    silently calibrate a different score than the one users threshold.
+    The physical plan carries exactly one decile Window and attaches the
+    (doc_id, bad) outcome leg by broadcast."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans import corpus_queries as cq
+
+    calls: list[int] = []
+    orig = cq.q_linear_quality
+    monkeypatch.setattr(
+        cq, "q_linear_quality", lambda s, d: (calls.append(1), orig(s, d))[1]
+    )
+    df = QUERIES["q_score_calibration"](spark, sf_dir)
+    assert calls == [1], "must reuse the declared scorer, exactly once"
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted mode prints each node once in the tree ("Window (28)")
+    # and once in the detail section ("(28) Window") — count tree lines
+    assert plan.count("Window (") == 1, "one global decile window, no more"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
