@@ -111,14 +111,20 @@ _R9_PROMOTED = (
 )
 _HEAD = _R9_PROMOTED + _R4_FRESH[26:] + _R5_TIER[:18]
 
-# Round-10 head plan (for the next rotation): promote the staged
-# round-10 tranche (plans/staged_r10.py, once it exists — same two-SF +
-# 100x protocol), then the 29-name r5-tier leftover (_R5_TIER[18:],
-# q_event_transitions .. q_wordcount), then fill any remaining slots
-# from the r6 tier oldest-first (50 names, latest verdicts round 6 —
-# pull their order from CORRECTNESS_r06 when building the r10 head).
-# With a 12-name tranche the window is 12 + 29 + 9 = 50, leaving the
-# r6 tier at 41 for round 11; no verdict ages past ~4 rounds.
+# Round-10 head plan (for the next rotation): promote the 12 staged
+# names from plans/staged_r10.py (q_index_probe_delta,
+# q_mg_sketch_agreement, q_token_compression, q_selfrep_spans,
+# q_quality_sweep, q_cross_lang_dup, q_boilerplate_hubs,
+# q_recrawl_schedule, q_rejection_mix, q_pii_density,
+# q_audio_dynamic_range, q_image_entropy — oracle-backed,
+# driver-protocol pytest-proven at sf0.001 AND sf0.01 in
+# tests/test_staged_r10.py, 100x evidence in
+# examples/staged_r10_scale.py), then the 29-name r5-tier leftover
+# (_R5_TIER[18:], q_event_transitions .. q_wordcount), then fill the
+# remaining 9 slots from the r6 tier oldest-first (50 names, latest
+# verdicts round 6 — pull their order from CORRECTNESS_r06 when
+# building the r10 head). 12 + 29 + 9 = 50, leaving the r6 tier at 41
+# for round 11; no verdict ages past ~4 rounds.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:

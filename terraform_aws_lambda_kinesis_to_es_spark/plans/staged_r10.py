@@ -1,0 +1,1087 @@
+"""STAGED query surface for the round-10 declaration head.
+
+Same staging contract as the round-7/8/9 tranches (promoted as
+plans/curation_queries.py, plans/corpus_queries.py, and
+plans/audit_queries.py): implemented, oracle-backed, and pytest-verified
+with the driver's own compare protocol at BOTH sf0.001 and sf0.01
+(tests/test_staged_r10.py), but NOT declared — the round-9 driver
+window (50 names) is fully allocated to the 12 audit-tranche promotions
++ the r4/r5-tier rotation. Round 10 promotes QUERIES/ORACLES into the
+head verbatim, alongside the 29-name r5-tier leftover queued in
+plans/__init__.py.
+
+Contents — the serving/ops follow-ups the round-8 verdict named, plus
+corpus-curation audits the surface still lacks:
+
+- ``q_index_probe_delta``: cross-snapshot near-dup delta — the v2
+  EDITED cohort (q_snapshot_delta's %13 edit under the same ids)
+  probed against the v1 corpus through the SAME banded-LSH +
+  exact-Jaccard plan that probe_lsh_index serves from the persisted
+  index: the batch twin of the serving path (VERDICT r8 #7 candidate).
+- ``q_mg_sketch_agreement``: the streaming heavy-hitter's BATCH twin
+  (VERDICT r8 #7 candidate) made deterministic: per-shard (event_id %
+  MG_SHARDS) Misra-Gries-style summaries merged into (est, err_ub)
+  per item, compared against exact counts — est <= true <= est +
+  err_ub must hold for every reported item, the merge-form of the
+  Space-Saving guarantee the streaming operator pins.
+- ``q_token_compression``: tokenizer-compression x dedup interaction
+  audit (VERDICT r8 #7 candidate) — per source, tokens-per-KB before
+  and after exact digest dedup, plus the token mass dedup removes.
+- ``q_selfrep_spans``: intra-document repetition LOCALIZATION — each
+  doc's most-repeated 5-gram with its occurrence count and positional
+  span; the structural-spam signal q_repetition's top-token share
+  cannot see.
+- ``q_quality_sweep``: threshold-ablation retention curve — docs and
+  tokens surviving each of ten type-token-ratio cuts, computed off a
+  bounded per-score histogram so the corpus crosses ONE aggregate.
+- ``q_cross_lang_dup``: near-dup pairs grouped by language pair — the
+  cross-language boilerplate/translation-dup audit for multilingual
+  corpora; the diagonal carries same-language dup mass for contrast.
+- ``q_boilerplate_hubs``: near-dup-graph degree hubs — the docs
+  participating in the most verified pairs (template/boilerplate
+  centers that star-shaped clusters hide inside one component).
+- ``q_recrawl_schedule``: churn-driven recrawl planning — per-source
+  change rate (q_snapshot_delta's cohorts) mapped to an integer
+  recrawl interval and the implied daily refetch volume.
+- ``q_rejection_mix``: deterministic rejection sampling to a balanced
+  source mix — per-source hash-gated accept decisions sized so every
+  source downsamples to the smallest one; achieved shares reported
+  against the target.
+- ``q_pii_density``: per-source PII density — emails/phones per MiB
+  over a deterministically PII-enriched corpus (the q_pii_redact
+  injection, gated to modular cohorts so sources differ).
+- ``q_audio_dynamic_range``: audio dynamic-range audit through the
+  REAL WAV decoder — per clip, frame-energy floor (p10) vs peak (p90)
+  and their flatness ratio; the compressed/brickwalled-audio filter.
+- ``q_image_entropy``: gray-histogram entropy per image through the
+  REAL PPM decoder — ordered-fold float entropy (the q_doc_entropy
+  determinism rule) over 16 gray buckets; the blank/noise screen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+    hash60,
+    hash60_sql,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
+    tokens,
+    word_ngrams,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (
+    SD_DROP_MOD,
+    SD_EDIT_MOD,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+    _PAIR_JACCARD,
+    _SHINGLES,
+    JACCARD_THRESHOLD_BP,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+    _ngrams_sql,
+    _TOKS,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+# ---------------------------------------------------- index probe delta
+
+
+def q_index_probe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot near-dup delta: the v2 EDITED cohort (doc_id %
+    SD_EDIT_MOD surviving the %SD_DROP_MOD drop, text + ' rev2' — the
+    exact q_snapshot_delta change set) probed against the FULL v1
+    corpus. The plan is the batch twin of
+    operators/dedup.probe_lsh_index: v1's banded minhash keys equi-join
+    the probe batch's keys on (band, bkey), candidates verify with
+    exact shingle Jaccard — so this query certifies the snapshot-delta
+    ingest path an LSH-index deployment runs every version bump
+    (changed docs re-probe the standing index before re-insert).
+
+    Emits (doc_v1, doc_v2, jaccard_bp) for every verified pair at the
+    standard threshold; doc_v1 == doc_v2 rows are the edits matching
+    their own previous versions — the expected bulk of the delta.
+
+    Oracle: exhaustive exact Jaccard between the two shingle-set
+    frames (the same recall-is-provably-1 argument as q_minhash_dedup:
+    at >= 50% Jaccard the 32x2 banding detects every pair on this
+    corpus, so the LSH plan and the exhaustive truth coincide).
+
+    Scale shape: probe-sized work — candidates come from one (band,
+    bkey) equi-join keyed by the batch, never corpus x corpus; the
+    verify join is id-keyed. Cites reference lambda/main.py:109 not at
+    all: this layer is the engine's own north-star surface."""
+    docs = load_split(spark, sf_dir, "documents")
+    probe = docs.filter(
+        (F.col("doc_id") % SD_EDIT_MOD == 0) & (F.col("doc_id") % SD_DROP_MOD != 0)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
+
+    v1_sh = (
+        D.with_hashed_shingles(docs)
+        .filter(F.size("sh_hashes") > 0)
+        .select("doc_id", "sh_hashes")
+    )
+    v2_sh = (
+        D.with_hashed_shingles(probe)
+        .filter(F.size("sh_hashes") > 0)
+        .select("doc_id", "sh_hashes")
+    )
+    b1 = D.banded_keys(
+        D.with_minhash_signature(v1_sh, shingle_col="sh_hashes", prehashed=True)
+    ).select(F.col("doc_id").alias("doc_v1"), "band", "bkey")
+    b2 = D.banded_keys(
+        D.with_minhash_signature(v2_sh, shingle_col="sh_hashes", prehashed=True)
+    ).select(F.col("doc_id").alias("doc_v2"), "band", "bkey")
+    cands = b1.join(b2, ["band", "bkey"]).select("doc_v1", "doc_v2").distinct()
+
+    sa = v1_sh.select(F.col("doc_id").alias("doc_v1"), F.col("sh_hashes").alias("sh_a"))
+    sb = v2_sh.select(F.col("doc_id").alias("doc_v2"), F.col("sh_hashes").alias("sh_b"))
+    return (
+        cands.join(sa, "doc_v1")
+        .join(sb, "doc_v2")
+        .withColumn("_isz", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn(
+            "jaccard_bp",
+            F.expr(
+                "CAST((10000 * _isz) DIV (size(sh_a) + size(sh_b) - _isz) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("jaccard_bp") >= JACCARD_THRESHOLD_BP)
+        .select("doc_v1", "doc_v2", "jaccard_bp")
+    )
+
+
+# ------------------------------------------------- MG sketch agreement
+
+MG_SHARDS = 8          # deterministic shard = event_id % MG_SHARDS
+MG_CAP = 16            # summary capacity per shard
+MG_TOPK = 20           # reported items
+
+
+def q_mg_sketch_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch twin of the streaming Space-Saving heavy
+    hitter (streaming/stateful.heavy_hitters_stream): events shard by
+    event_id % MG_SHARDS; each shard keeps a Misra-Gries-style summary
+    (its top-MG_CAP user counts by (count desc, user asc)) with shard
+    error err_s = the first EXCLUDED count (0 when the shard fits);
+    merging gives est(u) = sum of u's counts over shards where u made
+    the summary and err_ub(u) = sum of err_s over shards where it did
+    not. For every reported item the sketch-merge guarantee must hold:
+    est <= true <= est + err_ub — the same bound family the streaming
+    operator pins per batch, here proven against exact counts in one
+    query. Emits the top MG_TOPK by (est desc, user asc).
+
+    Scale shape: one (shard, user) keyed aggregate over the corpus;
+    everything after runs on <= MG_SHARDS * (MG_CAP + 1) summary rows
+    plus an id-keyed join against the exact counts."""
+    ev = load_split(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_true"))
+    sc = (
+        ev.withColumn("shard", (F.col("event_id") % MG_SHARDS).cast("bigint"))
+        .groupBy("shard", "user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    ranked = sc.withColumn("rk", F.row_number().over(w))
+    entries = ranked.filter(F.col("rk") <= MG_CAP)
+    errs = ranked.filter(F.col("rk") == MG_CAP + 1).select(
+        "shard", F.col("c").alias("err_s")
+    )
+    total_err = errs.groupBy().agg(
+        F.coalesce(F.sum("err_s"), F.lit(0)).cast("bigint").alias("err_all")
+    )
+    est = (
+        entries.join(F.broadcast(errs), "shard", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("est_count"),
+            F.sum(F.coalesce(F.col("err_s"), F.lit(0)))
+            .cast("bigint")
+            .alias("present_err"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(total_err))
+        .withColumn("err_ub", (F.col("err_all") - F.col("present_err")).cast("bigint"))
+        .join(exact, "user_id")
+        .withColumn(
+            "bound_ok",
+            (F.col("est_count") <= F.col("n_true"))
+            & (F.col("n_true") <= F.col("est_count") + F.col("err_ub")),
+        )
+        .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+        .limit(MG_TOPK)
+        .select("user_id", "est_count", "err_ub", "n_true", "bound_ok")
+    )
+
+
+# ------------------------------------------------- token compression
+
+
+def q_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-compression x dedup interaction: per source, document
+    / byte / token mass before and after exact digest dedup (hash60 of
+    the raw text — the q_exact_dedup key), with integer tokens-per-KB
+    on both sides and the token share dedup retains. Duplicate-heavy
+    sources show a tokens_kept_bp well below 10000 while their
+    tok_per_kb barely moves — the signature of verbatim replication,
+    vs near-dup paraphrasing which dedup-by-digest cannot touch.
+
+    Scale shape: two keyed aggregates (source and (source, digest) —
+    both map-side combining); no joins wider than |sources|."""
+    docs = load_split(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        hash60(F.col("text")).alias("digest"),
+        F.octet_length("text").cast("bigint").alias("b"),
+        F.size(tokens(F.lower(F.col("text")))).cast("bigint").alias("t"),
+    )
+    v1 = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("b").cast("bigint").alias("bytes_v1"),
+        F.sum("t").cast("bigint").alias("toks_v1"),
+    )
+    per_digest = per_doc.groupBy("source", "digest").agg(
+        F.min("b").alias("b"), F.min("t").alias("t")
+    )
+    dd = per_digest.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_dedup"),
+        F.sum("b").cast("bigint").alias("bytes_dd"),
+        F.sum("t").cast("bigint").alias("toks_dd"),
+    )
+    return v1.join(dd, "source").select(
+        "source",
+        "n_docs",
+        "n_dedup",
+        F.expr("CAST((10000 * (n_docs - n_dedup)) DIV n_docs AS BIGINT)").alias(
+            "dup_bp"
+        ),
+        F.expr("CAST((1024 * toks_v1) DIV bytes_v1 AS BIGINT)").alias("tok_per_kb"),
+        F.expr("CAST((1024 * toks_dd) DIV bytes_dd AS BIGINT)").alias(
+            "tok_per_kb_dedup"
+        ),
+        F.expr("CAST((10000 * toks_dd) DIV toks_v1 AS BIGINT)").alias(
+            "tokens_kept_bp"
+        ),
+    )
+
+
+# --------------------------------------------------- self-repetition
+
+RS_N = 5               # n-gram order for the repetition scan
+
+
+def q_selfrep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition localization: per doc, the
+    most-repeated word-5-gram (ties to the lexicographically smallest)
+    with its occurrence count and positional span (distance between
+    first and last occurrence, in gram positions). Docs whose top gram
+    repeats with a LARGE span are loop/boilerplate spam; a small span
+    is a local stutter — a structural signal q_repetition's top-token
+    share cannot localize. Only docs with a repeated gram emit.
+
+    Scale shape: one posexplode + one (doc, gram) keyed aggregate +
+    one doc-keyed window on the repeated subset; map-side combining
+    keys everything by doc."""
+    docs = load_split(spark, sf_dir, "documents")
+    toksed = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    ).filter(F.size("tk") >= RS_N)
+    grams = toksed.select(
+        "doc_id", F.posexplode(word_ngrams(F.col("tk"), RS_N)).alias("pos", "gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("bigint").alias("n_rep"),
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+    )
+    rep = per.filter(F.col("n_rep") >= 2)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_rep").desc(), F.col("gram").asc()
+    )
+    return (
+        rep.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "gram", "n_rep", (F.col("p1") - F.col("p0")).alias("span"))
+    )
+
+
+# ----------------------------------------------------- quality sweep
+
+QS_CUTS = tuple(range(1000, 10001, 1000))
+
+
+def q_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-ablation retention curve: per-doc quality proxy =
+    type-token ratio in bp (10000 * distinct tokens DIV tokens), then
+    for each of the ten QS_CUTS the docs and tokens RETAINED at
+    ttr >= cut, as counts and bp shares — the table read before
+    committing to any quality threshold (what fraction of the token
+    budget does each cut cost?).
+
+    Scale shape: the corpus crosses ONE keyed aggregate into a <=10001
+    -row (ttr_bp -> n_docs, n_tokens) histogram; the 10-cut sweep and
+    the 1-row totals attach to that bounded frame (both broadcast
+    products, whitelisted)."""
+    docs = load_split(spark, sf_dir, "documents")
+    per_doc = docs.select(tokens(F.lower(F.col("text"))).alias("tk")).filter(
+        F.size("tk") > 0
+    ).select(
+        F.expr(
+            "CAST((10000 * size(array_distinct(tk))) DIV size(tk) AS BIGINT)"
+        ).alias("ttr_bp"),
+        F.size("tk").cast("bigint").alias("t"),
+    )
+    hist = per_doc.groupBy("ttr_bp").agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("t").cast("bigint").alias("nt"),
+    )
+    totals = hist.groupBy().agg(
+        F.sum("nd").cast("bigint").alias("nd_all"),
+        F.sum("nt").cast("bigint").alias("nt_all"),
+    )
+    cuts = spark.createDataFrame([(c,) for c in QS_CUTS], "cut_bp bigint")
+    return (
+        hist.crossJoin(F.broadcast(cuts))
+        .filter(F.col("ttr_bp") >= F.col("cut_bp"))
+        .groupBy("cut_bp")
+        .agg(
+            F.sum("nd").cast("bigint").alias("n_docs_kept"),
+            F.sum("nt").cast("bigint").alias("n_tokens_kept"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cut_bp",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.expr("CAST((10000 * n_docs_kept) DIV nd_all AS BIGINT)").alias(
+                "docs_bp"
+            ),
+            F.expr("CAST((10000 * n_tokens_kept) DIV nt_all AS BIGINT)").alias(
+                "tokens_bp"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------- cross-lang dups
+
+
+def q_cross_lang_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup mass by language pair: the verified minhash near-dup
+    pairs (the declared q_minhash_dedup detector, reused verbatim)
+    grouped by the unordered (lang, lang) pair of their endpoints —
+    off-diagonal rows are the cross-language boilerplate/translation
+    dups a per-language dedup run structurally misses; the diagonal
+    carries the same-language mass for contrast. avg_jaccard_bp is the
+    integer mean similarity of the pair group.
+
+    Scale shape: the detector's banded-bucket join (never all pairs)
+    plus two id-keyed lang lookups; the rollup is <= |langs|² rows."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    la = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+            "jaccard_bp",
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(SUM(jaccard_bp) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_jaccard_bp"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- boilerplate hubs
+
+HUB_K = 20
+
+
+def q_boilerplate_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-graph degree hubs: the HUB_K docs participating in the
+    most verified near-dup pairs (q_minhash_dedup reused verbatim),
+    with their source. A hub whose degree far exceeds its cluster
+    peers is a template/boilerplate center — the doc to strip FIRST,
+    since removing it breaks the star. Deterministic order (degree
+    desc, doc_id asc).
+
+    Scale shape: detector join + one id-keyed count + a distributed
+    TakeOrdered(HUB_K) + one broadcast-sized source lookup."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    top = deg.orderBy(F.col("degree").desc(), F.col("doc_id").asc()).limit(HUB_K)
+    return top.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "degree"
+    ).orderBy(F.col("degree").desc(), F.col("doc_id").asc())
+
+
+# ----------------------------------------------------- recrawl plan
+
+RC_BASE = 30_000       # interval_days = clamp(RC_BASE DIV churn_bp, 1, 365)
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-driven recrawl planning: per source, the snapshot churn
+    rate (q_snapshot_delta's cohorts — adds %19, removes %17, edits
+    %13 net of removes), the integer recrawl interval
+    clamp(RC_BASE DIV churn_bp, 1, 365) days — high-churn sources
+    recrawl often, static ones yearly — and the implied daily refetch
+    volume ceil(n_docs / interval). The capacity-planning table a
+    crawl scheduler feeds q_crawl_frontier with.
+
+    Scale shape: one keyed aggregate; pure integer arithmetic after."""
+    docs = load_split(spark, sf_dir, "documents")
+    cohorts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("doc_id") % 19 == 0).cast("bigint")).alias("n_add"),
+        F.sum((F.col("doc_id") % SD_DROP_MOD == 0).cast("bigint")).alias("n_rem"),
+        F.sum(
+            (
+                (F.col("doc_id") % SD_EDIT_MOD == 0)
+                & (F.col("doc_id") % SD_DROP_MOD != 0)
+            ).cast("bigint")
+        ).alias("n_chg"),
+    )
+    return cohorts.select(
+        "source",
+        "n_docs",
+        F.expr("CAST((10000 * (n_add + n_rem + n_chg)) DIV n_docs AS BIGINT)").alias(
+            "churn_bp"
+        ),
+    ).select(
+        "source",
+        "n_docs",
+        "churn_bp",
+        F.expr(
+            f"CAST(GREATEST(1, LEAST(365, {RC_BASE} DIV GREATEST(churn_bp, 1)))"
+            " AS BIGINT)"
+        ).alias("interval_days"),
+    ).withColumn(
+        "daily_docs",
+        F.expr("CAST((n_docs + interval_days - 1) DIV interval_days AS BIGINT)"),
+    )
+
+
+# ----------------------------------------------------- rejection mix
+
+
+def q_rejection_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rejection sampling to a BALANCED source mix:
+    every source downsamples toward the smallest source's count via a
+    per-source acceptance rate accept_bp = (10000 * n_min) DIV n_s,
+    gated per doc by hash60(doc_id) % 10000 < accept_bp — the
+    reproducible coin every distributed sampler needs (no RNG state,
+    any executor re-derives the decision). Emits per source the
+    target rate, the docs actually accepted, and the achieved share
+    of the accepted corpus (= ~uniform when the hash is fair).
+
+    Scale shape: one count aggregate, one broadcast of |sources| accept
+    rates back onto the corpus for the gated count, one 1-row total."""
+    docs = load_split(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_min = per_src.groupBy().agg(F.min("n_docs").alias("n_min"))
+    acc = per_src.crossJoin(F.broadcast(n_min)).withColumn(
+        "accept_bp", F.expr("CAST((10000 * n_min) DIV n_docs AS BIGINT)")
+    )
+    accepted = (
+        docs.join(F.broadcast(acc.select("source", "accept_bp")), "source")
+        .filter(
+            hash60(F.col("doc_id").cast("string")) % 10000 < F.col("accept_bp")
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_accepted"))
+    )
+    joined = acc.join(accepted, "source", "left").withColumn(
+        "n_accepted", F.coalesce(F.col("n_accepted"), F.lit(0)).cast("bigint")
+    )
+    total = joined.groupBy().agg(F.sum("n_accepted").alias("n_acc_all"))
+    return joined.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "accept_bp",
+        "n_accepted",
+        F.expr(
+            "CAST((10000 * n_accepted) DIV GREATEST(n_acc_all, 1) AS BIGINT)"
+        ).alias("achieved_bp"),
+    )
+
+
+# ------------------------------------------------------- PII density
+
+PII_EMAIL_MOD = 7      # doc_id % 7 == 0 gets an injected email
+PII_PHONE_MOD = 11     # doc_id % 11 == 0 gets an injected phone
+
+
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII density: emails and phones per MiB of text, over
+    a deterministically enriched corpus (the q_pii_redact injection,
+    here GATED to modular cohorts so densities differ by source and
+    the rollup is non-trivial). The triage table that decides which
+    sources need the expensive scrub pass first. Counting runs the
+    REAL regexes (operators/text.py) JVM-side.
+
+    Scale shape: map-only regex counting + one keyed aggregate."""
+    docs = load_split(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % PII_EMAIL_MOD == 0,
+            F.concat(F.lit(" contact "), F.col("source"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % PII_PHONE_MOD == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(enriched, F.lit(PII_EMAIL_RE)).cast("bigint").alias("e"),
+        F.regexp_count(enriched, F.lit(PII_PHONE_RE)).cast("bigint").alias("p"),
+        F.octet_length(enriched).cast("bigint").alias("b"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.expr(
+            "CAST((1048576 * (SUM(e) + SUM(p))) DIV SUM(b) AS BIGINT)"
+        ).alias("pii_per_mb"),
+    )
+
+
+# ----------------------------------------------- audio dynamic range
+
+ADR_FRAME = 4          # samples per energy frame (32-sample clips -> 8 frames)
+
+
+def q_audio_dynamic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dynamic-range audit through the REAL RIFF/WAVE decoder
+    (q_audio_silence framing): per clip, frame energies (sum of squared
+    int16 samples over ADR_FRAME-sample frames, exact int64), the p10
+    energy floor and p90 peak picked at deterministic ranks
+    (row_number over (energy asc, frame asc)), and flatness =
+    (10000 * floor) DIV max(peak, 1) — near-10000 means compressed /
+    brickwalled audio, near-0 means real dynamics or dead air. Pure
+    integers end to end; the oracle re-derives every sample from
+    hex(encode(text)).
+
+    Scale shape: decode + framing is Arrow map-only; rank selection is
+    a per-clip window over n/ADR_FRAME frame rows."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        _wav_header,
+        AUDIO_BYTES,
+    )
+
+    docs = load_split(spark, sf_dir, "documents")
+    body = F.expr(
+        f"rpad(substring(encode(text, 'UTF-8'), 1, {AUDIO_BYTES}),"
+        f" {AUDIO_BYTES}, X'20')"
+    )
+    framed = docs.select(
+        "doc_id", F.concat(F.lit(_wav_header(AUDIO_BYTES)), body).alias("payload")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, nf, floors, peaks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = M.decode_audio(bytes(payload))
+                s = samples.astype(np.int64).reshape(-1)
+                n_frames = s.size // ADR_FRAME
+                e = (
+                    (s[: n_frames * ADR_FRAME].reshape(-1, ADR_FRAME) ** 2)
+                    .sum(axis=1)
+                )
+                es = np.sort(e)  # ties: equal values, rank choice moot
+                i_lo = max(1, n_frames // 10)
+                i_hi = max(1, (9 * n_frames) // 10)
+                ids.append(doc_id)
+                nf.append(n_frames)
+                floors.append(int(es[i_lo - 1]))
+                peaks.append(int(es[i_hi - 1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "e_floor": pd.Series(floors, dtype="int64"),
+                    "e_peak": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    per = framed.mapInPandas(
+        gen, "doc_id long, n_frames long, e_floor long, e_peak long"
+    )
+    return per.withColumn(
+        "flat_bp", F.expr("CAST((10000 * e_floor) DIV GREATEST(e_peak, 1) AS BIGINT)")
+    )
+
+
+# ------------------------------------------------------ image entropy
+
+IE_BUCKETS = 16        # gray (r+g+b in 0..765) DIV 48, as q_media_dominant_color
+
+
+def q_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gray-histogram entropy per image through the REAL PPM decoder:
+    pixels quantize to IE_BUCKETS gray buckets (the
+    q_media_dominant_color rule), and each image reports its bucket
+    count and Shannon entropy in nats — near-0 flags blank/solid
+    frames, near-ln(16) flags noise. The float sum folds LEFT-TO-RIGHT
+    over the bucket-sorted non-zero histogram on both engines (the
+    q_doc_entropy rule; p = cnt / pixel-count, a CONSTANT denominator),
+    then ROUND(4).
+
+    Scale shape: decode + histogram is Arrow map-only emitting <=
+    IE_BUCKETS rows per image; the fold is one doc-keyed aggregate."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        IMG_H,
+        IMG_W,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import multimodal as M
+
+    docs = load_split(spark, sf_dir, "documents")
+    n = IMG_W * IMG_H * 3
+    px = IMG_W * IMG_H
+    header = F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n".encode())
+    body = F.expr(f"rpad(substring(encode(text, 'UTF-8'), 1, {n}), {n}, X'78')")
+    framed = docs.select("doc_id", F.concat(header, body).alias("payload"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, bks, cts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pix = M.decode_image(bytes(payload))
+                gray = pix.reshape(-1, 3).astype(np.int64).sum(axis=1)
+                counts = np.bincount(gray // 48, minlength=IE_BUCKETS)
+                for b in np.nonzero(counts)[0]:
+                    ids.append(doc_id)
+                    bks.append(int(b))
+                    cts.append(int(counts[b]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bucket": pd.Series(bks, dtype="int64"),
+                    "cnt": pd.Series(cts, dtype="int64"),
+                }
+            )
+
+    hist = framed.mapInPandas(gen, "doc_id long, bucket long, cnt long")
+    # ordered fold: -sum p*ln(p) over the bucket-ASC non-zero list
+    # (zero-count buckets contribute exactly 0.0 and are omitted on
+    # both engines)
+    terms = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))),
+        lambda s: -(s["cnt"].cast("double") / F.lit(float(px)))
+        * F.log(s["cnt"].cast("double") / F.lit(float(px))),
+    )
+    return hist.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.round(
+            F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("entropy_nats"),
+    )
+
+
+QUERIES = {
+    "q_index_probe_delta": q_index_probe_delta,
+    "q_mg_sketch_agreement": q_mg_sketch_agreement,
+    "q_token_compression": q_token_compression,
+    "q_selfrep_spans": q_selfrep_spans,
+    "q_quality_sweep": q_quality_sweep,
+    "q_cross_lang_dup": q_cross_lang_dup,
+    "q_boilerplate_hubs": q_boilerplate_hubs,
+    "q_recrawl_schedule": q_recrawl_schedule,
+    "q_rejection_mix": q_rejection_mix,
+    "q_pii_density": q_pii_density,
+    "q_audio_dynamic_range": q_audio_dynamic_range,
+    "q_image_entropy": q_image_entropy,
+}
+
+
+# ------------------------------------------------------------- oracles
+
+# tokens of (text || ' rev2') — the v2 edit applied inside the _TOKS
+# macro (single occurrence of the trim(lower(text)) spine)
+_TOKS_REV2 = _TOKS.replace("trim(lower(text))", "trim(lower(text || ' rev2'))")
+
+_PROBE_SQL = f"""
+WITH sh1 AS (
+  SELECT doc_id AS doc_v1, {_SHINGLES} AS s FROM documents
+),
+sh2 AS (
+  SELECT doc_id AS doc_v2,
+         list_distinct({_ngrams_sql(_TOKS_REV2, 5)}) AS s
+  FROM documents
+  WHERE doc_id % {SD_EDIT_MOD} = 0 AND doc_id % {SD_DROP_MOD} <> 0
+)
+SELECT a.doc_v1, b.doc_v2,
+       CAST((10000 * len(list_intersect(a.s, b.s)))
+            // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            AS BIGINT) AS jaccard_bp
+FROM sh1 a JOIN sh2 b ON len(list_intersect(a.s, b.s)) > 0
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND (10000 * len(list_intersect(a.s, b.s)))
+      // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+      >= {JACCARD_THRESHOLD_BP}
+"""
+
+_MG_SQL = f"""
+WITH exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true FROM events GROUP BY user_id
+),
+sc AS (
+  SELECT event_id % {MG_SHARDS} AS shard, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT shard, user_id, c,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY c DESC, user_id ASC) AS rk
+  FROM sc
+),
+entries AS (SELECT shard, user_id, c FROM ranked WHERE rk <= {MG_CAP}),
+errs AS (SELECT shard, c AS err_s FROM ranked WHERE rk = {MG_CAP + 1}),
+tot AS (SELECT COALESCE(SUM(err_s), 0) AS err_all FROM errs),
+est AS (
+  SELECT e.user_id,
+         CAST(SUM(e.c) AS BIGINT) AS est_count,
+         SUM(COALESCE(x.err_s, 0)) AS present_err
+  FROM entries e LEFT JOIN errs x USING (shard)
+  GROUP BY e.user_id
+)
+SELECT est.user_id,
+       est_count,
+       CAST(err_all - present_err AS BIGINT) AS err_ub,
+       n_true,
+       (est_count <= n_true AND n_true <= est_count + (err_all - present_err))
+         AS bound_ok
+FROM est CROSS JOIN tot JOIN exact ON est.user_id = exact.user_id
+ORDER BY est_count DESC, est.user_id ASC
+LIMIT {MG_TOPK}
+"""
+
+_COMPRESSION_SQL = f"""
+WITH per_doc AS (
+  SELECT source, {hash60_sql("text")} AS digest,
+         octet_length(encode(text)) AS b, len({_TOKS}) AS t
+  FROM documents
+),
+v1 AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(b) AS bytes_v1, SUM(t) AS toks_v1
+  FROM per_doc GROUP BY source
+),
+per_digest AS (
+  SELECT source, digest, MIN(b) AS b, MIN(t) AS t
+  FROM per_doc GROUP BY source, digest
+),
+dd AS (
+  SELECT source, COUNT(*) AS n_dedup, SUM(b) AS bytes_dd, SUM(t) AS toks_dd
+  FROM per_digest GROUP BY source
+)
+SELECT v1.source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_dedup AS BIGINT) AS n_dedup,
+       CAST((10000 * (n_docs - n_dedup)) // n_docs AS BIGINT) AS dup_bp,
+       CAST((1024 * toks_v1) // bytes_v1 AS BIGINT) AS tok_per_kb,
+       CAST((1024 * toks_dd) // bytes_dd AS BIGINT) AS tok_per_kb_dedup,
+       CAST((10000 * toks_dd) // toks_v1 AS BIGINT) AS tokens_kept_bp
+FROM v1 JOIN dd ON v1.source = dd.source
+"""
+
+# parallel unnest of equal-length lists aligns positionally in DuckDB —
+# the WITH ORDINALITY equivalent for the gram position
+_SELFREP_SQL = f"""
+WITH gl AS (
+  SELECT doc_id, {_ngrams_sql(_TOKS, RS_N)} AS gs FROM documents
+  WHERE len({_TOKS}) >= {RS_N}
+),
+g AS (
+  SELECT doc_id,
+         unnest(gs) AS gram,
+         unnest(range(0, len(gs))) AS pos
+  FROM gl
+),
+per AS (
+  SELECT doc_id, gram, COUNT(*) AS n_rep, MIN(pos) AS p0, MAX(pos) AS p1
+  FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id, gram, CAST(n_rep AS BIGINT) AS n_rep,
+       CAST(p1 - p0 AS BIGINT) AS span
+FROM per
+WHERE n_rep >= 2
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY n_rep DESC, gram ASC) = 1
+"""
+
+_SWEEP_SQL = f"""
+WITH per_doc AS (
+  SELECT (10000 * len(list_distinct(tk))) // len(tk) AS ttr_bp, len(tk) AS t
+  FROM (SELECT {_TOKS} AS tk FROM documents)
+  WHERE len(tk) > 0
+),
+hist AS (
+  SELECT ttr_bp, COUNT(*) AS nd, SUM(t) AS nt FROM per_doc GROUP BY ttr_bp
+),
+tot AS (SELECT SUM(nd) AS nd_all, SUM(nt) AS nt_all FROM hist),
+cuts AS (SELECT unnest({list(QS_CUTS)}) AS cut_bp)
+SELECT CAST(cut_bp AS BIGINT) AS cut_bp,
+       CAST(SUM(nd) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens_kept,
+       CAST((10000 * SUM(nd)) // MAX(nd_all) AS BIGINT) AS docs_bp,
+       CAST((10000 * SUM(nt)) // MAX(nt_all) AS BIGINT) AS tokens_bp
+FROM hist JOIN cuts ON ttr_bp >= cut_bp CROSS JOIN tot
+GROUP BY cut_bp
+"""
+
+_CROSS_LANG_SQL = (
+    _PAIR_JACCARD
+    + f""",
+filt AS (SELECT doc_a, doc_b, jaccard_bp FROM pairs
+         WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP})
+SELECT LEAST(da.lang, db.lang) AS lang_lo,
+       GREATEST(da.lang, db.lang) AS lang_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(jaccard_bp) // COUNT(*) AS BIGINT) AS avg_jaccard_bp
+FROM filt
+JOIN documents da ON filt.doc_a = da.doc_id
+JOIN documents db ON filt.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+)
+
+_HUBS_SQL = (
+    _PAIR_JACCARD
+    + f""",
+filt AS (SELECT doc_a, doc_b FROM pairs
+         WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM filt
+    UNION ALL SELECT doc_b FROM filt
+  ) GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, degree FROM deg
+  QUALIFY ROW_NUMBER() OVER (ORDER BY degree DESC, doc_id ASC) <= {HUB_K}
+)
+SELECT t.doc_id, d.source, CAST(t.degree AS BIGINT) AS degree
+FROM top t JOIN documents d USING (doc_id)
+"""
+)
+
+_RECRAWL_SQL = f"""
+WITH cohorts AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS n_add,
+         SUM(CASE WHEN doc_id % {SD_DROP_MOD} = 0 THEN 1 ELSE 0 END) AS n_rem,
+         SUM(CASE WHEN doc_id % {SD_EDIT_MOD} = 0
+                   AND doc_id % {SD_DROP_MOD} <> 0 THEN 1 ELSE 0 END) AS n_chg
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_docs,
+         (10000 * (n_add + n_rem + n_chg)) // n_docs AS churn_bp
+  FROM cohorts
+),
+iv AS (
+  SELECT source, n_docs, churn_bp,
+         GREATEST(1, LEAST(365, {RC_BASE} // GREATEST(churn_bp, 1)))
+           AS interval_days
+  FROM rates
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(churn_bp AS BIGINT) AS churn_bp,
+       CAST(interval_days AS BIGINT) AS interval_days,
+       CAST((n_docs + interval_days - 1) // interval_days AS BIGINT)
+         AS daily_docs
+FROM iv
+"""
+
+_REJECTION_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(n_docs) AS n_min FROM per_src),
+acc AS (
+  SELECT source, n_docs, (10000 * n_min) // n_docs AS accept_bp
+  FROM per_src CROSS JOIN mn
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_accepted
+  FROM documents d JOIN acc USING (source)
+  WHERE ({hash60_sql("CAST(doc_id AS VARCHAR)")}) % 10000 < accept_bp
+  GROUP BY d.source
+),
+j AS (
+  SELECT acc.source, acc.n_docs, acc.accept_bp,
+         COALESCE(kept.n_accepted, 0) AS n_accepted
+  FROM acc LEFT JOIN kept USING (source)
+),
+tot AS (SELECT SUM(n_accepted) AS n_acc_all FROM j)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(accept_bp AS BIGINT) AS accept_bp,
+       CAST(n_accepted AS BIGINT) AS n_accepted,
+       CAST((10000 * n_accepted) // GREATEST(n_acc_all, 1) AS BIGINT)
+         AS achieved_bp
+FROM j CROSS JOIN tot
+"""
+
+_PII_ENRICHED = (
+    "text ||"
+    f" (CASE WHEN doc_id % {PII_EMAIL_MOD} = 0"
+    " THEN ' contact ' || source || '@example.com' ELSE '' END) ||"
+    f" (CASE WHEN doc_id % {PII_PHONE_MOD} = 0"
+    " THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END)"
+)
+
+_PII_DENSITY_SQL = f"""
+WITH e AS (SELECT doc_id, source, {_PII_ENRICHED} AS t FROM documents),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS e,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS p,
+         octet_length(encode(t)) AS b
+  FROM e
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(e) AS BIGINT) AS n_emails,
+       CAST(SUM(p) AS BIGINT) AS n_phones,
+       CAST((1048576 * (SUM(e) + SUM(p))) // SUM(b) AS BIGINT) AS pii_per_mb
+FROM per_doc GROUP BY source
+"""
+
+
+def _dynamic_range_sql() -> str:
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
+        _AF_BYTES,
+        _AF_SAMPLE,
+    )
+
+    n = _AF_BYTES // 2
+    return f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(substring(hex(encode(text)), 1, {_AF_BYTES * 2}),
+              {_AF_BYTES * 2}, '20') AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i, CAST({_AF_SAMPLE.format(i="i")} AS BIGINT) AS v
+  FROM body CROSS JOIN (SELECT unnest(generate_series(1, {n})) AS i)
+),
+fr AS (
+  SELECT doc_id, (i - 1) // {ADR_FRAME} AS frame, SUM(v * v) AS energy
+  FROM s GROUP BY doc_id, frame
+),
+ranked AS (
+  SELECT doc_id, energy,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY energy ASC, frame ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nf
+  FROM fr
+)
+SELECT r.doc_id,
+       CAST(MAX(r.nf) AS BIGINT) AS n_frames,
+       CAST(MAX(CASE WHEN r.rk = GREATEST(1, r.nf // 10)
+                     THEN r.energy END) AS BIGINT) AS e_floor,
+       CAST(MAX(CASE WHEN r.rk = GREATEST(1, (9 * r.nf) // 10)
+                     THEN r.energy END) AS BIGINT) AS e_peak,
+       CAST((10000 * MAX(CASE WHEN r.rk = GREATEST(1, r.nf // 10)
+                              THEN r.energy END))
+            // GREATEST(MAX(CASE WHEN r.rk = GREATEST(1, (9 * r.nf) // 10)
+                                 THEN r.energy END), 1)
+         AS BIGINT) AS flat_bp
+FROM ranked r GROUP BY r.doc_id
+"""
+
+
+def _image_entropy_sql() -> str:
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.multimodal_queries import (
+        IMG_H,
+        IMG_W,
+    )
+
+    px = IMG_W * IMG_H
+    return f"""
+WITH body AS (
+  SELECT doc_id,
+         rpad(substring(hex(encode(text)), 1, {px * 6}), {px * 6}, '78') AS hx
+  FROM documents
+),
+g AS (
+  SELECT doc_id, p,
+         (CAST(('0x' || substring(hx, 6 * p + 1, 2)) AS BIGINT)
+          + CAST(('0x' || substring(hx, 6 * p + 3, 2)) AS BIGINT)
+          + CAST(('0x' || substring(hx, 6 * p + 5, 2)) AS BIGINT)) // 48
+           AS bucket
+  FROM body CROSS JOIN (SELECT unnest(range(0, {px})) AS p)
+),
+hist AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM g GROUP BY doc_id, bucket),
+arrs AS (
+  SELECT doc_id, COUNT(*) AS n_buckets,
+         list(CAST(cnt AS DOUBLE) ORDER BY bucket) AS cs
+  FROM hist GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       ROUND(list_reduce(list_prepend(0.0,
+           list_transform(cs, c -> -(c / {px}) * ln(c / {px}))),
+           (x, y) -> x + y), 4) AS entropy_nats
+FROM arrs
+"""
+
+
+ORACLES = {
+    "q_index_probe_delta": _PROBE_SQL,
+    "q_mg_sketch_agreement": _MG_SQL,
+    "q_token_compression": _COMPRESSION_SQL,
+    "q_selfrep_spans": _SELFREP_SQL,
+    "q_quality_sweep": _SWEEP_SQL,
+    "q_cross_lang_dup": _CROSS_LANG_SQL,
+    "q_boilerplate_hubs": _HUBS_SQL,
+    "q_recrawl_schedule": _RECRAWL_SQL,
+    "q_rejection_mix": _REJECTION_SQL,
+    "q_pii_density": _PII_DENSITY_SQL,
+    "q_audio_dynamic_range": _dynamic_range_sql(),
+    "q_image_entropy": _image_entropy_sql(),
+}
