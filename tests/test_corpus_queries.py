@@ -32,16 +32,16 @@ def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
 
 def test_promotion_contract():
     """Post-promotion: every tranche name is declared through the driver
-    entrypoint WITH its oracle, and the tranche sits in the round-8 head
-    (the driver's ~50-name verdict window reads declaration order)."""
+    entrypoint WITH its oracle. (The tranche filled the round-8 verdict
+    head and went driver-green in CORRECTNESS_r08; later rotations move
+    it out of the 50-name window by design, so head membership is NOT
+    asserted here.)"""
     assert set(QUERIES) == set(ORACLES)
     declared = entrypoint.queries()
     declared_oracles = entrypoint.oracle_sql()
-    head50 = list(declared)[:50]
     for name in QUERIES:
         assert name in declared
         assert declared_oracles[name] == ORACLES[name]
-        assert name in head50
 
 
 def test_url_canonical_collapses_variants(spark, sf_dir):
