@@ -855,7 +855,13 @@ def extend_lsh_index(
     conservative. An orphan shingle set (no bucket rows) is harmless —
     nothing joins to it; an orphan bucket row (no shingle set) would
     surface candidates that the verify join then silently drops, losing
-    near-dup pairs with no error signal."""
+    near-dup pairs with no error signal.
+
+    Do not append concurrently with :func:`compact_lsh_index`: the
+    compactor snapshots the current generation, so rows appended during
+    its rewrite vanish at its commit — the standard append-vs-rewrite
+    exclusion of any append-only table (take the compaction lock's
+    cadence into the ingest scheduler, or re-append after)."""
     spark = df.sparkSession
     info = lsh_index_info(spark, path)
     shingled = _shingle_frame(df, text_col, id_col).persist()
