@@ -175,7 +175,8 @@ def silence_latency(
                 )
         return time.time()
 
-    last_written = {k: write_file(0, keys) for k in keys}
+    t0_write = write_file(0, keys)
+    last_written = {k: t0_write for k in keys}
 
     stream = (
         spark.readStream.schema("log_id string, log_type string, log_ts timestamp")

@@ -778,14 +778,47 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _heal_legacy_cutover_crash(path: str) -> None:
+    """Heal a PRE-MANIFEST index that crashed inside the retired
+    round-8 rename protocol's cutover window: a `.old_compact` backup
+    dir means that run died mid-cutover — restore every artifact it
+    still holds (shingles FIRST, the conservative order), clobbering
+    any half-cut-over artifact; `.old_compact.deleting` means that run
+    COMMITTED (the trash is garbage, never restored); `.compact` is a
+    rebuildable staging leftover. The legacy protocol was local-only,
+    so os/shutil is the right tool here."""
+    import os
+    import shutil
+
+    trash = f"{path}/.old_compact.deleting"
+    old = f"{path}/.old_compact"
+    if os.path.isdir(trash):
+        shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(old):
+        for art in ("shingles", "buckets"):
+            if os.path.isdir(f"{old}/{art}"):
+                shutil.rmtree(f"{path}/{art}", ignore_errors=True)
+                os.rename(f"{old}/{art}", f"{path}/{art}")
+        shutil.rmtree(old, ignore_errors=True)
+    staged = f"{path}/.compact"
+    if os.path.isdir(staged):
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def lsh_index_info(spark, path: str) -> dict:
     """Resolve the index's current committed state: ``{"version": int,
     "shingles": dir-URI, "buckets": dir-URI, "legacy": bool}``. Version
     0 + legacy=True means a pre-manifest unversioned layout (round-8
-    indexes keep loading; the first compaction migrates them)."""
+    indexes keep loading; the first compaction migrates them). A legacy
+    index that crashed inside the OLD rename protocol's cutover window
+    is healed here (restored from its `.old_compact` backup) before its
+    paths are handed out — without this, the only intact copy would sit
+    in the backup dir with no code path reading it."""
     fs = index_store.index_fs(spark, path)
     ver, arts, _corrupt = index_store.read_manifest(fs)
     if arts is None:
+        if not index_store.is_remote(path):
+            _heal_legacy_cutover_crash(path)
         return {
             "version": 0,
             "shingles": f"{path}/shingles",

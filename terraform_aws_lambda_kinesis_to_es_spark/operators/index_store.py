@@ -61,9 +61,17 @@ import os
 import re
 import shutil
 import time
+import uuid
 
-_MANIFEST_RE = re.compile(r"^manifest-(\d{6})\.json$")
-_ARTIFACT_RE = re.compile(r"^(?:shingles|buckets)-(\d{6})$")
+# \d{6,}: names are zero-padded to 6 digits for readability but the
+# readers accept any width — a fixed {6} would stop matching at version
+# 1,000,000 and silently freeze the index at 999,999 forever
+_MANIFEST_RE = re.compile(r"^manifest-(\d{6,})\.json$")
+# artifact dirs carry a writer-unique token suffix (see artifact_names):
+# two writers racing to the same version number stage into DIFFERENT
+# dirs, so the loser can never clobber the winner's committed data —
+# the manifest names the exact dirs, exactly as Delta/Iceberg do
+_ARTIFACT_RE = re.compile(r"^(?:shingles|buckets)-(\d{6,})(?:-[0-9a-f]+)?$")
 LOCK_NAME = "compact.lock"
 
 
@@ -215,9 +223,17 @@ def next_version(fs) -> int:
 
 
 def artifact_names(version: int) -> dict[str, str]:
+    """Writer-unique staging dir names for ``version``. The random token
+    keeps two writers racing to the same version number in DIFFERENT
+    dirs: the loser's Spark overwrite lands in its own orphan (GC'd
+    once a later commit passes this version), never in the dirs the
+    winner's manifest named. Randomness here is safe — the token is
+    never part of query results, only of physical dir names the
+    manifest records."""
+    token = uuid.uuid4().hex[:8]
     return {
-        "shingles": f"shingles-{version:06d}",
-        "buckets": f"buckets-{version:06d}",
+        "shingles": f"shingles-{version:06d}-{token}",
+        "buckets": f"buckets-{version:06d}-{token}",
     }
 
 
@@ -236,8 +252,18 @@ def commit_manifest(fs, version: int, artifacts: dict[str, str]) -> None:
 def acquire_compact_lock(fs, lock_timeout_s: float) -> None:
     """Single-writer gate for compaction (ADVICE r8): exclusive create
     of compact.lock; a lock older than ``lock_timeout_s`` is presumed
-    dead (crashed compactor) and broken. Raises if live-held."""
-    body = json.dumps({"acquired_unix": time.time()})
+    dead (crashed compactor) and broken. Raises if live-held.
+
+    Breaking a stale lock is delete-then-create, which is not fenced:
+    two breakers can interleave so that one deletes the other's fresh
+    lock. The token re-read below closes most of that window (the
+    breaker verifies the lock it now holds is ITS OWN), and the residual
+    race is harmless for CORRECTNESS — writer-unique staging dirs plus
+    the exclusive manifest create mean a doubled compaction wastes work
+    but can never corrupt a committed generation; the lock is an
+    efficiency device, not the safety mechanism."""
+    token = uuid.uuid4().hex
+    body = json.dumps({"acquired_unix": time.time(), "token": token})
     if fs.write_text_exclusive(LOCK_NAME, body):
         return
     try:
@@ -252,6 +278,15 @@ def acquire_compact_lock(fs, lock_timeout_s: float) -> None:
     fs.delete(LOCK_NAME)
     if not fs.write_text_exclusive(LOCK_NAME, body):
         raise RuntimeError(f"lost the race re-taking a stale {LOCK_NAME}")
+    try:
+        held = json.loads(fs.read_text(LOCK_NAME)).get("token")
+    except Exception:
+        held = None
+    if held != token:
+        raise RuntimeError(
+            f"lost the race re-taking a stale {LOCK_NAME}: another"
+            " breaker overwrote it"
+        )
 
 
 def release_compact_lock(fs) -> None:

@@ -73,8 +73,9 @@ _R4_FRESH = (
 # The full r5 tier (47 names whose latest green verdict is round 5,
 # judge-recomputed from the CORRECTNESS_r01-r08 union) in its
 # CORRECTNESS_r05 verdict order. [:18] fills the rest of the round-9
-# window; [18:] (29 names, q_index_name .. q_wordcount) is the queued
-# round-10 rotation debt — see the round-10 head plan below.
+# window (q_ann_ivfpq .. q_es_actions); [18:] (29 names,
+# q_event_transitions .. q_wordcount) is the queued round-10 rotation
+# debt — see the round-10 head plan below.
 _R5_TIER = (
     "q_ann_ivfpq", "q_shingle_containment", "q_exact_jaccard_pairs",
     "q_minhash_dedup", "q_graph_triangles", "q_above_avg_orders",

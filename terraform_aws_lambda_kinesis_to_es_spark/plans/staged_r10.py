@@ -75,6 +75,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
     word_ngrams,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.plans.audit_queries import (
+    SD_ADD_MOD,
     SD_DROP_MOD,
     SD_EDIT_MOD,
 )
@@ -452,7 +453,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_split(spark, sf_dir, "documents")
     cohorts = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum((F.col("doc_id") % 19 == 0).cast("bigint")).alias("n_add"),
+        F.sum((F.col("doc_id") % SD_ADD_MOD == 0).cast("bigint")).alias("n_add"),
         F.sum((F.col("doc_id") % SD_DROP_MOD == 0).cast("bigint")).alias("n_rem"),
         F.sum(
             (
@@ -908,7 +909,7 @@ _RECRAWL_SQL = f"""
 WITH cohorts AS (
   SELECT source,
          COUNT(*) AS n_docs,
-         SUM(CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END) AS n_add,
+         SUM(CASE WHEN doc_id % {SD_ADD_MOD} = 0 THEN 1 ELSE 0 END) AS n_add,
          SUM(CASE WHEN doc_id % {SD_DROP_MOD} = 0 THEN 1 ELSE 0 END) AS n_rem,
          SUM(CASE WHEN doc_id % {SD_EDIT_MOD} = 0
                    AND doc_id % {SD_DROP_MOD} <> 0 THEN 1 ELSE 0 END) AS n_chg

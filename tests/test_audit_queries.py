@@ -373,5 +373,6 @@ def test_score_calibration_shares_linear_quality_subtree(spark, sf_dir, monkeypa
     # formatted mode prints each node once in the tree ("Window (28)")
     # and once in the detail section ("(28) Window") — count tree lines
     assert plan.count("Window (") == 1, "one global decile window, no more"
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "outcome leg must attach by broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

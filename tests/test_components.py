@@ -608,15 +608,21 @@ def test_lsh_index_manifest_crash_recovery(spark, sf_dir, tmp_path):
     # (c) crash AFTER the commit (GC never ran): the committed
     # generation is live immediately; the next compaction collects the
     # two-generations-stale dirs while keeping one previous generation
-    # for in-flight readers
+    # for in-flight readers. (Artifact dirs carry writer-unique token
+    # suffixes, so assertions glob by version prefix.)
+    def gens(p, art, ver):
+        return [
+            d for d in os.listdir(p) if d.startswith(f"{art}-{ver:06d}")
+        ]
+
     p = str(tmp_path / "c")
     D.save_lsh_index(docs, p)     # v1
     D.compact_lsh_index(spark, p)  # v2 (keeps v1 dirs for readers)
-    assert os.path.isdir(f"{p}/shingles-000001"), "previous gen must survive"
+    assert gens(p, "shingles", 1), "previous gen must survive"
     D.compact_lsh_index(spark, p)  # v3 (collects v1)
-    assert not os.path.isdir(f"{p}/shingles-000001")
-    assert not os.path.isdir(f"{p}/buckets-000001")
-    assert os.path.isdir(f"{p}/shingles-000002"), "one gen kept for readers"
+    assert not gens(p, "shingles", 1)
+    assert not gens(p, "buckets", 1)
+    assert gens(p, "shingles", 2), "one gen kept for readers"
     b, s = D.load_lsh_index(spark, p)
     assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
 
@@ -636,6 +642,104 @@ def test_lsh_index_manifest_crash_recovery(spark, sf_dir, tmp_path):
         D.compact_lsh_index(spark, p, lock_timeout_s=3600.0)
     D.compact_lsh_index(spark, p, lock_timeout_s=0.0)  # stale -> broken
     assert not os.path.exists(f"{p}/compact.lock")
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+
+def test_lsh_index_staging_is_writer_unique():
+    """Two writers racing to the same version stage into DIFFERENT dirs
+    (token suffix), so a losing writer's overwrite can never clobber
+    the dirs a winner's manifest committed — the correctness backstop
+    the compaction lock is NOT (round-9 review finding)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+    a = index_store.artifact_names(2)
+    b = index_store.artifact_names(2)
+    assert a != b
+    for arts in (a, b):
+        for name in arts.values():
+            assert index_store._ARTIFACT_RE.match(name)
+    # and the width is future-proof: version 1,000,000 still parses
+    assert index_store._MANIFEST_RE.match("manifest-1000000.json")
+    assert index_store._ARTIFACT_RE.match("shingles-1000000-deadbeef")
+
+
+def test_lsh_index_legacy_midcutover_crash_heals(spark, sf_dir, tmp_path):
+    """A PRE-MANIFEST index that crashed inside the retired rename
+    protocol's cutover window (.old_compact backup present) must heal
+    on first read under the manifest code: artifacts restore from the
+    backup (shingles first), a half-cut-over fake loses to the backup,
+    and a .deleting trash dir is garbage, never restored — the round-8
+    recovery semantics, re-proven against the round-9 layout (round-9
+    review finding: the upgrade had dropped this path entirely)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    docs = load_split(spark, sf_dir, "documents")
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+
+    def legacy_index(name):
+        """Build a legacy (unversioned, manifest-less) layout."""
+        p = str(tmp_path / name)
+        D.save_lsh_index(docs, p)
+        info = D.lsh_index_info(spark, p)
+        os.rename(info["shingles"], f"{p}/shingles")
+        os.rename(info["buckets"], f"{p}/buckets")
+        for f_ in os.listdir(p):
+            if f_.startswith("manifest-"):
+                os.remove(f"{p}/{f_}")
+        return p
+
+    clean = legacy_index("heal_clean")
+    bc, sc = D.load_lsh_index(spark, clean)
+    want = {tuple(r) for r in D.probe_lsh_index(bc, sc, probe_batch).collect()}
+    assert want
+
+    # (a) crash after moving shingles out; (b) both out; (c) both out
+    # plus a half-cut-over empty fake that must LOSE to the backup
+    def crashed(name, crash):
+        p = legacy_index(name)
+        os.makedirs(f"{p}/.old_compact")
+        crash(p, f"{p}/.old_compact")
+        return p
+
+    p = crashed(
+        "heal_a", lambda p, o: os.rename(f"{p}/shingles", f"{o}/shingles")
+    )
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+    assert not os.path.exists(f"{p}/.old_compact")
+
+    def both_out(p, o):
+        os.rename(f"{p}/shingles", f"{o}/shingles")
+        os.rename(f"{p}/buckets", f"{o}/buckets")
+
+    p = crashed("heal_b", both_out)
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    def half_cutover(p, o):
+        both_out(p, o)
+        os.makedirs(f"{p}/buckets")  # empty fake: observably wrong if kept
+
+    p = crashed("heal_c", half_cutover)
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+    # (d) trash leftover from a COMMITTED legacy run: garbage, never
+    # restored over the live index; compaction then migrates cleanly
+    p = legacy_index("heal_d")
+    os.makedirs(f"{p}/.old_compact.deleting")
+    shutil.copytree(f"{clean}/shingles", f"{p}/.old_compact.deleting/shingles")
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+    assert not os.path.exists(f"{p}/.old_compact.deleting")
+    D.compact_lsh_index(spark, p)
+    assert D.lsh_index_info(spark, p)["version"] == 1
     b, s = D.load_lsh_index(spark, p)
     assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
 
