@@ -646,6 +646,49 @@ def test_lsh_index_manifest_crash_recovery(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
 
 
+def test_lsh_index_losing_writer_leaves_committed_data_intact(
+    spark, sf_dir, tmp_path
+):
+    """Commit-conflict semantics end-to-end: a writer that stages a
+    full generation but loses the manifest race must (a) raise, (b)
+    leave the winner's committed index byte-identical, and (c) leave
+    only orphan dirs that the next compaction GCs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+    docs = load_split(spark, sf_dir, "documents")
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    p = str(tmp_path / "race")
+    D.save_lsh_index(docs, p)  # committed v1
+    v1 = D.lsh_index_info(spark, p)
+    b, s = D.load_lsh_index(spark, p)
+    want = {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()}
+
+    # two writers race to version 2: the winner commits a v2 manifest
+    # that (for the test) re-points at v1's dirs; the loser has already
+    # staged its own uniquely-named v2 dir and must fail its commit
+    fs = index_store.index_fs(spark, p)
+    loser_arts = index_store.artifact_names(2)
+    docs.limit(0).write.mode("overwrite").parquet(f"{p}/{loser_arts['shingles']}")
+    winner_arts = {
+        "shingles": v1["shingles"].rsplit("/", 1)[1],
+        "buckets": v1["buckets"].rsplit("/", 1)[1],
+    }
+    index_store.commit_manifest(fs, 2, winner_arts)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        index_store.commit_manifest(fs, 2, loser_arts)
+    # the loser's staged dir is an orphan on disk; the winner's
+    # committed index is untouched and still serves the same pairs
+    assert os.path.isdir(f"{p}/{loser_arts['shingles']}")
+    assert D.lsh_index_info(spark, p)["version"] == 2
+    b, s = D.load_lsh_index(spark, p)
+    assert {tuple(r) for r in D.probe_lsh_index(b, s, probe_batch).collect()} == want
+
+
 def test_lsh_index_staging_is_writer_unique():
     """Two writers racing to the same version stage into DIFFERENT dirs
     (token suffix), so a losing writer's overwrite can never clobber
