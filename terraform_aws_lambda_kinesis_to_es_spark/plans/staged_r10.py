@@ -262,13 +262,19 @@ def q_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((10000 * (n_docs - n_dedup)) DIV n_docs AS BIGINT)").alias(
             "dup_bp"
         ),
-        F.expr("CAST((1024 * toks_v1) DIV bytes_v1 AS BIGINT)").alias("tok_per_kb"),
-        F.expr("CAST((1024 * toks_dd) DIV bytes_dd AS BIGINT)").alias(
-            "tok_per_kb_dedup"
-        ),
-        F.expr("CAST((10000 * toks_dd) DIV toks_v1 AS BIGINT)").alias(
-            "tokens_kept_bp"
-        ),
+        # GREATEST(., 1) guards a degenerate source whose documents are
+        # all empty strings (bytes/tokens sum to 0): Spark DIV-by-zero
+        # yields NULL while DuckDB // hard-errors — the cross-engine
+        # trap the r8/r9 ADVICE items kept finding
+        F.expr(
+            "CAST((1024 * toks_v1) DIV GREATEST(bytes_v1, 1) AS BIGINT)"
+        ).alias("tok_per_kb"),
+        F.expr(
+            "CAST((1024 * toks_dd) DIV GREATEST(bytes_dd, 1) AS BIGINT)"
+        ).alias("tok_per_kb_dedup"),
+        F.expr(
+            "CAST((10000 * toks_dd) DIV GREATEST(toks_v1, 1) AS BIGINT)"
+        ).alias("tokens_kept_bp"),
     )
 
 
@@ -566,8 +572,11 @@ def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("e").cast("bigint").alias("n_emails"),
         F.sum("p").cast("bigint").alias("n_phones"),
+        # GREATEST guard: an all-empty-text source outside both modular
+        # cohorts sums zero bytes (same cross-engine DIV-by-zero trap)
         F.expr(
-            "CAST((1048576 * (SUM(e) + SUM(p))) DIV SUM(b) AS BIGINT)"
+            "CAST((1048576 * (SUM(e) + SUM(p))) DIV GREATEST(SUM(b), 1)"
+            " AS BIGINT)"
         ).alias("pii_per_mb"),
     )
 
@@ -818,9 +827,11 @@ SELECT v1.source,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_dedup AS BIGINT) AS n_dedup,
        CAST((10000 * (n_docs - n_dedup)) // n_docs AS BIGINT) AS dup_bp,
-       CAST((1024 * toks_v1) // bytes_v1 AS BIGINT) AS tok_per_kb,
-       CAST((1024 * toks_dd) // bytes_dd AS BIGINT) AS tok_per_kb_dedup,
-       CAST((10000 * toks_dd) // toks_v1 AS BIGINT) AS tokens_kept_bp
+       CAST((1024 * toks_v1) // GREATEST(bytes_v1, 1) AS BIGINT) AS tok_per_kb,
+       CAST((1024 * toks_dd) // GREATEST(bytes_dd, 1) AS BIGINT)
+         AS tok_per_kb_dedup,
+       CAST((10000 * toks_dd) // GREATEST(toks_v1, 1) AS BIGINT)
+         AS tokens_kept_bp
 FROM v1 JOIN dd ON v1.source = dd.source
 """
 
@@ -987,7 +998,8 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(e) AS BIGINT) AS n_emails,
        CAST(SUM(p) AS BIGINT) AS n_phones,
-       CAST((1048576 * (SUM(e) + SUM(p))) // SUM(b) AS BIGINT) AS pii_per_mb
+       CAST((1048576 * (SUM(e) + SUM(p))) // GREATEST(SUM(b), 1) AS BIGINT)
+         AS pii_per_mb
 FROM per_doc GROUP BY source
 """
 

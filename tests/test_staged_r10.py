@@ -262,3 +262,31 @@ def test_image_entropy_bounds(spark, sf_dir):
         assert -1e-9 <= r["entropy_nats"] <= math.log(16) + 1e-9
         if r["n_buckets"] == 1:
             assert r["entropy_nats"] == 0.0
+
+
+def test_token_compression_empty_text_source(spark, tmp_path):
+    """Degenerate source whose documents are all empty strings: zero
+    bytes and zero tokens must not divide by zero on either engine
+    (Spark DIV returns NULL, DuckDB // hard-errors — the guard keeps
+    both on the GREATEST(.,1) path and the engines agreeing)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "", "en", "empty", 0), (2, "", "en", "empty", 0),
+         (3, "real words here now", "en", "full", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "tc_empty")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sorted(tuple(r) for r in QUERIES["q_token_compression"](spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ORACLES["q_token_compression"]).fetchall()
+    )
+    con.close()
+    assert got == want
+    empty = [r for r in got if r[0] == "empty"][0]
+    assert empty[4] == 0 and empty[5] == 0  # tok_per_kb columns, no NULL/error
