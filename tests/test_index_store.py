@@ -1,0 +1,200 @@
+"""Property and unit tests for the versioned-manifest commit protocol
+(operators/index_store.py) on the LocalIndexFS adapter — no Spark, so
+these run in milliseconds and can afford randomized state-machine
+sweeps. The Spark-integrated paths (save/extend/compact/load, Hadoop
+adapter) are covered in tests/test_components.py."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store as ix
+
+
+def _fs(tmp_path):
+    return ix.LocalIndexFS(str(tmp_path))
+
+
+def _write_manifest(fs, ver: int, arts=None, corrupt=False) -> None:
+    name = f"manifest-{ver:06d}.json"
+    if corrupt:
+        assert fs.write_text_exclusive(name, '{"version": %d, "artif' % ver)
+    else:
+        arts = arts or ix.artifact_names(ver)
+        assert fs.write_text_exclusive(
+            name, json.dumps({"version": ver, "artifacts": arts})
+        )
+
+
+def test_read_manifest_empty(tmp_path):
+    ver, arts, corrupt = ix.read_manifest(_fs(tmp_path))
+    assert (ver, arts, corrupt) == (0, None, [])
+
+
+def test_exclusive_create_is_exclusive(tmp_path):
+    fs = _fs(tmp_path)
+    assert fs.write_text_exclusive("x", "a")
+    assert not fs.write_text_exclusive("x", "b")
+    assert fs.read_text("x") == "a"
+
+
+def test_newest_parseable_manifest_wins(tmp_path):
+    fs = _fs(tmp_path)
+    a1 = ix.artifact_names(1)
+    a2 = ix.artifact_names(2)
+    _write_manifest(fs, 1, a1)
+    _write_manifest(fs, 2, a2)
+    _write_manifest(fs, 3, corrupt=True)
+    ver, arts, corrupt = ix.read_manifest(fs)
+    assert ver == 2 and arts == a2
+    assert corrupt == ["manifest-000003.json"]
+    # the dead number stays occupied
+    assert ix.next_version(fs) == 4
+
+
+def test_artifact_names_unique_and_versioned():
+    a, b = ix.artifact_names(7), ix.artifact_names(7)
+    assert a != b
+    for arts in (a, b):
+        for kind, name in arts.items():
+            m = ix._ARTIFACT_RE.match(name)
+            assert m and int(m.group(1)) == 7 and name.startswith(kind)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    committed=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=8, unique=True
+    ),
+    corrupt=st.lists(
+        st.integers(min_value=1, max_value=30), max_size=4, unique=True
+    ),
+)
+def test_reader_always_resolves_newest_parseable(tmp_path_factory, committed, corrupt):
+    """For ANY interleaving of parseable and corrupt manifest files, the
+    reader returns the highest parseable version and next_version is
+    strictly above every file present."""
+    tmp = tmp_path_factory.mktemp("prop")
+    fs = ix.LocalIndexFS(str(tmp))
+    arts_by_ver = {}
+    for v in committed:
+        arts_by_ver[v] = ix.artifact_names(v)
+        _write_manifest(fs, v, arts_by_ver[v])
+    for v in corrupt:
+        if v not in committed:
+            _write_manifest(fs, v, corrupt=True)
+    ver, arts, seen_corrupt = ix.read_manifest(fs)
+    assert ver == max(committed)
+    assert arts == arts_by_ver[ver]
+    # corrupt files ABOVE the winner are reported (readers skipped them)
+    assert set(seen_corrupt) == {
+        f"manifest-{v:06d}.json" for v in corrupt if v not in committed and v > ver
+    }
+    assert ix.next_version(fs) == max(committed + [v for v in corrupt]) + 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_generations=st.integers(min_value=2, max_value=6),
+    orphan_versions=st.lists(
+        st.integers(min_value=1, max_value=5), max_size=3, unique=True
+    ),
+)
+def test_gc_keeps_exactly_two_generations(
+    tmp_path_factory, n_generations, orphan_versions
+):
+    """After GC at the newest commit: the committed and previous
+    generations' dirs survive, everything older (and every orphan dir
+    below the committed version) is gone, and exactly the previous +
+    committed manifests remain."""
+    tmp = tmp_path_factory.mktemp("gc")
+    fs = ix.LocalIndexFS(str(tmp))
+    arts_by_ver = {}
+    for v in range(1, n_generations + 1):
+        arts_by_ver[v] = ix.artifact_names(v)
+        for d in arts_by_ver[v].values():
+            os.makedirs(f"{tmp}/{d}")
+        _write_manifest(fs, v, arts_by_ver[v])
+    orphans = []
+    for v in orphan_versions:
+        if v <= n_generations:  # an orphan below or at existing versions
+            name = f"shingles-{v:06d}-feedf00d"
+            os.makedirs(f"{tmp}/{name}")
+            orphans.append((v, name))
+
+    top = n_generations
+    ix.gc_index(fs, top)
+    names = set(os.listdir(tmp))
+    for v, arts in arts_by_ver.items():
+        for d in arts.values():
+            assert (d in names) == (v >= top - 1), (v, d)
+    for v, name in orphans:
+        assert (name in names) == (v >= top), (v, name)
+    manifests = {n for n in names if n.startswith("manifest-")}
+    want = {f"manifest-{top:06d}.json"}
+    if top >= 2:
+        want.add(f"manifest-{top - 1:06d}.json")
+    assert manifests == want
+
+
+def test_gc_spares_concurrent_higher_staging(tmp_path):
+    """Dirs staged for a HIGHER version than the committed one (a
+    concurrent writer mid-flight) must never be collected."""
+    fs = _fs(tmp_path)
+    a1 = ix.artifact_names(1)
+    for d in a1.values():
+        os.makedirs(f"{tmp_path}/{d}")
+    _write_manifest(fs, 1, a1)
+    future = f"buckets-{2:06d}-cafebabe"
+    os.makedirs(f"{tmp_path}/{future}")
+    ix.gc_index(fs, 1)
+    assert os.path.isdir(f"{tmp_path}/{future}")
+    for d in a1.values():
+        assert os.path.isdir(f"{tmp_path}/{d}")
+
+
+def test_gc_never_touches_the_lock(tmp_path):
+    fs = _fs(tmp_path)
+    a1 = ix.artifact_names(1)
+    for d in a1.values():
+        os.makedirs(f"{tmp_path}/{d}")
+    _write_manifest(fs, 1, a1)
+    ix.acquire_compact_lock(fs, 3600.0)
+    ix.gc_index(fs, 1)
+    assert os.path.exists(f"{tmp_path}/{ix.LOCK_NAME}")
+    ix.release_compact_lock(fs)
+    assert not os.path.exists(f"{tmp_path}/{ix.LOCK_NAME}")
+
+
+def test_lock_live_blocks_stale_breaks(tmp_path):
+    fs = _fs(tmp_path)
+    ix.acquire_compact_lock(fs, 3600.0)
+    with pytest.raises(RuntimeError, match="already running"):
+        ix.acquire_compact_lock(fs, 3600.0)
+    # stale: timeout 0 treats any lock as dead and re-takes it
+    ix.acquire_compact_lock(fs, 0.0)
+    body = json.loads(fs.read_text(ix.LOCK_NAME))
+    assert "token" in body and "acquired_unix" in body
+
+
+def test_commit_conflict_raises(tmp_path):
+    fs = _fs(tmp_path)
+    ix.commit_manifest(fs, 1, ix.artifact_names(1))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        ix.commit_manifest(fs, 1, ix.artifact_names(1))
+
+
+def test_version_width_is_future_proof(tmp_path):
+    """Version 1,000,000 (7 digits) must still commit, resolve, and
+    order above six-digit versions."""
+    fs = _fs(tmp_path)
+    _write_manifest(fs, 999_999)
+    ix.commit_manifest(fs, 1_000_000, ix.artifact_names(1_000_000))
+    ver, _arts, _ = ix.read_manifest(fs)
+    assert ver == 1_000_000
+    assert ix.next_version(fs) == 1_000_001
