@@ -266,7 +266,11 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token explode; the decile rank is ONE global-ordered window
     over (score, doc_id) — at 100 TB this becomes the standard
     sample-quantile cut (the same decile semantics without a global
-    sort); the audit output is CAL_DECILES rows either way."""
+    sort; IMPLEMENTED as operators/quantiles.py:
+    assign_sample_quantile_buckets — broadcast sample boundaries,
+    map-only assignment, NTILE-agreement pinned in
+    tests/test_pipeline_ops.py); the audit output is CAL_DECILES rows
+    either way."""
     from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
         q_linear_quality,
     )

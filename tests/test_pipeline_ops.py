@@ -417,3 +417,64 @@ def test_lsh_eval_truth_sampling_exact_on_sample(spark, sf_dir, monkeypatch):
     assert got.n_true_found == len(truth_s & cand_s)
     # non-vacuous: the sample keeps some truth pairs at fixture SF
     assert got.n_true_pairs > 0
+
+
+def test_sample_quantile_buckets_agree_with_exact_ntile(spark, sf_dir):
+    """The scale path q_score_calibration's docstring promises: bucket
+    assignment from broadcast sample boundaries must (a) produce k
+    near-equal populations, (b) keep score ranges monotone across
+    buckets, and (c) agree with the exact global NTILE cut on the vast
+    majority of rows (disagreement is confined to sampling error around
+    each boundary)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.quantiles import (
+        assign_sample_quantile_buckets,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("score")
+    )
+    assigned = assign_sample_quantile_buckets(
+        scored, "score", "doc_id", n_buckets=10, sample_bp=2000,
+        descending=True,
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    exact = scored.withColumn("exact_b", F.ntile(10).over(w))
+    joined = assigned.join(exact, ["doc_id", "score"]).select(
+        "doc_id", "score", "bucket", "exact_b"
+    )
+    rows = joined.collect()
+    n = len(rows)
+    assert n > 100
+    # (a) populations within 2x of n/10 (hash-sample boundaries wobble,
+    # ties collapse into one bucket — never more than a small factor)
+    from collections import Counter
+
+    pops = Counter(r["bucket"] for r in rows)
+    assert set(pops) <= set(range(1, 11))
+    for b, cnt in pops.items():
+        assert cnt <= 2 * (n // 10) + 10, (b, cnt)
+    # (b) monotone: a lower bucket index never holds a lower score than
+    # a higher bucket's maximum (descending orientation)
+    by_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["score"])
+    buckets = sorted(by_bucket)
+    for lo_b, hi_b in zip(buckets, buckets[1:]):
+        assert min(by_bucket[lo_b]) >= max(by_bucket[hi_b]), (lo_b, hi_b)
+    # (c) bulk agreement with the exact NTILE assignment
+    agree = sum(1 for r in rows if r["bucket"] == r["exact_b"])
+    assert agree / n >= 0.80, f"only {agree}/{n} agree"
+    # determinism: a second run assigns identical buckets
+    again = {
+        (r["doc_id"], r["bucket"])
+        for r in assign_sample_quantile_buckets(
+            scored, "score", "doc_id", n_buckets=10, sample_bp=2000,
+            descending=True,
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["bucket"]) for r in rows}
