@@ -156,7 +156,9 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile stats over order prices (global sort + single pass).
     A global window is the one legitimately sort-heavy op here; at scale
-    an approx-quantile cut would replace exact NTILE."""
+    the sample-quantile cut replaces exact NTILE — implemented as
+    operators/quantiles.py:assign_sample_quantile_buckets (broadcast
+    sample boundaries, map-only assignment, NTILE-agreement pinned)."""
     orders = load(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return (
