@@ -290,3 +290,49 @@ def test_token_compression_empty_text_source(spark, tmp_path):
     assert got == want
     empty = [r for r in got if r[0] == "empty"][0]
     assert empty[4] == 0 and empty[5] == 0  # tok_per_kb columns, no NULL/error
+
+
+def test_pair_rollups_track_dup_structure(spark, tmp_path):
+    """The growth-driver pin for q_cross_lang_dup / q_boilerplate_hubs'
+    large 100x wall ratios (the r8 q_lsh_tuning discipline): both are
+    thin rollups over the EXACT-verified near-dup pair set, so their
+    cost follows the corpus's planted dup structure, not corpus^2 —
+    and because verification is exact Jaccard (recall-1 banding), the
+    replication arithmetic is EXACT, not approximate:
+
+    * mutated 3x replication (bijective per-replica token relabeling:
+      intra-replica Jaccard preserved, zero cross-replica shingles)
+      triples the verified pair mass exactly;
+    * verbatim 3x replication turns every base pair into 3x3 copies and
+      adds a C(3,2) clique per nonempty-shingle doc: pair mass ==
+      9*base + 3*n_nonempty exactly, and the max hub degree becomes
+      3*d_max + 2 exactly."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+    from tests.test_corpus_queries import _replicate_docs
+
+    base_dir = "/root/testdata/sf0.001"
+    m3 = _replicate_docs(spark, base_dir, tmp_path, 3, verbatim=False)
+    v3 = _replicate_docs(spark, base_dir, tmp_path, 3, verbatim=True)
+
+    def pair_mass(d):
+        return sum(
+            r["n_pairs"] for r in QUERIES["q_cross_lang_dup"](spark, d).collect()
+        )
+
+    base = pair_mass(base_dir)
+    assert base > 0
+    n_nonempty = (
+        D.with_hashed_shingles(load_split(spark, base_dir, "documents"))
+        .filter("size(sh_hashes) > 0")
+        .count()
+    )
+    assert pair_mass(m3) == 3 * base
+    assert pair_mass(v3) == 9 * base + 3 * n_nonempty
+
+    def max_degree(d):
+        return max(
+            r["degree"] for r in QUERIES["q_boilerplate_hubs"](spark, d).collect()
+        )
+
+    assert max_degree(v3) == 3 * max_degree(base_dir) + 2
