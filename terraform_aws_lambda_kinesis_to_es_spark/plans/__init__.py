@@ -123,8 +123,10 @@ _HEAD = _R9_PROMOTED + _R4_FRESH[26:] + _R5_TIER[:18]
 # examples/staged_r10_scale.py), then the 29-name r5-tier leftover
 # (_R5_TIER[18:], q_event_transitions .. q_wordcount), then fill the
 # remaining 9 slots from the r6 tier oldest-first (50 names, latest
-# verdicts round 6 — pull their order from CORRECTNESS_r06 when
-# building the r10 head). 12 + 29 + 9 = 50, leaving the r6 tier at 41
+# verdicts round 6, in their CORRECTNESS_r06 order — the first 9 are
+# q_ann_ivfpq_rerank, q_semdedup_sampled, q_embed_near_dup_sampled,
+# q_anomaly_days, q_approx_distinct, q_asof_join, q_bigram_lm,
+# q_bigram_topk, q_bm25). 12 + 29 + 9 = 50, leaving the r6 tier at 41
 # for round 11; no verdict ages past ~4 rounds.
 
 
