@@ -121,10 +121,19 @@ def drive_silence(spark, src_dir: str, n_rows: int) -> dict:
         .start()
     )
     deadline = time.time() + 600
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100); with
+    # maxFilesPerTrigger=1 and >100 staged files a plain sum over it
+    # undercounts forever (ADVICE r9) — accumulate per new batchId.
+    ingested = 0
+    seen_batches: set[int] = set()
     while time.time() < deadline:
         if q.awaitTermination(2):
             break
-        ingested = sum(p["numInputRows"] for p in q.recentProgress)
+        for p in q.recentProgress:
+            if p["batchId"] not in seen_batches:
+                seen_batches.add(p["batchId"])
+                ingested += p["numInputRows"]
         if ingested >= n_rows:
             break
     else:

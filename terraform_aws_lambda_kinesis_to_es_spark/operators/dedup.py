@@ -778,6 +778,9 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_HEAL_STALE_S = 60.0  # a heal is milliseconds; a claim this old is a crash
+
+
 def _heal_legacy_cutover_crash(path: str) -> None:
     """Heal a PRE-MANIFEST index that crashed inside the retired
     round-8 rename protocol's cutover window: a `.old_compact` backup
@@ -786,20 +789,59 @@ def _heal_legacy_cutover_crash(path: str) -> None:
     any half-cut-over artifact; `.old_compact.deleting` means that run
     COMMITTED (the trash is garbage, never restored); `.compact` is a
     rebuildable staging leftover. The legacy protocol was local-only,
-    so os/shutil is the right tool here."""
+    so os/shutil is the right tool here.
+
+    Healing is CLAIM-then-restore (ADVICE r9): this runs on every READ
+    of a legacy index, so two concurrent readers can race here. The
+    healer first atomically renames the backup to a healer-unique
+    ``.old_compact.healing-<unixtime>-<token>`` claim dir and restores
+    from the claim; a rename that fails means another healer won and
+    this reader proceeds with whatever that healer restores. Without
+    the claim, reader B could pass the ``isdir(old/shingles)`` check
+    after reader A had renamed the artifact into place, then B's
+    ``rmtree(path/shingles)`` would destroy the only intact copy. A
+    healer that crashes MID-restore leaves its claim dir behind; a
+    later heal adopts any claim older than ``_HEAL_STALE_S`` (the
+    claim's birth time is in its NAME, set atomically by the rename —
+    directory mtimes survive rename, so they can't distinguish a fresh
+    claim from the old backup) the same claim-by-rename way, so only
+    one adopter proceeds there too."""
     import os
+    import re
     import shutil
+    import time
+    import uuid
 
     trash = f"{path}/.old_compact.deleting"
-    old = f"{path}/.old_compact"
     if os.path.isdir(trash):
         shutil.rmtree(trash, ignore_errors=True)
+    candidates = []
+    old = f"{path}/.old_compact"
     if os.path.isdir(old):
+        candidates.append(old)
+    try:
+        stale_claims = sorted(
+            n
+            for n in os.listdir(path)
+            if (m := re.match(r"^\.old_compact\.healing-(\d+)-[0-9a-f]+$", n))
+            and time.time() - int(m.group(1)) > _HEAL_STALE_S
+        )
+    except FileNotFoundError:
+        stale_claims = []
+    candidates += [f"{path}/{n}" for n in stale_claims]
+    for cand in candidates:
+        claim = (
+            f"{path}/.old_compact.healing-{int(time.time())}-{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            os.rename(cand, claim)
+        except OSError:
+            continue  # another healer claimed it; their restore proceeds
         for art in ("shingles", "buckets"):
-            if os.path.isdir(f"{old}/{art}"):
+            if os.path.isdir(f"{claim}/{art}"):
                 shutil.rmtree(f"{path}/{art}", ignore_errors=True)
-                os.rename(f"{old}/{art}", f"{path}/{art}")
-        shutil.rmtree(old, ignore_errors=True)
+                os.rename(f"{claim}/{art}", f"{path}/{art}")
+        shutil.rmtree(claim, ignore_errors=True)
     staged = f"{path}/.compact"
     if os.path.isdir(staged):
         shutil.rmtree(staged, ignore_errors=True)

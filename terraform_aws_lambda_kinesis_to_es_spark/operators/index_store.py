@@ -48,10 +48,14 @@ Filesystem access routes through one of two tiny adapters: plain
 (via the live JVM gateway) for any ``scheme://`` URI — the same
 FileSystem Spark itself writes the parquet through, so hdfs://, s3a://
 and file:// all work without Python-side cloud SDKs. On S3A the
-exclusive manifest create maps to a conditional PUT on current Hadoop
-releases; on older ones it is best-effort (document single-writer
-there), while the data-plane safety (immutable dirs + numbered
-manifests) holds regardless.
+exclusive manifest create maps to a conditional PUT (If-None-Match)
+on Hadoop 3.4.1+ (HADOOP-19256); older releases implement
+create(overwrite=false) as check-then-write, so racing commits there
+are best-effort — keep compaction single-writer (the compact.lock
+default) on pre-3.4.1 object stores, while the data-plane safety
+(immutable dirs + numbered manifests) holds regardless. The per-adapter
+create-if-absent contract is pinned by
+tests/test_components.py::test_write_text_exclusive_adapter_contract.
 """
 
 from __future__ import annotations
@@ -308,7 +312,12 @@ def gc_index(fs, committed_version: int) -> None:
       dirs) — unless legacy IS the previous generation (a first,
       migrating commit), in which case it survives one more cycle."""
     names = fs.listdir()
-    live: set[str] = set(artifact_names(committed_version).values())
+    # The committed generation needs no live-set entry: the artifact
+    # version guard below (`< committed_version`) spares every dir at or
+    # above the committed version, whatever its writer token —
+    # regenerating names here would mint fresh random tokens that match
+    # nothing on disk (ADVICE r9).
+    live: set[str] = set()
     prev_ver = 0
     prev_arts: dict[str, str] | None = None
     numbered = sorted(

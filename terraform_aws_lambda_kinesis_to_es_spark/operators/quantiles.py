@@ -85,21 +85,46 @@ def assign_sample_quantile_buckets(
     the broadcast sample boundaries — row-local, no corpus-wide
     exchange. ``descending=True`` makes bucket 1 the HIGHEST scores
     (the q_score_calibration decile orientation). Rows equal to a
-    boundary land in the lower bucket index (ties share a bucket)."""
+    boundary land in the lower bucket index (ties share a bucket).
+
+    Degenerate-sample guard (ADVICE r9): when the hash sample holds
+    fewer than ``n_buckets`` rows (tiny corpus, or sparse ids at this
+    ``sample_bp``), boundary extraction cannot honor the n/k population
+    guarantee — everything would silently land in one bucket. That
+    case falls back to the exact NTILE window over (score, id), which
+    is cheap precisely because the corpus is small whenever the sample
+    is; at real scale the sample is never that small."""
     bounds = sample_quantile_bounds(
         df, score_col, id_col, n_buckets=n_buckets, sample_bp=sample_bp
-    )
-    blist = F.broadcast(
-        bounds.groupBy().agg(
-            F.array_sort(F.collect_list("bound")).alias("bs")
+    ).crossJoin(
+        F.broadcast(
+            df.filter(
+                hash60(F.col(id_col).cast("string")) % 10000 < sample_bp
+            )
+            .groupBy()
+            .agg(F.count("*").alias("n_sample"))
         )
     )
+    rows = bounds.collect()  # <= n_buckets-1 rows — broadcast-sized
+    n_sample = rows[0]["n_sample"] if rows else 0
+    if n_sample < n_buckets:
+        order = (
+            [F.col(score_col).desc(), F.col(id_col).desc()]
+            if descending
+            else [F.col(score_col).asc(), F.col(id_col).asc()]
+        )
+        return df.withColumn(
+            bucket_col,
+            F.ntile(n_buckets).over(Window.orderBy(*order)).cast("bigint"),
+        )
+    bs = sorted(r["bound"] for r in rows)
     score: Column = F.col(score_col)
-    out = df.crossJoin(blist)
-    # bucket = 1 + number of boundaries strictly below the score
+    # bucket = 1 + number of boundaries strictly below the score; the
+    # boundary array is a driver-side literal (it came from a <=
+    # n_buckets-1-row collect), so assignment is map-only
     asc_bucket = F.lit(1) + F.size(
-        F.filter(F.col("bs"), lambda b: b < score)
+        F.filter(F.array(*[F.lit(b) for b in bs]), lambda b: b < score)
     )
     if descending:
         asc_bucket = F.lit(n_buckets + 1) - asc_bucket
-    return out.withColumn(bucket_col, asc_bucket.cast("bigint")).drop("bs")
+    return df.withColumn(bucket_col, asc_bucket.cast("bigint"))

@@ -189,6 +189,104 @@ def test_commit_conflict_raises(tmp_path):
         ix.commit_manifest(fs, 1, ix.artifact_names(1))
 
 
+def test_gc_version_guard_protects_committed_generation(tmp_path):
+    """The committed generation survives GC via the artifact VERSION
+    guard, not name matching (ADVICE r9: the retired live-set seeding
+    minted fresh random tokens that matched nothing on disk) — and a
+    same-version losing racer's orphan dir likewise survives until a
+    later commit passes it."""
+    fs = _fs(tmp_path)
+    a1, a2 = ix.artifact_names(1), ix.artifact_names(2)
+    for arts in (a1, a2):
+        for d in arts.values():
+            os.makedirs(f"{tmp_path}/{d}")
+    _write_manifest(fs, 1, a1)
+    _write_manifest(fs, 2, a2)
+    racer = "shingles-000002-0ddba110"
+    os.makedirs(f"{tmp_path}/{racer}")
+    ix.gc_index(fs, 2)
+    names = set(os.listdir(tmp_path))
+    for arts in (a1, a2):
+        assert set(arts.values()) <= names
+    assert racer in names
+
+
+def _stage_crashed_legacy(path: str, artifacts=("shingles", "buckets")) -> None:
+    """A legacy index that died mid-cutover: the only intact artifact
+    copies sit in .old_compact, with a half-cut-over empty fake in
+    place that must LOSE to the backup."""
+    os.makedirs(f"{path}/.old_compact")
+    for art in artifacts:
+        os.makedirs(f"{path}/.old_compact/{art}")
+        with open(f"{path}/.old_compact/{art}/part-0.parquet", "w") as f:
+            f.write("INTACT")
+    os.makedirs(f"{path}/{artifacts[0]}")  # empty half-cut-over fake
+
+
+def test_heal_concurrent_readers_never_destroy_the_backup(tmp_path):
+    """ADVICE r9 (medium): two readers of a crashed-cutover legacy index
+    heal concurrently; the claim-by-rename protocol must guarantee the
+    restored artifacts survive every interleaving — before the claim,
+    reader B could rmtree the artifact reader A had just restored."""
+    import threading
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    for trial in range(20):
+        p = str(tmp_path / f"t{trial}")
+        _stage_crashed_legacy(p)
+        errs: list[Exception] = []
+
+        def heal(path=p):
+            try:
+                D._heal_legacy_cutover_crash(path)
+            except Exception as e:  # noqa: BLE001 — the test asserts none
+                errs.append(e)
+
+        threads = [threading.Thread(target=heal) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[0]
+        for art in ("shingles", "buckets"):
+            with open(f"{p}/{art}/part-0.parquet") as f:
+                assert f.read() == "INTACT", (trial, art)
+        leftovers = [n for n in os.listdir(p) if n.startswith(".old_compact")]
+        assert not leftovers, (trial, leftovers)
+
+
+def test_heal_adopts_stale_claim_but_not_a_fresh_one(tmp_path):
+    """A healer that crashed MID-restore leaves its claim dir behind;
+    a later heal adopts it once it is older than the staleness bound
+    (birth time is in the NAME — dir mtimes survive rename). A FRESH
+    claim is a live healer and must be left alone."""
+    import time
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    p = str(tmp_path / "stale")
+    os.makedirs(p)
+    stale = f"{p}/.old_compact.healing-{int(time.time() - 3600)}-deadbeef"
+    os.makedirs(f"{stale}/buckets")
+    with open(f"{stale}/buckets/part-0.parquet", "w") as f:
+        f.write("INTACT")
+    D._heal_legacy_cutover_crash(p)
+    with open(f"{p}/buckets/part-0.parquet") as f:
+        assert f.read() == "INTACT"
+    assert not [n for n in os.listdir(p) if n.startswith(".old_compact")]
+
+    p2 = str(tmp_path / "fresh")
+    os.makedirs(p2)
+    fresh = f"{p2}/.old_compact.healing-{int(time.time())}-deadbeef"
+    os.makedirs(f"{fresh}/buckets")
+    with open(f"{fresh}/buckets/part-0.parquet", "w") as f:
+        f.write("INTACT")
+    D._heal_legacy_cutover_crash(p2)
+    assert os.path.isdir(fresh)  # live healer's claim untouched
+    assert not os.path.exists(f"{p2}/buckets")
+
+
 def test_version_width_is_future_proof(tmp_path):
     """Version 1,000,000 (7 digits) must still commit, resolve, and
     order above six-digit versions."""

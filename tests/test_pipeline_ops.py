@@ -478,3 +478,29 @@ def test_sample_quantile_buckets_agree_with_exact_ntile(spark, sf_dir):
         ).collect()
     }
     assert again == {(r["doc_id"], r["bucket"]) for r in rows}
+
+
+def test_sample_quantile_buckets_degenerate_sample_falls_back(spark):
+    """ADVICE r9: a sample below n_buckets rows (here: empty, tiny
+    corpus at 1bp) must NOT silently put every row in one bucket — the
+    operator falls back to the exact NTILE cut, honoring the n/k
+    population guarantee."""
+    from collections import Counter
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.quantiles import (
+        assign_sample_quantile_buckets,
+    )
+
+    scored = spark.range(40).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 7 % 101).cast("bigint").alias("score"),
+    )
+    for descending in (False, True):
+        rows = assign_sample_quantile_buckets(
+            scored, "score", "doc_id", n_buckets=4, sample_bp=1,
+            descending=descending,
+        ).collect()
+        pops = Counter(r["bucket"] for r in rows)
+        assert pops == {1: 10, 2: 10, 3: 10, 4: 10}, (descending, pops)
+        top = {r["bucket"] for r in rows if r["score"] >= 70}
+        assert top == ({4} if not descending else {1})
