@@ -49,6 +49,16 @@ CANARY_REFS = {
     "q_daily_counts": 0.275,
 }
 
+# Headliner set policy (VERDICT r9 #6): HARD CAP at 80 names. Each
+# promotion adds at most the tranche's representative shapes (~6-8);
+# once adding would cross 80, the same number of OLDEST-PROMOTED,
+# timing-stable headliners rotate out (stable = min-timing flat across
+# the last three BENCH_r*.json, judged at promotion time), mirroring
+# the verdict window's oldest-first rotation. The canaries
+# (CANARY_REFS) and the 5-query reference hot path are permanent and
+# never rotate. Rationale: the driver's bench budget is ~constant per
+# round; unbounded growth (66 -> 74 across r8 -> r9) would crowd out
+# the per-query run count that makes medians/mins meaningful.
 HEADLINE = (
     # reference hot path
     "q_validate_route",
@@ -141,6 +151,17 @@ HEADLINE = (
     "q_score_calibration",
     "q_split_balance",
     "q_media_dominant_color",
+    # round-10 headliners: the promoted hygiene tranche's representative
+    # shapes (cross-snapshot LSH probe join, sharded sketch merge,
+    # gram-position self-repetition window, bounded-histogram threshold
+    # sweep, near-dup language-pair rollup, Arrow image-entropy fold) —
+    # 74 + 6 = 80, exactly at the cap; the next promotion rotates.
+    "q_index_probe_delta",
+    "q_mg_sketch_agreement",
+    "q_selfrep_spans",
+    "q_quality_sweep",
+    "q_cross_lang_dup",
+    "q_image_entropy",
 )
 
 

@@ -8,7 +8,7 @@ Each staged query is timed at sf0.1 (base) and at its table's 100x
 corpus (big); flag = big > replicas * base + overhead (the same
 super-linear rule family_scale_sweep.py applies to declared queries).
 
-Run: python examples/staged_r10_scale.py
+Run: python examples/hygiene_queries_scale.py
 One JSON line per query + a summary line.
 """
 
@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r10 import (  # noqa: E402
+from terraform_aws_lambda_kinesis_to_es_spark.plans.hygiene_queries import (  # noqa: E402
     QUERIES,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: E402
@@ -60,7 +60,7 @@ def time_query(fn, spark, sf_dir: str, n_runs: int = 2) -> dict:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark(
-        "staged_r10_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "hygiene_queries_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     rows = []
     for name, big_dir in BIG_DIR.items():

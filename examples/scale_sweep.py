@@ -17,6 +17,12 @@ time (with a fixed-overhead allowance, since sub-second sf0.1 timings are
 dominated by scheduler constants).
 
 Run: python examples/scale_sweep.py [out_dir] [--data-only]
+
+Besides the per-query stdout lines, the full table is persisted as a
+JSON artifact (VERDICT r9 #3: cross-round sweep-total moves must be
+decomposable by diffing two committed files, not by PERF.md
+archaeology): $SPARK_GRAFT_SWEEP_OUT, default <repo>/SWEEP_latest.json
+— commit it as SWEEP_r{N}.json each round.
 """
 
 from __future__ import annotations
@@ -144,17 +150,41 @@ def main() -> None:
     errs = [r for r in rows if "error" in r]
     flags = [r for r in rows if r.get("flag")]
     ok = [r for r in rows if "error" not in r]
-    print(
-        json.dumps(
-            {
-                "queries": len(rows),
-                "errors": len(errs),
-                "flagged_over_gate": [r["q"] for r in flags],
-                "sum_sf0.1": round(sum(r["sf0.1"] for r in ok), 1),
-                "sum_10x": round(sum(r["10x"] for r in ok), 1),
-            }
-        )
+    summary = {
+        "queries": len(rows),
+        "errors": len(errs),
+        "flagged_over_gate": [r["q"] for r in flags],
+        "sum_sf0.1": round(sum(r["sf0.1"] for r in ok), 1),
+        "sum_10x": round(sum(r["10x"] for r in ok), 1),
+    }
+    print(json.dumps(summary))
+    # persist the whole table (VERDICT r9 #3) so the next round's
+    # total move decomposes per-query with one file diff
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SWEEP_OUT",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SWEEP_latest.json",
+        ),
     )
+    for r in ok:
+        r["ratio"] = round(r["10x"] / r["sf0.1"], 2) if r["sf0.1"] > 0 else None
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "sf_small": SRC,
+                "big_dir": out_dir,
+                "replicas": REPLICAS,
+                "ratio_gate": RATIO_GATE,
+                "overhead_sec": OVERHEAD_SEC,
+                "runs_per_point": int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "2")),
+                "rows": rows,
+                "summary": summary,
+            },
+            f,
+            indent=1,
+        )
+    print(f"sweep table written to {out_path}", file=sys.stderr)
     spark.stop()
 
 

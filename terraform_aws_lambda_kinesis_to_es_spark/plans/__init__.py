@@ -95,39 +95,56 @@ _R5_TIER = (
     "q_wealthy_inactive", "q_wordcount",
 )
 
-# Round 9 (VERDICT r8 #1): head, exactly 50 =
-#   (a) the 12 PROMOTED audit_queries names (built + staged in r8 as
-#       plans/staged_r9.py with two-SF driver-protocol pytest and 100x
-#       scale evidence; promoted after the round-9 ADVICE fix —
-#       q_js_divergence's greatest(t, 1) zero-token-source guard);
-#   (b) the 20-name r4-tier leftover (_R4_FRESH[26:], latest verdicts
-#       round 4, four rounds old — clears the r4 tier entirely);
-#   (c) the first 18 names of the r5 tier (_R5_TIER[:18]), oldest-first
-#       in their r5 verdict order.
-_R9_PROMOTED = (
-    "q_crawl_frontier", "q_snapshot_delta", "q_code_detect",
-    "q_score_calibration", "q_zipf_fit", "q_heaps_law",
-    "q_js_divergence", "q_split_balance", "q_fellegi_sunter",
-    "q_audio_silence", "q_media_dominant_color", "q_epoch_schedule",
+# The full r6 tier (50 names whose latest green verdict is round 6,
+# recomputed from the CORRECTNESS_r01-r09 union) in its
+# CORRECTNESS_r06 verdict order. [:9] fills the rest of the round-10
+# window; [9:] (41 names, q_boilerplate_strip .. q_incremental_dedup)
+# is the queued round-11 rotation debt — see the round-11 head plan
+# below.
+_R6_TIER = (
+    "q_ann_ivfpq_rerank", "q_semdedup_sampled", "q_embed_near_dup_sampled",
+    "q_anomaly_days", "q_approx_distinct", "q_asof_join", "q_bigram_lm",
+    "q_bigram_topk", "q_bm25",
+    "q_boilerplate_strip", "q_bpe_pairs", "q_c4_filters", "q_clean_stream",
+    "q_dup_clusters", "q_embed_near_dup", "q_embed_near_dup_lsh",
+    "q_exact_dedup", "q_fingerprint", "q_forecast_revenue", "q_funnel",
+    "q_hash_split", "q_importance_sample", "q_keyword_search",
+    "q_knn_classify", "q_knn_cosine", "q_length_histogram",
+    "q_map_functions", "q_market_share", "q_media_decode",
+    "q_media_features", "q_media_frames", "q_media_resize",
+    "q_ngram_jaccard", "q_order_gaps", "q_pii_redact", "q_posexplode",
+    "q_priority_flag", "q_range_join", "q_rank_functions",
+    "q_rolling_hour", "q_running_total", "q_sessionize", "q_simhash",
+    "q_simhash_pairs", "q_span_mask", "q_tfidf", "q_tokens",
+    "q_top_doc_per_source", "q_unpivot_part", "q_incremental_dedup",
 )
-_HEAD = _R9_PROMOTED + _R4_FRESH[26:] + _R5_TIER[:18]
 
-# Round-10 head plan (for the next rotation): promote the 12 staged
-# names from plans/staged_r10.py (q_index_probe_delta,
-# q_mg_sketch_agreement, q_token_compression, q_selfrep_spans,
-# q_quality_sweep, q_cross_lang_dup, q_boilerplate_hubs,
-# q_recrawl_schedule, q_rejection_mix, q_pii_density,
-# q_audio_dynamic_range, q_image_entropy — oracle-backed,
-# driver-protocol pytest-proven at sf0.001 AND sf0.01 in
-# tests/test_staged_r10.py, 100x evidence in
-# examples/staged_r10_scale.py), then the 29-name r5-tier leftover
-# (_R5_TIER[18:], q_event_transitions .. q_wordcount), then fill the
-# remaining 9 slots from the r6 tier oldest-first (50 names, latest
-# verdicts round 6, in their CORRECTNESS_r06 order — the first 9 are
-# q_ann_ivfpq_rerank, q_semdedup_sampled, q_embed_near_dup_sampled,
-# q_anomaly_days, q_approx_distinct, q_asof_join, q_bigram_lm,
-# q_bigram_topk, q_bm25). 12 + 29 + 9 = 50, leaving the r6 tier at 41
-# for round 11; no verdict ages past ~4 rounds.
+# Round 10 (VERDICT r9 #1, the plan written at round-9 end, executed
+# name-for-name): head, exactly 50 =
+#   (a) the 12 PROMOTED hygiene_queries names (built + staged in r9 as
+#       plans/staged_r10.py with two-SF driver-protocol pytest and 100x
+#       scale evidence; renamed plans/hygiene_queries.py on promotion);
+#   (b) the 29-name r5-tier leftover (_R5_TIER[18:], latest verdicts
+#       round 5, five rounds old — clears the r5 tier entirely);
+#   (c) the first 9 names of the r6 tier (_R6_TIER[:9]), oldest-first
+#       in their r6 verdict order.
+_R10_PROMOTED = (
+    "q_index_probe_delta", "q_mg_sketch_agreement", "q_token_compression",
+    "q_selfrep_spans", "q_quality_sweep", "q_cross_lang_dup",
+    "q_boilerplate_hubs", "q_recrawl_schedule", "q_rejection_mix",
+    "q_pii_density", "q_audio_dynamic_range", "q_image_entropy",
+)
+_HEAD = _R10_PROMOTED + _R5_TIER[18:] + _R6_TIER[:9]
+
+# Round-11 head plan (for the next rotation): promote the staged
+# round-11 tranche from plans/staged_r11.py (target 10-12 names,
+# same two-SF driver-protocol + 100x staging contract), then fill the
+# remaining slots from the r6-tier leftover (_R6_TIER[9:], 41 names,
+# q_boilerplate_strip .. q_incremental_dedup) oldest-first. With a
+# 12-name tranche that is 12 + 38 = 50, leaving 3 r6 names
+# (_R6_TIER[47:]: q_top_doc_per_source, q_unpivot_part,
+# q_incremental_dedup) plus the 50-name r7 tier for round 12; no
+# verdict ages past ~5 rounds.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -137,6 +154,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         curation_queries,
         dedup_queries,
         events_analytics,
+        hygiene_queries,
         multimodal_queries,
         pipeline_queries,
         reference_queries,
@@ -167,6 +185,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         curation_queries,
         corpus_queries,
         audit_queries,
+        hygiene_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)
@@ -177,11 +196,12 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     # Declaration order = driver check order. Head: this round's new /
     # changed queries plus the oldest-verdict cohort. Tail: remaining
-    # queries oldest-verdict-first (r2 tier, r3 tier, then the r4-fresh
-    # names in module order) so the driver's ~50-query window keeps every
-    # verdict's age bounded across rounds.
+    # queries oldest-verdict-first (the r6-tier leftover, then the old
+    # era lists for residual ordering, then module order) so the
+    # driver's ~50-query window keeps every verdict's age bounded
+    # across rounds.
     ordered: dict[str, QueryFn] = {}
-    for name in _HEAD + _R2_ERA + _R3_ERA:
+    for name in _HEAD + _R6_TIER + _R2_ERA + _R3_ERA:
         if name in queries and name not in ordered:
             ordered[name] = queries[name]
     for name in queries:

@@ -1,14 +1,13 @@
-"""STAGED query surface for the round-10 declaration head.
+"""Serving/ops + corpus-hygiene query tranche (round 10).
 
-Same staging contract as the round-7/8/9 tranches (promoted as
-plans/curation_queries.py, plans/corpus_queries.py, and
-plans/audit_queries.py): implemented, oracle-backed, and pytest-verified
-with the driver's own compare protocol at BOTH sf0.001 and sf0.01
-(tests/test_staged_r10.py), but NOT declared — the round-9 driver
-window (50 names) is fully allocated to the 12 audit-tranche promotions
-+ the r4/r5-tier rotation. Round 10 promotes QUERIES/ORACLES into the
-head verbatim, alongside the 29-name r5-tier leftover queued in
-plans/__init__.py.
+Staged in round 9 as plans/staged_r10.py under the same contract as
+the round-7/8/9 tranches (promoted as plans/curation_queries.py,
+plans/corpus_queries.py, and plans/audit_queries.py): implemented,
+oracle-backed, and pytest-verified with the driver's own compare
+protocol at BOTH sf0.001 and sf0.01 (tests/test_hygiene_queries.py,
+originally tests/test_staged_r10.py), with 100x scale evidence in
+examples/hygiene_queries_scale.py; PROMOTED into the declared surface
+at the round-10 head per the plan in plans/__init__.py.
 
 Contents — the serving/ops follow-ups the round-8 verdict named, plus
 corpus-curation audits the surface still lacks:

@@ -892,3 +892,57 @@ def test_lsh_index_hadoop_fs_adapter(spark, sf_dir, tmp_path):
     assert fs.read_text("probe.txt") == "x"
     fs.delete("probe.txt")
     assert not fs.exists("probe.txt")
+
+
+def test_write_text_exclusive_adapter_contract(spark, tmp_path):
+    """VERDICT r9 #4: the commit point is create-if-absent; pin that
+    contract PER ADAPTER, including a second Hadoop FileSystem
+    implementation.
+
+    * ``LocalIndexFS``: O_EXCL — one atomic syscall; returns False on
+      an existing file and leaves its content untouched.
+    * ``HadoopIndexFS`` through the DEFAULT ``file://`` FileSystem
+      (checksummed LocalFileSystem) is pinned by
+      test_lsh_index_hadoop_fs_adapter above; here the SAME adapter
+      code runs against a SECOND implementation, RawLocalFileSystem
+      (forced via ``fs.file.impl`` + ``fs.file.impl.disable.cache``,
+      the documented Hadoop override) — ``create(path, overwrite=
+      false)`` must likewise refuse an existing file.
+    * S3A caveat (cross-referenced at index_store.py module docs): the
+      exclusive create maps to a CONDITIONAL PUT (If-None-Match) only
+      on Hadoop 3.4.1+ S3A (HADOOP-19256); older releases implement
+      create(overwrite=false) as check-then-write, so two racing
+      commits there are best-effort — run compaction single-writer
+      (the compact.lock default) on pre-3.4.1 object stores.
+    """
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+    lfs = index_store.LocalIndexFS(str(tmp_path / "local"))
+    assert lfs.write_text_exclusive("m.json", "a")
+    assert not lfs.write_text_exclusive("m.json", "b")
+    assert lfs.read_text("m.json") == "a"
+
+    conf = spark._jsc.hadoopConfiguration()
+    old_impl = conf.get("fs.file.impl")
+    old_cache = conf.get("fs.file.impl.disable.cache")
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    conf.set("fs.file.impl.disable.cache", "true")
+    try:
+        root = str(tmp_path / "raw")
+        hfs = index_store.HadoopIndexFS(spark, f"file://{root}")
+        impl = hfs._fs.getClass().getName()
+        assert "RawLocalFileSystem" in impl, impl
+        assert hfs.write_text_exclusive("m.json", "a")
+        assert not hfs.write_text_exclusive("m.json", "b")
+        assert hfs.read_text("m.json") == "a"
+        hfs.delete("m.json")
+        assert not hfs.exists("m.json")
+    finally:
+        if old_impl is None:
+            conf.unset("fs.file.impl")
+        else:
+            conf.set("fs.file.impl", old_impl)
+        if old_cache is None:
+            conf.unset("fs.file.impl.disable.cache")
+        else:
+            conf.set("fs.file.impl.disable.cache", old_cache)

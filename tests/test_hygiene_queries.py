@@ -1,17 +1,16 @@
-"""Staged round-10 queries vs their DuckDB oracles — the driver's
-compare protocol applied BEFORE declaration (plans/staged_r10.py stays
-out of the declared registry until the round-10 head opens; see its
-module docstring). The oracle compare runs at BOTH sf0.001 (the sf_dir
-fixture) and sf0.01 (the driver's correctness SF) in this file. Also
-pins the staging contract (no staged name collides with a declared one,
-every staged query has an oracle) plus per-query semantic invariants."""
+"""Hygiene-tranche queries (plans/hygiene_queries.py, staged in round
+9 as plans/staged_r10.py and promoted in round 10) vs their DuckDB
+oracles — the driver's compare protocol. The oracle compare runs at
+BOTH sf0.001 (the sf_dir fixture) and sf0.01 (the driver's correctness
+SF) in this file. Also pins registry membership, oracle completeness,
+and per-query semantic invariants."""
 
 from __future__ import annotations
 
 import pytest
 
 import __spark_entry__ as entrypoint
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r10 import (
+from terraform_aws_lambda_kinesis_to_es_spark.plans.hygiene_queries import (
     ORACLES,
     QUERIES,
 )
@@ -49,9 +48,16 @@ def test_staged_query_matches_oracle_sf001(name, spark, duck01):
     assert res["ok"], f"{name}: {res}"
 
 
-def test_staging_contract():
+def test_registry_contract():
+    """Every tranche query is oracle-backed AND declared (promoted in
+    round 10 — before promotion this asserted the names stayed OUT of
+    the registry)."""
     assert set(QUERIES) == set(ORACLES)
-    assert not set(QUERIES) & set(entrypoint.queries())
+    declared = entrypoint.queries()
+    declared_oracles = entrypoint.oracle_sql()
+    for name in QUERIES:
+        assert declared.get(name) is QUERIES[name], name
+        assert declared_oracles.get(name) == ORACLES[name], name
 
 
 # ------------------------------------------------------ semantic pins

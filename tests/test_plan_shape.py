@@ -182,8 +182,8 @@ _INTENTIONAL_PRODUCT = {
     "q_js_divergence",     # |sources| x vocab-index grid + source < source pairs
     "q_split_balance",     # cells x broadcast(1-row grand total)
     "q_media_dominant_color",  # bucket rollup x broadcast(1-row total)
-    # staged for round 10 (plans/staged_r10.py) — inert until promoted, but
-    # the sweep must not trip the day they join the declared surface:
+    # promoted round 10 (was plans/staged_r10.py; see
+    # test_hygiene_queries):
     "q_quality_sweep",     # bounded ttr histogram x broadcast(10 cuts + 1-row totals)
     "q_rejection_mix",     # |sources| rates x broadcast(1-row min / total)
     "q_mg_sketch_agreement",  # summary rows x broadcast(1-row total err)
