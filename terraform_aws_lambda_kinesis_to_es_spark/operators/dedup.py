@@ -875,6 +875,18 @@ def lsh_index_info(spark, path: str) -> dict:
     }
 
 
+def lsh_index_exists(spark, path: str) -> bool:
+    """True when ``path`` holds a committed index — a parseable
+    manifest generation, or the legacy unversioned layout. Control-
+    plane-only (one listdir + manifest read), no Spark scan."""
+    fs = index_store.index_fs(spark, path)
+    _ver, arts, _corrupt = index_store.read_manifest(fs)
+    if arts is not None:
+        return True
+    names = fs.listdir()
+    return "shingles" in names and "buckets" in names
+
+
 def save_lsh_index(
     df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> None:
