@@ -74,8 +74,14 @@ _MANIFEST_RE = re.compile(r"^manifest-(\d{6,})\.json$")
 # artifact dirs carry a writer-unique token suffix (see artifact_names):
 # two writers racing to the same version number stage into DIFFERENT
 # dirs, so the loser can never clobber the winner's committed data —
-# the manifest names the exact dirs, exactly as Delta/Iceberg do
-_ARTIFACT_RE = re.compile(r"^(?:shingles|buckets)-(\d{6,})(?:-[0-9a-f]+)?$")
+# the manifest names the exact dirs, exactly as Delta/Iceberg do.
+# group(1) = artifact kind, group(2) = version: the protocol is generic
+# over the kind set (the LSH index stores shingles/buckets, the ANN
+# index codes/codebook — each index root holds ONE kind set, passed by
+# its operator module; DEFAULT_KINDS keeps the original LSH callers
+# working unchanged).
+_ARTIFACT_RE = re.compile(r"^([a-z][a-z0-9_]*)-(\d{6,})(?:-[0-9a-f]+)?$")
+DEFAULT_KINDS = ("shingles", "buckets")
 LOCK_NAME = "compact.lock"
 
 
@@ -189,13 +195,17 @@ def index_fs(spark, path: str):
     return HadoopIndexFS(spark, path) if is_remote(path) else LocalIndexFS(path)
 
 
-def read_manifest(fs) -> tuple[int, dict[str, str] | None, list[str]]:
+def read_manifest(
+    fs, kinds: tuple[str, ...] = DEFAULT_KINDS
+) -> tuple[int, dict[str, str] | None, list[str]]:
     """Resolve the index's current state: (version, artifacts, corrupt).
 
     The newest PARSEABLE manifest wins; unparseable ones (a writer died
     mid-create) are skipped and returned in ``corrupt`` for the next
-    compaction to delete. (0, None, corrupt) when no manifest commits
-    exist — the caller falls back to the legacy unversioned layout."""
+    compaction to delete — as is a parseable manifest missing any of
+    this index type's required artifact ``kinds``. (0, None, corrupt)
+    when no manifest commits exist — the caller falls back to the
+    legacy unversioned layout."""
     numbered = sorted(
         (int(m.group(1)), name)
         for name in fs.listdir()
@@ -206,7 +216,7 @@ def read_manifest(fs) -> tuple[int, dict[str, str] | None, list[str]]:
         try:
             doc = json.loads(fs.read_text(name))
             arts = doc["artifacts"]
-            if doc["version"] == ver and "shingles" in arts and "buckets" in arts:
+            if doc["version"] == ver and all(k in arts for k in kinds):
                 return ver, dict(arts), corrupt
         except Exception:
             pass
@@ -226,7 +236,9 @@ def next_version(fs) -> int:
     return highest + 1
 
 
-def artifact_names(version: int) -> dict[str, str]:
+def artifact_names(
+    version: int, kinds: tuple[str, ...] = DEFAULT_KINDS
+) -> dict[str, str]:
     """Writer-unique staging dir names for ``version``. The random token
     keeps two writers racing to the same version number in DIFFERENT
     dirs: the loser's Spark overwrite lands in its own orphan (GC'd
@@ -235,10 +247,7 @@ def artifact_names(version: int) -> dict[str, str]:
     never part of query results, only of physical dir names the
     manifest records."""
     token = uuid.uuid4().hex[:8]
-    return {
-        "shingles": f"shingles-{version:06d}-{token}",
-        "buckets": f"buckets-{version:06d}-{token}",
-    }
+    return {k: f"{k}-{version:06d}-{token}" for k in kinds}
 
 
 def commit_manifest(fs, version: int, artifacts: dict[str, str]) -> None:
@@ -297,20 +306,24 @@ def release_compact_lock(fs) -> None:
     fs.delete(LOCK_NAME)
 
 
-def gc_index(fs, committed_version: int) -> None:
+def gc_index(
+    fs, committed_version: int, kinds: tuple[str, ...] = DEFAULT_KINDS
+) -> None:
     """Collect everything the newly committed version obsoletes, keeping
     the immediately-previous generation alive for in-flight readers
     (it becomes garbage on the NEXT compaction):
 
-    * artifact dirs with version < committed that the previous
-      parseable manifest does not reference (orphans from crashed or
-      lost-race writers, and generations ≥2 behind);
+    * artifact dirs (of this index type's ``kinds`` — never an unknown
+      kind, so a miswired root can't lose foreign data) with version <
+      committed that the previous parseable manifest does not reference
+      (orphans from crashed or lost-race writers, and generations ≥2
+      behind);
     * manifest files below the previous generation, and every corrupt
       manifest below the committed version;
-    * the legacy unversioned layout (``shingles``/``buckets`` dirs and
-      the retired rename-protocol ``.compact*``/``.old_compact*``
-      dirs) — unless legacy IS the previous generation (a first,
-      migrating commit), in which case it survives one more cycle."""
+    * the legacy unversioned layout (bare ``<kind>`` dirs and the
+      retired rename-protocol ``.compact*``/``.old_compact*`` dirs) —
+      unless legacy IS the previous generation (a first, migrating
+      commit), in which case it survives one more cycle."""
     names = fs.listdir()
     # The committed generation needs no live-set entry: the artifact
     # version guard below (`< committed_version`) spares every dir at or
@@ -335,12 +348,15 @@ def gc_index(fs, committed_version: int) -> None:
             break
         except Exception:
             continue
-    legacy_is_prev = prev_arts is None and (
-        "shingles" in names or "buckets" in names
-    )
+    legacy_is_prev = prev_arts is None and any(k in names for k in kinds)
     for name in names:
         m = _ARTIFACT_RE.match(name)
-        if m and name not in live and int(m.group(1)) < committed_version:
+        if (
+            m
+            and m.group(1) in kinds
+            and name not in live
+            and int(m.group(2)) < committed_version
+        ):
             fs.delete(name)
             continue
         m = _MANIFEST_RE.match(name)
@@ -352,7 +368,7 @@ def gc_index(fs, committed_version: int) -> None:
             if ver < committed_version and not parseable:
                 fs.delete(name)
             continue
-        if name in ("shingles", "buckets"):
+        if name in kinds:
             if not legacy_is_prev:
                 fs.delete(name)
             continue

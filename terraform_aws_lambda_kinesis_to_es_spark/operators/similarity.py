@@ -1156,36 +1156,29 @@ def knn_ivfpq_rerank(
 def save_ivfpq_index(
     corpus: DataFrame, path: str, id_col: str = "vec_id", vec_col: str = "v"
 ) -> None:
-    """Materialize the IVF+PQ index as two parquet artifacts under
-    ``path``: ``codes`` — (id, codes, list_id), PARTITIONED BY list_id —
-    and ``codebook`` — the (m, code, cv) seed table.
+    """Materialize the IVF+PQ index under ``path`` — since round 10 a
+    thin alias of :func:`~...operators.ann_store.save_ann_index`, which
+    commits through the versioned-manifest protocol (numbered immutable
+    ``codes-{N}``/``codebook-{N}`` generations, commit = one exclusive
+    manifest create — see ``operators/index_store.py``; the previous
+    plain ``mode("overwrite")`` layout left a crashed writer's index
+    unreadable and a concurrent writer clobbering a reader mid-scan).
+    Layout and plan properties are unchanged: codes PARTITIONED BY
+    list_id (probe-selective reads via dynamic partition pruning), the
+    constant broadcastable codebook built from ONE corpus scan feeding
+    both artifacts (r6 ADVICE)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import ann_store
 
-    Partitioning the codes by inverted list is the at-rest form of probe
-    selectivity: a query that probes p of k lists READS p/k of the index
-    files (dynamic partition pruning from the broadcast probe join), so
-    serving cost scales with probe coverage, not corpus size — on top of
-    the ~50 bytes/vector the codes already are. The codebook is
-    PQ_M x PQ_K rows — always broadcastable.
-
-    The codebook subtree (a corpus scan) is built ONCE and persisted —
-    it feeds both the index build and the codebook artifact write (r6
-    ADVICE: the previous form ran ivfpq_index's internal pq_codebook AND
-    a second pq_codebook for the write, scanning the corpus twice)."""
-    cb = pq_codebook(corpus, id_col, vec_col).persist()
-    try:
-        idx = ivfpq_index(corpus, id_col, vec_col, codebook=cb)
-        idx.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
-        cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    finally:
-        cb.unpersist()
+    ann_store.save_ann_index(corpus, path, id_col, vec_col)
 
 
 def load_ivfpq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Read back (codes, codebook) written by :func:`save_ivfpq_index`."""
-    return (
-        spark.read.parquet(f"{path}/codes"),
-        spark.read.parquet(f"{path}/codebook"),
-    )
+    """Read back (codes, codebook): the generation named by the newest
+    parseable manifest, or a pre-round-10 legacy unversioned layout
+    (alias of :func:`~...operators.ann_store.load_ann_index`)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import ann_store
+
+    return ann_store.load_ann_index(spark, path)
 
 
 def knn_ivfpq_indexed(

@@ -1,0 +1,80 @@
+"""Streaming vector ingest into the persisted IVF+PQ ANN index — the
+similarity-search sibling of :mod:`~...streaming.index_ingest` (which
+feeds the LSH near-dup index).
+
+Per micro-batch: encode the batch's vectors against the index's
+committed codebook and append their ~50-byte code rows to the current
+generation (:func:`~...operators.ann_store.extend_ann_index`); a fresh
+path bootstraps with :func:`~...operators.ann_store.save_ann_index`
+(the first batch trains the quantizer — pick the trigger so that batch
+is representative, exactly like training any IVF index on a sample).
+There is no accept/reject decision here: every vector is indexed, and
+dedup/curation happen on the DOCUMENT path (index_ingest) before
+embeddings exist.
+
+Delivery contract: at-least-once; a replayed batch re-encodes against
+the SAME frozen codebook, so its appended rows are byte-identical
+duplicates that the next :func:`~...operators.ann_store.compact_ann_index`
+collapses (one code row per id). Queries served meanwhile can see a
+replayed id twice with identical codes — ADC scores tie and the
+rank-by-(adist, neighbor_id) contract dedupes nothing, so serving
+readers should run after compaction or dedupe on neighbor_id, the same
+read discipline as any append-only table. Run ONE ingest stream per
+index path (extend-vs-extend concurrency is the standard append-only
+exclusion; compaction takes the cadence into the scheduler)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from terraform_aws_lambda_kinesis_to_es_spark.operators import ann_store
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> int:
+    """One micro-batch of the ANN ingest protocol; returns the indexed
+    row count. Exposed separately so batch backfills and tests drive
+    the exact code the stream runs."""
+    spark = batch_df.sparkSession
+    batch = batch_df.select(id_col, vec_col).persist()
+    try:
+        n = batch.count()
+        if not n:
+            return 0
+        if ann_store.ann_index_exists(spark, index_path):
+            ann_store.extend_ann_index(
+                batch, index_path, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            ann_store.save_ann_index(
+                batch, index_path, id_col=id_col, vec_col=vec_col
+            )
+        return n
+    finally:
+        batch.unpersist()
+
+
+def ann_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Wire :func:`ingest_batch` behind ``foreachBatch`` and return the
+    (unstarted) ``DataStreamWriter`` — callers pick the trigger and
+    call ``.start()``. The checkpoint makes batch replay the ONLY
+    duplication mode (see the module contract above)."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_batch(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

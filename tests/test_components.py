@@ -317,12 +317,18 @@ def test_ivfpq_index_persistence_roundtrip(spark, sf_dir, tmp_path):
         _vec,
     )
 
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import ann_store
+
     vecs = _vec(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
     path = str(tmp_path / "ivfpq")
     S.save_ivfpq_index(vecs, path)
 
-    parts = [d for d in os.listdir(f"{path}/codes") if d.startswith("list_id=")]
+    # since round 10 the save commits a versioned-manifest generation
+    # (ann_store); resolve the live codes dir through it
+    info = ann_store.ann_index_info(spark, path)
+    assert not info["legacy"] and info["version"] == 1
+    parts = [d for d in os.listdir(info["codes"]) if d.startswith("list_id=")]
     assert parts, "codes must be hive-partitioned by list_id"
 
     index, codebook = S.load_ivfpq_index(spark, path)

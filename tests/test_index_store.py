@@ -58,12 +58,15 @@ def test_newest_parseable_manifest_wins(tmp_path):
 
 
 def test_artifact_names_unique_and_versioned():
+    # default (LSH) kinds and an alternate kind set (the ANN index) both
+    # produce parseable names: group(1) = kind, group(2) = version
     a, b = ix.artifact_names(7), ix.artifact_names(7)
     assert a != b
-    for arts in (a, b):
+    for arts in (a, b, ix.artifact_names(7, ("codes", "codebook"))):
         for kind, name in arts.items():
             m = ix._ARTIFACT_RE.match(name)
-            assert m and int(m.group(1)) == 7 and name.startswith(kind)
+            assert m and m.group(1) == kind and int(m.group(2)) == 7
+            assert name.startswith(kind)
 
 
 @settings(max_examples=50, deadline=None)
