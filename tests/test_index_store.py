@@ -107,37 +107,46 @@ def test_reader_always_resolves_newest_parseable(tmp_path_factory, committed, co
     orphan_versions=st.lists(
         st.integers(min_value=1, max_value=5), max_size=3, unique=True
     ),
+    kinds=st.sampled_from(
+        [("shingles", "buckets"), ("codes", "codebook"), ("segments",)]
+    ),
 )
 def test_gc_keeps_exactly_two_generations(
-    tmp_path_factory, n_generations, orphan_versions
+    tmp_path_factory, n_generations, orphan_versions, kinds
 ):
     """After GC at the newest commit: the committed and previous
     generations' dirs survive, everything older (and every orphan dir
     below the committed version) is gone, and exactly the previous +
-    committed manifests remain."""
+    committed manifests remain — for ANY artifact-kind set (the
+    protocol is generic: LSH shingles/buckets, ANN codes/codebook, or
+    a single-kind index)."""
     tmp = tmp_path_factory.mktemp("gc")
     fs = ix.LocalIndexFS(str(tmp))
     arts_by_ver = {}
     for v in range(1, n_generations + 1):
-        arts_by_ver[v] = ix.artifact_names(v)
+        arts_by_ver[v] = ix.artifact_names(v, kinds)
         for d in arts_by_ver[v].values():
             os.makedirs(f"{tmp}/{d}")
         _write_manifest(fs, v, arts_by_ver[v])
     orphans = []
     for v in orphan_versions:
         if v <= n_generations:  # an orphan below or at existing versions
-            name = f"shingles-{v:06d}-feedf00d"
+            name = f"{kinds[0]}-{v:06d}-feedf00d"
             os.makedirs(f"{tmp}/{name}")
             orphans.append((v, name))
+    # a foreign-kind dir must NEVER be collected, whatever its version
+    # (a miswired root cannot lose another index type's data)
+    os.makedirs(f"{tmp}/foreignkind-000001-deadbeef")
 
     top = n_generations
-    ix.gc_index(fs, top)
+    ix.gc_index(fs, top, kinds)
     names = set(os.listdir(tmp))
     for v, arts in arts_by_ver.items():
         for d in arts.values():
             assert (d in names) == (v >= top - 1), (v, d)
     for v, name in orphans:
         assert (name in names) == (v >= top), (v, name)
+    assert "foreignkind-000001-deadbeef" in names
     manifests = {n for n in names if n.startswith("manifest-")}
     want = {f"manifest-{top:06d}.json"}
     if top >= 2:
