@@ -778,7 +778,12 @@ def _shingle_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-_HEAL_STALE_S = 60.0  # a heal is milliseconds; a claim this old is a crash
+# A heal is milliseconds on any real legacy index; a claim this old is
+# a crashed healer. Generous (10 min, not 60 s) because adopting the
+# claim of a healer that is merely SLOW would race its in-flight
+# restore — staleness is the crash detector, not a liveness bound
+# (round-10 review).
+_HEAL_STALE_S = 600.0
 
 
 def _heal_legacy_cutover_crash(path: str) -> None:
@@ -840,7 +845,14 @@ def _heal_legacy_cutover_crash(path: str) -> None:
         for art in ("shingles", "buckets"):
             if os.path.isdir(f"{claim}/{art}"):
                 shutil.rmtree(f"{path}/{art}", ignore_errors=True)
-                os.rename(f"{claim}/{art}", f"{path}/{art}")
+                try:
+                    os.rename(f"{claim}/{art}", f"{path}/{art}")
+                except OSError:
+                    # a later healer judged THIS claim stale (we were
+                    # pathologically slow) and adopted it mid-restore;
+                    # its restore supersedes ours — stop touching the
+                    # artifacts and let it finish (round-10 review)
+                    return
         shutil.rmtree(claim, ignore_errors=True)
     staged = f"{path}/.compact"
     if os.path.isdir(staged):

@@ -343,7 +343,15 @@ def gc_index(
             continue
         try:
             doc = json.loads(fs.read_text(name))
-            prev_ver, prev_arts = ver, dict(doc["artifacts"])
+            arts = doc["artifacts"]
+            # the SAME validity rule read_manifest applies: a manifest
+            # readers would skip (kind-incomplete or version-mismatched)
+            # must not count as the protected previous generation, or
+            # GC would collect the layout in-flight readers actually
+            # resolved to (round-10 review)
+            if doc["version"] != ver or not all(k in arts for k in kinds):
+                continue
+            prev_ver, prev_arts = ver, dict(arts)
             live.update(prev_arts.values())
             break
         except Exception:

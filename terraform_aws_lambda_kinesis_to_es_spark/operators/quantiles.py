@@ -43,11 +43,17 @@ def sample_quantile_bounds(
     hash60(id) % 10000 < ``sample_bp`` enter the sample; the boundary
     for bucket b (1..n_buckets-1) is the sample's exact value at rank
     ceil(b * n_sample / n_buckets) under (score asc, id asc). Returns
-    (bucket, bound) with n_buckets-1 rows — broadcastable by
-    construction. The window below runs ONLY on the bounded sample."""
+    (bucket, bound, n) with n_buckets-1 rows (n = the sample size, the
+    same on every row, so the caller never re-scans the corpus for it —
+    round-10 review) — broadcastable by construction. The window below
+    runs ONLY on the bounded sample. NULL scores are excluded from the
+    sample (they are unrankable; see assign_sample_quantile_buckets for
+    the NULL-row contract)."""
     sampled = df.filter(
         hash60(F.col(id_col).cast("string")) % 10000 < sample_bp
-    ).select(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+    ).filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("s"), F.col(id_col).alias("i")
+    )
     w = Window.orderBy(F.col("s").asc(), F.col("i").asc())
     ranked = sampled.select(
         "s", F.row_number().over(w).alias("rk")
@@ -67,7 +73,7 @@ def sample_quantile_bounds(
             F.col("rk")
             == F.expr(f"CAST((bucket * n + {n_buckets - 1}) DIV {n_buckets} AS INT)")
         )
-        .select("bucket", F.col("s").alias("bound"))
+        .select("bucket", F.col("s").alias("bound"), "n")
     )
     return bounds
 
@@ -87,38 +93,40 @@ def assign_sample_quantile_buckets(
     (the q_score_calibration decile orientation). Rows equal to a
     boundary land in the lower bucket index (ties share a bucket).
 
+    NULL-score rows get a NULL bucket on BOTH paths (an unrankable
+    score belongs to no quantile; silently binning NULLs into bucket 1
+    was the round-10 review's crash-adjacent finding — the sample
+    excludes them, so a NULL landing on a boundary rank can no longer
+    TypeError the driver-side sort).
+
     Degenerate-sample guard (ADVICE r9): when the hash sample holds
     fewer than ``n_buckets`` rows (tiny corpus, or sparse ids at this
     ``sample_bp``), boundary extraction cannot honor the n/k population
     guarantee — everything would silently land in one bucket. That
     case falls back to the exact NTILE window over (score, id), which
     is cheap precisely because the corpus is small whenever the sample
-    is; at real scale the sample is never that small."""
-    bounds = sample_quantile_bounds(
+    is; at real scale the sample is never that small. (The fallback
+    window partitions on score-is-NULL, so the NTILE cut ranks exactly
+    the non-null rows; the NULL partition's numbers are discarded.)"""
+    rows = sample_quantile_bounds(
         df, score_col, id_col, n_buckets=n_buckets, sample_bp=sample_bp
-    ).crossJoin(
-        F.broadcast(
-            df.filter(
-                hash60(F.col(id_col).cast("string")) % 10000 < sample_bp
-            )
-            .groupBy()
-            .agg(F.count("*").alias("n_sample"))
-        )
-    )
-    rows = bounds.collect()  # <= n_buckets-1 rows — broadcast-sized
-    n_sample = rows[0]["n_sample"] if rows else 0
+    ).collect()  # <= n_buckets-1 rows, each carrying the sample size n
+    n_sample = rows[0]["n"] if rows else 0
+    score: Column = F.col(score_col)
     if n_sample < n_buckets:
         order = (
-            [F.col(score_col).desc(), F.col(id_col).desc()]
+            [score.desc(), F.col(id_col).desc()]
             if descending
-            else [F.col(score_col).asc(), F.col(id_col).asc()]
+            else [score.asc(), F.col(id_col).asc()]
         )
+        w = Window.partitionBy(score.isNull()).orderBy(*order)
         return df.withColumn(
             bucket_col,
-            F.ntile(n_buckets).over(Window.orderBy(*order)).cast("bigint"),
+            F.when(score.isNotNull(), F.ntile(n_buckets).over(w)).cast(
+                "bigint"
+            ),
         )
     bs = sorted(r["bound"] for r in rows)
-    score: Column = F.col(score_col)
     # bucket = 1 + number of boundaries strictly below the score; the
     # boundary array is a driver-side literal (it came from a <=
     # n_buckets-1-row collect), so assignment is map-only
@@ -127,4 +135,6 @@ def assign_sample_quantile_buckets(
     )
     if descending:
         asc_bucket = F.lit(n_buckets + 1) - asc_bucket
-    return df.withColumn(bucket_col, asc_bucket.cast("bigint"))
+    return df.withColumn(
+        bucket_col, F.when(score.isNotNull(), asc_bucket).cast("bigint")
+    )

@@ -25,18 +25,21 @@ Per micro-batch:
    dedup against them;
 4. **sink** — accepted rows append as parquet under ``accept_dir``.
 
-Delivery contract: at-least-once, idempotent-by-construction on the
-DECISION (a replayed batch re-probes an index that already contains
-its accepted docs; re-accepted docs are the same set because a doc
-never near-duplicates itself out — its own shingle set is already
-indexed under its own id, and probe's id-inequality guard skips the
-self-pair). Replay can append DUPLICATE index/parquet rows for those
-docs; the index collapses them at the next
-:func:`~...operators.dedup.compact_lsh_index` (distinct by
-construction), and downstream readers of ``accept_dir`` dedupe on
-``doc_id`` exactly as the ES sink dedupes on ``_id`` (the reference's
-log_id idempotency, reference lambda/main.py:84-101). Run ONE ingest
-stream per index path — extend-vs-extend concurrency is the standard
+Delivery contract: at-least-once on the SINK, exactly-once on the
+INDEX. A doc id already present in the index (a replayed batch, or an
+at-least-once source redelivering across batches) is recognized by a
+broadcast membership join against the index's bucket rows and pulled
+out of the decision entirely — it is already accepted, so it is
+neither re-decided (leaving it in would let the within-batch lower-id
+rule reject the INDEXED doc in favor of a new lower-id near-dup) nor
+re-extended (no duplicate index rows to collapse later). The sink
+write runs BEFORE the extend, so the only crash window (between sink
+and extend) replays into duplicate ``accept_dir`` rows — downstream
+readers dedupe on ``doc_id`` exactly as the ES sink dedupes on ``_id``
+(the reference's log_id idempotency, reference lambda/main.py:84-101);
+the reverse order would silently LOSE the accepted docs from the sink
+(once indexed, a replay never re-writes them). Run ONE ingest stream
+per index path — extend-vs-extend concurrency is the standard
 append-only-table exclusion ``extend_lsh_index`` documents.
 """
 
@@ -63,18 +66,41 @@ def ingest_batch(
     batch = batch_df.select(id_col, text_col).persist()
     caches: list[DataFrame] = [batch]
     try:
-        if D.lsh_index_exists(spark, index_path):
+        exists = D.lsh_index_exists(spark, index_path)
+        if exists:
             buckets, shingles = D.load_lsh_index(spark, index_path)
+            # An at-least-once source can redeliver a doc ACROSS batches
+            # (shard rebalance, producer retry). A batch copy of an
+            # already-indexed id is already accepted — it must be pulled
+            # OUT of the decision, not re-decided: left in, a pair
+            # (new_lower_id, redelivered_id) has both ids in the batch,
+            # so the within-batch lower-id rule would reject the INDEXED
+            # doc and accept its near-dup into the index (round-10
+            # review). Membership = a broadcast semi-join of the batch
+            # ids against the index's bucket rows (column-pruned id
+            # scan), then an anti-join back — both sides broadcast the
+            # small batch, never the index.
+            redelivered = (
+                buckets.join(
+                    F.broadcast(batch.select(id_col)), id_col, "left_semi"
+                )
+                .select(id_col)
+                .distinct()
+            )
+            fresh = batch.join(
+                F.broadcast(redelivered), id_col, "left_anti"
+            ).persist()
+            caches.append(fresh)
             pairs = D.probe_lsh_index(
                 buckets,
                 shingles,
-                batch,
+                fresh,
                 text_col=text_col,
                 id_col=id_col,
                 threshold_bp=threshold_bp,
                 cache_registry=caches,
             )
-            ids = batch.select(F.col(id_col).alias("_bid"))
+            ids = fresh.select(F.col(id_col).alias("_bid"))
             flagged = (
                 pairs.join(
                     ids.withColumn("_a_in", F.lit(1)),
@@ -102,7 +128,7 @@ def ingest_batch(
                 )
                 .distinct()
             )
-            accepted = batch.join(rejected, id_col, "left_anti").persist()
+            accepted = fresh.join(rejected, id_col, "left_anti").persist()
         else:
             # first batch on a fresh path: accept intra-batch survivors
             pairs = D.minhash_dedup_pairs(
@@ -113,7 +139,15 @@ def ingest_batch(
         caches.append(accepted)
         n_accepted = accepted.count()
         if n_accepted:
-            if D.lsh_index_exists(spark, index_path):
+            # sink BEFORE extend: a crash between the two replays the
+            # batch, whose accepted docs are then NOT yet indexed, so
+            # they are re-accepted and re-written (a duplicate sink row
+            # — the documented at-least-once mode) and extended once.
+            # The reverse order would lose them from the sink forever:
+            # once extended, a replay recognizes them as redelivered
+            # and never writes them (round-10 review).
+            accepted.write.mode("append").parquet(accept_dir)
+            if exists:
                 D.extend_lsh_index(
                     accepted, index_path, text_col=text_col, id_col=id_col
                 )
@@ -121,7 +155,6 @@ def ingest_batch(
                 D.save_lsh_index(
                     accepted, index_path, text_col=text_col, id_col=id_col
                 )
-            accepted.write.mode("append").parquet(accept_dir)
         return n_accepted
     finally:
         for c in caches:

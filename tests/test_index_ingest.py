@@ -122,10 +122,13 @@ def test_neardup_ingest_stream_matches_greedy_oracle(spark, sf_dir, tmp_path):
 
 
 def test_ingest_batch_replay_is_decision_idempotent(spark, sf_dir, tmp_path):
-    """The module contract: replaying a batch against an index that
-    already contains its accepted docs re-accepts EXACTLY the same set
-    (probe's self-pair guard + rejected docs never entering the
-    index)."""
+    """The module contract (strengthened in the round-10 review):
+    replaying a batch whose accepted docs the index already contains
+    recognizes every shingled doc as redelivered-or-rejected and
+    accepts NOTHING new — the index gets no duplicate rows, the sink
+    no duplicate files. (Sub-shingle-length docs never enter any index
+    generation, so they are re-accepted on replay — the documented
+    sink-side at-least-once mode.)"""
     docs = load_split(spark, sf_dir, "documents").select("doc_id", "text")
     seed = docs.filter(F.col("doc_id") % 3 == 0)
     batch = docs.filter(F.col("doc_id") % 3 == 1)
@@ -136,11 +139,48 @@ def test_ingest_batch_replay_is_decision_idempotent(spark, sf_dir, tmp_path):
     n1 = ingest_batch(batch, path, acc1)
     first = {r["doc_id"] for r in spark.read.parquet(acc1).collect()}
     assert n1 == len(first)
+    _b, s1 = D.load_lsh_index(spark, path)
+    rows_before = s1.count()
 
     acc2 = str(tmp_path / "a2")
     n2 = ingest_batch(batch, path, acc2)  # replay after its own extend
-    assert n2 == n1
-    assert {r["doc_id"] for r in spark.read.parquet(acc2).collect()} == first
+    unshingled = {
+        r["doc_id"]
+        for r in D.with_hashed_shingles(batch)
+        .filter(F.size("sh_hashes") == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert n2 == len(first & unshingled)  # only sub-shingle docs re-accept
+    _b, s2 = D.load_lsh_index(spark, path)
+    assert s2.count() == rows_before  # no duplicate index rows from replay
+
+
+def test_ingest_redelivered_doc_never_loses_to_a_new_near_dup(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 review regression: an already-indexed doc redelivered in
+    a later batch alongside a NEW lower-id near-dup must win — the old
+    rule left both ids 'in batch', rejected the INDEXED doc via the
+    within-batch lower-id tiebreak, and accepted its near-dup, planting
+    a permanent duplicate pair in the standing corpus."""
+    text = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd watches in silence under grey skies"
+    )
+    seed = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, text + " extra"), (9, text)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    D.save_lsh_index(seed, path)
+
+    n = ingest_batch(batch, path, acc)
+    assert n == 0  # doc 5 rejected against the index; doc 9 recognized
+    _b, s = D.load_lsh_index(spark, path)
+    got = [(r["doc_id"],) for r in s.select("doc_id").collect()]
+    assert got == [(9,)]  # exactly one generation row, no near-dup pair
 
 
 def test_ingest_batch_bootstraps_fresh_index(spark, sf_dir, tmp_path):

@@ -308,3 +308,38 @@ def test_version_width_is_future_proof(tmp_path):
     ver, _arts, _ = ix.read_manifest(fs)
     assert ver == 1_000_000
     assert ix.next_version(fs) == 1_000_001
+
+
+def test_gc_rejects_kind_incomplete_prev_manifest(tmp_path):
+    """Round-10 review: GC must apply the same manifest-validity rule
+    readers do. A parseable manifest missing a required kind is one
+    readers SKIP (they fall back to the legacy dirs), so it must not
+    count as the protected previous generation — otherwise GC would
+    collect the legacy layout in-flight readers actually resolved to,
+    one cycle early."""
+    import os
+
+    fs = ix.LocalIndexFS(str(tmp_path))
+    # legacy layout readers resolve to (manifest 1 is kind-incomplete)
+    os.makedirs(f"{tmp_path}/shingles")
+    os.makedirs(f"{tmp_path}/buckets")
+    _write_manifest(fs, 1, {"shingles": "shingles-000001-aa"})
+    os.makedirs(f"{tmp_path}/shingles-000001-aa")
+    ver, arts, _corrupt = ix.read_manifest(fs)
+    assert arts is None  # readers skip the incomplete manifest
+
+    # a compaction (reading the legacy layout) commits version 2
+    a2 = ix.artifact_names(2)
+    for d in a2.values():
+        os.makedirs(f"{tmp_path}/{d}")
+    _write_manifest(fs, 2, a2)
+    ix.gc_index(fs, 2)
+
+    names = set(os.listdir(tmp_path))
+    # the legacy dirs ARE the previous generation — they survive this
+    # cycle; the incomplete manifest and its orphan dir are collected
+    assert {"shingles", "buckets"} <= names
+    assert "manifest-000001.json" not in names
+    assert "shingles-000001-aa" not in names
+    for d in a2.values():
+        assert d in names

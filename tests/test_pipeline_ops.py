@@ -480,6 +480,34 @@ def test_sample_quantile_buckets_agree_with_exact_ntile(spark, sf_dir):
     assert again == {(r["doc_id"], r["bucket"]) for r in rows}
 
 
+def test_sample_quantile_buckets_null_scores(spark):
+    """Round-10 review: NULL scores must neither crash the driver-side
+    boundary sort (a NULL landing on a boundary rank made
+    sorted([None, ...]) TypeError) nor be silently binned — they get a
+    NULL bucket on both the sampled and the NTILE-fallback paths, and
+    non-null rows keep a full 1..k bucket spread."""
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.quantiles import (
+        assign_sample_quantile_buckets,
+    )
+
+    # sample_bp=10000: every row sampled, so plenty of NULLs hit
+    # boundary ranks without the isNotNull guard
+    scored = spark.range(400).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, (F.col("id") * 7 % 101))
+        .cast("bigint")
+        .alias("score"),
+    )
+    for sample_bp in (10000, 1):  # sampled path and NTILE fallback
+        rows = assign_sample_quantile_buckets(
+            scored, "score", "doc_id", n_buckets=4, sample_bp=sample_bp
+        ).collect()
+        null_buckets = {r["bucket"] for r in rows if r["score"] is None}
+        assert null_buckets == {None}, (sample_bp, null_buckets)
+        nonnull = [r["bucket"] for r in rows if r["score"] is not None]
+        assert set(nonnull) == {1, 2, 3, 4}, (sample_bp, set(nonnull))
+
+
 def test_sample_quantile_buckets_degenerate_sample_falls_back(spark):
     """ADVICE r9: a sample below n_buckets rows (here: empty, tiny
     corpus at 1bp) must NOT silently put every row in one bucket — the
