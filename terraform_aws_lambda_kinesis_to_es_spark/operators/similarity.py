@@ -277,6 +277,51 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact squared-L2 top-k per query vector — the metric-matched
+    ground truth for the IVF+PQ family (knn_bruteforce above is the
+    COSINE truth, for the hyperplane-LSH family; auditing an L2 index
+    against cosine truth conflates metric disagreement with
+    quantization loss). Same shape and rail as knn_bruteforce: one
+    corpus scan x a small broadcast query panel, ties to lowest
+    neighbor id."""
+    from pyspark.sql import Window
+
+    _exhaustive_rail(
+        corpus, "knn_bruteforce_l2", "knn_ivfpq / knn_ivfpq_rerank (ANN serving)"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist", sq_l2(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dist"), 4).alias("dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def near_dup_pairs_exact(
     df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:

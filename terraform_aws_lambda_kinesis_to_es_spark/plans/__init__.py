@@ -145,6 +145,15 @@ _HEAD = _R10_PROMOTED + _R5_TIER[18:] + _R6_TIER[:9]
 # (_R6_TIER[47:]: q_top_doc_per_source, q_unpivot_part,
 # q_incremental_dedup) plus the 50-name r7 tier for round 12; no
 # verdict ages past ~5 rounds.
+#
+# Round-12 head plan (drafted at round-10 end — the tranche is already
+# built and staged): promote the 4 staged round-12 names from
+# plans/staged_r12.py (q_ivf_balance, q_pq_distortion,
+# q_ann_probe_curve, q_dup_transitivity — two-SF driver-protocol
+# tests + 100x table, PLANS.md), then the 3 r6 leftovers, then the
+# first 43 r7-tier names in their CORRECTNESS_r07 order (write the
+# explicit list at round-11 end when the r11 verdict fixes the tier):
+# 4 + 3 + 43 = 50, leaving 7 r7 names + the r8 tier for round 13.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:

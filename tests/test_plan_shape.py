@@ -133,6 +133,9 @@ def test_knn_broadcasts_queries(spark, sf_dir):
 # broadcast side (vector scoring); everything else must stay keyed.
 _INTENTIONAL_PRODUCT = {
     "q_knn_cosine",      # corpus x broadcast(5 query vecs)
+    # pre-whitelisted staged-r12 shapes (promotion precedent, r8/r9):
+    "q_ann_probe_curve",   # knn_bruteforce_l2 truth leg + 1-row total attach
+    "q_dup_transitivity",  # three 1-row aggregates broadcast-joined
     "q_knn_classify",    # same knn_bruteforce core x broadcast queries
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)

@@ -1,0 +1,114 @@
+"""Staged round-12 queries vs their DuckDB oracles — the driver's
+compare protocol applied BEFORE declaration (plans/staged_r12.py stays
+out of the declared registry until the round-12 head opens). The
+oracle compare runs at BOTH sf0.001 and sf0.01, plus the staging
+contract and per-query semantic pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrypoint
+from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r12 import (
+    ORACLES,
+    PROBE_WIDTHS,
+    QUERIES,
+)
+from tests.oracle_harness import compare, duck_connect
+
+SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duck_connect(SF001)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    res = compare(df, duck, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_staged_query_matches_oracle_sf001(name, spark, duck01):
+    """The same compare at the driver's own correctness scale factor."""
+    df = QUERIES[name](spark, SF001)
+    res = compare(df, duck01, ORACLES[name])
+    assert res["ok"], f"{name}: {res}"
+
+
+def test_staging_contract():
+    assert set(QUERIES) == set(ORACLES)
+    assert not set(QUERIES) & set(entrypoint.queries())
+
+
+# ------------------------------------------------------ semantic pins
+
+
+def test_ivf_balance_partitions_the_corpus(spark, sf_dir):
+    """Every vector lands in exactly one list: occupancies sum to the
+    corpus size and shares to ~10000 bp (integer-DIV truncation only)."""
+    rows = QUERIES["q_ivf_balance"](spark, sf_dir).collect()
+    total = sum(r["n_vecs"] for r in rows)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert total == emb.count()
+    share = sum(r["share_bp"] for r in rows)
+    assert 10000 - len(rows) <= share <= 10000
+
+
+def test_pq_distortion_covers_every_subspace(spark, sf_dir):
+    """One row per subspace, every vector scored in each, error mass
+    non-negative — and not all-zero (a zero-distortion codebook on real
+    embeddings would mean the min-distance leg is broken)."""
+    rows = QUERIES["q_pq_distortion"](spark, sf_dir).collect()
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.similarity import PQ_M
+
+    assert sorted(r["m"] for r in rows) == list(range(PQ_M))
+    n = rows[0]["n_vecs"]
+    assert all(r["n_vecs"] == n for r in rows)
+    assert all(r["err_total_bp"] >= 0 for r in rows)
+    assert sum(r["err_total_bp"] for r in rows) > 0
+
+
+def test_probe_curve_cost_is_monotone_recall_is_bounded(spark, sf_dir):
+    """The true invariants of the ADC probe curve: candidate COST is
+    monotone non-decreasing in probe width (widening only adds lists),
+    while recall@k is merely bounded — it is NOT monotone under ADC
+    ranking (extra candidates ranked by quantized distance can
+    displace true neighbors; the module docstring documents the
+    measured 4000 -> 3400 bp drop this dataset shows). Re-ranking is
+    the production fix; this audit is the evidence for it."""
+    rows = {
+        r["n_probes"]: r
+        for r in QUERIES["q_ann_probe_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(PROBE_WIDTHS)
+    cands = [rows[w]["n_cands"] for w in sorted(rows)]
+    assert cands == sorted(cands)
+    assert cands[0] < cands[-1]  # widening really adds candidates here
+    for r in rows.values():
+        assert 0 < r["n_hits"] <= r["n_true"]
+        assert 0 < r["recall_bp"] <= 10000
+
+
+def test_dup_transitivity_identities(spark, sf_dir):
+    """3T <= W (every triangle closes exactly 3 wedges) and the bp
+    formula matches the raw counts; planted-clique check: adding a
+    verbatim 3-clique adds exactly 3 pairs, 3 wedges and 1 triangle is
+    covered by the oracle compare — here we pin the global identity."""
+    row = QUERIES["q_dup_transitivity"](spark, sf_dir).collect()[0]
+    assert row["n_pairs"] > 0 and row["n_wedges"] > 0
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert row["transitivity_bp"] == 30000 * row["n_triangles"] // row["n_wedges"]
