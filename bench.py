@@ -49,6 +49,24 @@ CANARY_REFS = {
     "q_daily_counts": 0.275,
 }
 
+# Round-11 addition (VERDICT r10 #1): the three originals are 0.2 s
+# map-only queries — they track scheduler/JIT latency but not
+# memory-bandwidth or shuffle contention, so BENCH_r10 could read
+# "host 15% faster" from the canaries while the heavy shared
+# headliners ran 13% slower. Two mid-weight canaries whose resource
+# profile matches the heavy queries: one shuffle-bound (bigram
+# explode -> groupBy over the document corpus: wide exchange, hash
+# agg) and one CPU-bound (all-column profiling aggs: whole-stage
+# codegen arithmetic over every row, negligible shuffle). Reference
+# medians measured on this host idle at round 11 (median of 5,
+# PERF.md round-11 section); both query bodies are frozen plans
+# whose cost cannot drift with algorithm work elsewhere.
+CANARY_REFS_MID = {
+    "q_cooccurrence": 0.97,   # shuffle-bound
+    "q_profile_columns": 2.046,  # CPU-bound
+}
+CANARY_REFS = {**CANARY_REFS, **CANARY_REFS_MID}
+
 # Headliner set policy (VERDICT r9 #6): HARD CAP at 80 names. Each
 # promotion adds at most the tranche's representative shapes (~6-8);
 # once adding would cross 80, the same number of OLDEST-PROMOTED,
@@ -67,27 +85,30 @@ HEADLINE = (
     "q_chunk_count",
     "q_es_actions",
     # relational / analytics
+    # (round-11 rotation, per the cap policy above: q_top_orders,
+    # q_topk_users, q_keyword_search, q_temperature_mix,
+    # q_forecast_revenue, q_sessionize rotated OUT — the six
+    # oldest-promoted names whose shapes stay covered: join-topk by
+    # q_returned_items, TakeOrdered aggs by q_user_stats/q_retention,
+    # term search by q_bm25, weighted mix by q_quantize,
+    # tiny-agg regression by q_ewma-family sweeps, gap windows by the
+    # incoming q_growth_accounting; all sub-second and unflagged in
+    # SWEEP_r10.json)
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_volume_shipping",
     "q_market_share",
-    "q_forecast_revenue",
-    "q_top_orders",
     "q_returned_items",
     "q_user_stats",
-    "q_sessionize",
-    "q_topk_users",
     "q_retention",
     # search
     "q_bm25",
-    "q_keyword_search",
     # training-data ops
     "q_wordcount",
     "q_repetition",
     "q_passage_dedup",
     "q_pii_redact",
     "q_boilerplate_strip",
-    "q_temperature_mix",
     "q_quantize",
     "q_minhash_dedup",
     "q_dup_clusters",
@@ -162,6 +183,17 @@ HEADLINE = (
     "q_quality_sweep",
     "q_cross_lang_dup",
     "q_image_entropy",
+    # round-11 headliners: the promoted diagnostics tranche's
+    # representative shapes (min-band pair attribution + verify join,
+    # staged dedup funnel, broadcast-panel hard-negative scan,
+    # rule-pair grid rollup, Arrow border-ring decode, user-keyed
+    # growth windows) — 74 + 6 = 80 after the six-name rotation above.
+    "q_band_yield",
+    "q_dedup_cascade",
+    "q_hard_negatives",
+    "q_filter_overlap",
+    "q_image_border_uniformity",
+    "q_growth_accounting",
 )
 
 
@@ -265,26 +297,39 @@ def main() -> None:
     else:
         mid = len(ratios) // 2
         canary_factor = round((ratios[mid - 1] + ratios[mid]) / 2, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "value_min": round(
-                    sum(t for t in mins.values() if t is not None), 3
-                ),
-                "runs": runs,
-                "n_runs": n_runs,
-                "canary_factor": canary_factor,
-                "canary_refs": CANARY_REFS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"errors": errors} if errors else {}),
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "value_min": round(
+            sum(t for t in mins.values() if t is not None), 3
+        ),
+        "runs": runs,
+        "n_runs": n_runs,
+        "canary_factor": canary_factor,
+        "canary_refs": CANARY_REFS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(payload))
+    # VERDICT r10 #3: the driver's BENCH_rN.json keeps only a stdout
+    # TAIL, so ~half the per-query medians were unrecoverable each
+    # round. Persist the full per-query table as a side artifact
+    # (the SPARK_GRAFT_SWEEP_OUT pattern from examples/scale_sweep.py);
+    # BENCH_latest.json is committed per round so cross-round per-query
+    # comparisons cover 80/80.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_latest.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"side artifact not written ({exc})", file=sys.stderr)
     # VERDICT r8 #2: the big JSON above can overflow a log-tail capture
     # window (BENCH_r08's driver artifact kept only the last ~44 per-query
     # entries and parsed as null). Emit ONE final compact line so ANY

@@ -1,14 +1,15 @@
-"""100x scale evidence for the staged round-11 queries (pre-promotion),
-following the staging bar set in rounds 5-10: min-of-N timing per side,
-construction included, against the standing /tmp scale corpora
-(documents+embeddings 100x collision-free at /tmp/sf_family100x,
-events 100x with per-replica user shifts at /tmp/sf_events100x).
+"""100x scale evidence for the diagnostics-tranche queries (staged
+round 10, promoted round 11), following the staging bar set in rounds
+5-10: min-of-N timing per side, construction included, against the
+standing /tmp scale corpora (documents+embeddings 100x collision-free
+at /tmp/sf_family100x, events 100x with per-replica user shifts at
+/tmp/sf_events100x).
 
-Each staged query is timed at sf0.1 (base) and at its table's 100x
-corpus (big); flag = big > replicas * base + overhead (the same
-super-linear rule family_scale_sweep.py applies to declared queries).
+Each query is timed at sf0.1 (base) and at its table's 100x corpus
+(big); flag = big > replicas * base + overhead (the same super-linear
+rule family_scale_sweep.py applies to declared queries).
 
-Run: python examples/staged_r11_scale.py
+Run: python examples/diagnostics_queries_scale.py
 One JSON line per query + a summary line.
 """
 
@@ -21,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r11 import (  # noqa: E402
+from terraform_aws_lambda_kinesis_to_es_spark.plans.diagnostics_queries import (  # noqa: E402
     QUERIES,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: E402
@@ -60,7 +61,7 @@ def time_query(fn, spark, sf_dir: str, n_runs: int = 2) -> dict:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark(
-        "staged_r11_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "diagnostics_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     only = set(os.environ.get("SPARK_GRAFT_STAGED", "").split(",")) - {""}
     rows = []

@@ -20,9 +20,13 @@ Corpora (idempotent: each is skipped when its marker table exists,
 - ``/tmp/sf_orders100x_b`` — orders at 100x (o_orderkey + o_custkey
   shifted consistently), 32 files.
 - ``/tmp/sf_join100x`` — the 100x-fact x 1x-dimension join corpus:
-  symlinks orders -> sf_orders100x_b and customer -> sf0.1 (facts
-  scale, dimensions don't — the realistic join-growth mode
-  q_join_size_est measures).
+  orders at 100x with ONLY o_orderkey shifted (o_custkey kept
+  verbatim so every fact still hits the UNSHIFTED sf0.1 customer
+  dimension — r10 ADVICE: reusing sf_orders100x_b here shifted
+  o_custkey too, so ~99% of facts lost their FK and join output
+  stayed ~1x instead of scaling with the facts), customer symlinked
+  to sf0.1 (facts scale, dimensions don't — the realistic
+  join-growth mode q_join_size_est measures).
 
 ``/tmp/sf_customer100x`` is NOT built here: audit_queries_scale.py
 self-materializes it (names must be REGENERATED from the remapped
@@ -112,9 +116,20 @@ def main() -> None:
 
     if force and os.path.isdir(JOIN_DIR):
         shutil.rmtree(JOIN_DIR)
-    if not os.path.isdir(JOIN_DIR):
+    # a pre-existing JOIN_DIR whose orders is a SYMLINK is the broken
+    # pre-r11 recipe (o_custkey shifted out of the dimension's key
+    # space) — rebuild it even without --force
+    if os.path.islink(f"{JOIN_DIR}/orders.parquet"):
+        shutil.rmtree(JOIN_DIR)
+    if not _done(JOIN_DIR, "orders"):
+        if os.path.isdir(JOIN_DIR):
+            shutil.rmtree(JOIN_DIR)
         os.makedirs(JOIN_DIR)
-        os.symlink(f"{ORDERS_DIR}/orders.parquet", f"{JOIN_DIR}/orders.parquet")
+        # facts: shift ONLY the row-identity key; the FK column stays
+        # verbatim so the 100x facts fan out over the 1x dimension
+        _replicate_shifted(
+            spark, "orders", ["o_orderkey"], f"{JOIN_DIR}/orders.parquet"
+        )
         os.symlink(f"{SRC}/customer.parquet", f"{JOIN_DIR}/customer.parquet")
         print(f"built {JOIN_DIR}", file=sys.stderr)
     else:
@@ -127,6 +142,7 @@ def main() -> None:
         (FAMILY_DIR, "embeddings", "vec_id"),
         (EVENTS_DIR, "events", "event_id"),
         (ORDERS_DIR, "orders", "o_orderkey"),
+        (JOIN_DIR, "orders", "o_orderkey"),
     ):
         df = spark.read.parquet(f"{path}/{table}.parquet")
         n, d = df.count(), df.select(key).distinct().count()
@@ -134,6 +150,21 @@ def main() -> None:
         print(f"{path}/{table}: rows={n} distinct({key})={d} {status}", flush=True)
         if n != d:
             sys.exit(1)
+
+    # FK sanity for the join corpus (the r10 ADVICE failure mode):
+    # every 100x fact must still hit the 1x dimension, or join output
+    # stops scaling with the facts and the corpus measures nothing
+    ords = spark.read.parquet(f"{JOIN_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{JOIN_DIR}/customer.parquet")
+    n_orphan = ords.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).count()
+    status = "OK" if n_orphan == 0 else "FK VIOLATION"
+    print(f"{JOIN_DIR}: orphan facts={n_orphan} {status}", flush=True)
+    if n_orphan:
+        sys.exit(1)
 
     spark.stop()
 

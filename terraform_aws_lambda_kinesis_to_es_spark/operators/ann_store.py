@@ -51,6 +51,8 @@ from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
 from terraform_aws_lambda_kinesis_to_es_spark.operators.similarity import (
+    PQ_K,
+    PQ_M,
     ivfpq_index,
     knn_ivfpq_indexed,
     knn_ivfpq_rerank_indexed,
@@ -124,13 +126,35 @@ def save_ann_index(
     single-scan rule save_ivfpq_index established). Staged dirs are
     invisible until the manifest commit; saving over an existing index
     supersedes it (the old generation's dirs are collected by the next
-    compaction's GC)."""
+    compaction's GC).
+
+    Seed-id requirement (r10 ADVICE): :func:`pq_codebook`'s
+    deterministic seed rule trains on the corpus vectors with
+    ``id_col`` values 0..PQ_K-1, so all PQ_K seed ids must be present
+    in ``corpus``. A corpus keyed by an arbitrary id space (hashes,
+    offsets, re-keyed streams) that misses them would yield a partial
+    or empty codebook — every later extend would encode to nothing and
+    probes would silently return nothing — so this raises at build
+    time instead of committing a dead index. Re-key the seed batch
+    (dense 0..n-1 ids) or swap in
+    :func:`~...operators.similarity.pq_codebook_refined` seeded from a
+    re-keyed sample."""
     spark = corpus.sparkSession
     fs = index_store.index_fs(spark, path)
     ver = index_store.next_version(fs)
     arts = index_store.artifact_names(ver, ANN_KINDS)
     cb = pq_codebook(corpus, id_col, vec_col).persist()
     try:
+        n_cb = cb.count()
+        if n_cb < PQ_M * PQ_K:
+            raise ValueError(
+                f"pq_codebook trained only {n_cb}/{PQ_M * PQ_K} rows: the "
+                f"corpus is missing some of the PQ_K={PQ_K} seed ids "
+                f"(rows with {id_col} in 0..{PQ_K - 1}). Committing would "
+                "produce a dead index (extends encode to nothing, probes "
+                "return nothing). Re-key the seed batch to a dense 0-based "
+                "id space or train the codebook on a re-keyed sample."
+            )
         idx = ivfpq_index(corpus, id_col, vec_col, codebook=cb)
         idx.write.partitionBy("list_id").mode("overwrite").parquet(
             f"{path}/{arts['codes']}"

@@ -134,26 +134,61 @@ _R10_PROMOTED = (
     "q_boilerplate_hubs", "q_recrawl_schedule", "q_rejection_mix",
     "q_pii_density", "q_audio_dynamic_range", "q_image_entropy",
 )
-_HEAD = _R10_PROMOTED + _R5_TIER[18:] + _R6_TIER[:9]
 
-# Round-11 head plan (for the next rotation): promote the staged
-# round-11 tranche from plans/staged_r11.py (target 10-12 names,
-# same two-SF driver-protocol + 100x staging contract), then fill the
-# remaining slots from the r6-tier leftover (_R6_TIER[9:], 41 names,
-# q_boilerplate_strip .. q_incremental_dedup) oldest-first. With a
-# 12-name tranche that is 12 + 38 = 50, leaving 3 r6 names
-# (_R6_TIER[47:]: q_top_doc_per_source, q_unpivot_part,
-# q_incremental_dedup) plus the 50-name r7 tier for round 12; no
-# verdict ages past ~5 rounds.
-#
-# Round-12 head plan (drafted at round-10 end — the tranche is already
-# built and staged): promote the 4 staged round-12 names from
-# plans/staged_r12.py (q_ivf_balance, q_pq_distortion,
-# q_ann_probe_curve, q_dup_transitivity — two-SF driver-protocol
-# tests + 100x table, PLANS.md), then the 3 r6 leftovers, then the
-# first 43 r7-tier names in their CORRECTNESS_r07 order (write the
-# explicit list at round-11 end when the r11 verdict fixes the tier):
-# 4 + 3 + 43 = 50, leaving 7 r7 names + the r8 tier for round 13.
+# Round 11 (VERDICT r10 #1, the plan written at round-10 end, executed
+# name-for-name): head, exactly 50 =
+#   (a) the 12 PROMOTED diagnostics_queries names (built + staged in
+#       r10 as plans/staged_r11.py with two-SF driver-protocol pytest
+#       and 100x scale evidence; renamed plans/diagnostics_queries.py
+#       on promotion);
+#   (b) the first 38 names of the r6-tier leftover (_R6_TIER[9:47],
+#       latest verdicts round 6, five rounds old), oldest-first in
+#       their r6 verdict order — leaves a 3-name r6 residue
+#       (_R6_TIER[47:]) for the round-12 head.
+_R11_PROMOTED = (
+    "q_index_churn", "q_band_yield", "q_minhash_ablation",
+    "q_dedup_cascade", "q_hard_negatives", "q_embed_norm_audit",
+    "q_filter_overlap", "q_rater_kappa", "q_langid_confusion",
+    "q_pack_efficiency", "q_image_border_uniformity",
+    "q_growth_accounting",
+)
+_HEAD = _R11_PROMOTED + _R6_TIER[9:47]
+
+# Round-12 head plan (explicit, written at round-11 promotion time per
+# VERDICT r10 #7; the r7 tier is fixed — its 50 names' latest green
+# verdicts are round 7 in the CORRECTNESS_r01-r10 union, and the r11
+# window re-checks only r11-promoted + r6-tier names, so the r7 tier
+# cannot shift before round 12): head, exactly 50 =
+#   (a) the 4 staged round-12 names from plans/staged_r12.py
+#       (promote on schedule);
+#   (b) the 3-name r6 residue (_R6_TIER[47:]);
+#   (c) the first 43 r7-tier names in their CORRECTNESS_r07 order.
+# That leaves the last 7 r7 names (q_pack_sequences, q_percent_change,
+# q_percentiles, q_phrase_search, q_pivot_priority, q_profile_columns,
+# q_quantize) plus the 50-name r8 tier for round 13.
+_R12_HEAD_PLAN = (
+    # (a) staged r12 tranche
+    "q_ivf_balance", "q_pq_distortion", "q_ann_probe_curve",
+    "q_dup_transitivity",
+    # (b) r6 residue
+    "q_top_doc_per_source", "q_unpivot_part", "q_incremental_dedup",
+    # (c) r7 tier, CORRECTNESS_r07 order, first 43
+    "q_hybrid_rrf", "q_heavy_hitters", "q_sorted_neighborhood",
+    "q_substring_spans", "q_substring_strip", "q_domain_cap",
+    "q_dataset_card", "q_hist_quantiles", "q_scd2_intervals",
+    "q_semdedup_assign_agreement", "q_bloom_semijoin",
+    "q_semdedup_bucketed", "q_lsh_eval", "q_dup_method_agreement",
+    "q_minhash_est", "q_ann_ivf", "q_ann_lsh", "q_array_math",
+    "q_bucket_occupancy", "q_cdc_latest", "q_centroid_sim",
+    "q_clean_corpus", "q_contamination", "q_cooccurrence",
+    "q_corr_stats", "q_cube_orders", "q_date_functions",
+    "q_dedup_keep_best", "q_difficulty_buckets", "q_dup_clusters_chain",
+    "q_dup_source_matrix", "q_embed_dims", "q_embed_normalize",
+    "q_ewma_daily", "q_gopher_filters", "q_graph_degree",
+    "q_grouping_sets", "q_interval_join_binned", "q_key_skew_profile",
+    "q_keyphrase", "q_mad_outliers", "q_matryoshka",
+    "q_media_audio_stats",
+)
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -162,6 +197,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus_queries,
         curation_queries,
         dedup_queries,
+        diagnostics_queries,
         events_analytics,
         hygiene_queries,
         multimodal_queries,
@@ -195,6 +231,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus_queries,
         audit_queries,
         hygiene_queries,
+        diagnostics_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)

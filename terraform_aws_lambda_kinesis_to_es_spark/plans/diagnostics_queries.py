@@ -1,17 +1,15 @@
-"""STAGED query surface for the round-11 declaration head.
-
-Same staging contract as the round-7..10 tranches (promoted as
+"""Index-serving diagnostics + curation/QA audit queries (the
+round-11 tranche, staged in round 10 as plans/staged_r11.py and
+promoted into the declared surface in round 11 — the same staging
+contract as the round-7..10 tranches promoted as
 plans/curation_queries.py, plans/corpus_queries.py,
-plans/audit_queries.py, and plans/hygiene_queries.py): implemented,
+plans/audit_queries.py, and plans/hygiene_queries.py: implemented,
 oracle-backed, and pytest-verified with the driver's own compare
-protocol at BOTH sf0.001 and sf0.01 (tests/test_staged_r11.py), but
-NOT declared — the round-10 driver window (50 names) is fully
-allocated to the 12 hygiene-tranche promotions + the r5/r6-tier
-rotation. Round 11 promotes QUERIES/ORACLES into the head verbatim,
-alongside the r6-tier leftover queued in plans/__init__.py.
+protocol at BOTH sf0.001 and sf0.01 before declaration;
+tests/test_diagnostics_queries.py).
 
 Contents — index-serving diagnostics the round-9 verdict suggested,
-plus curation/QA audits the surface still lacks:
+plus curation/QA audits the surface previously lacked:
 
 - ``q_index_churn``: per-band LSH bucket-key churn between two corpus
   snapshots (the q_snapshot_delta cohorts) — how many (band, bkey)

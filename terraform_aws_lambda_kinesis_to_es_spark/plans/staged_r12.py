@@ -219,15 +219,23 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_cands")
     )
     n_true = truth.groupBy().agg(F.count("*").cast("bigint").alias("n_true"))
+    # left join + coalesce (r10 ADVICE): a probe width with ZERO
+    # true-top-k hits must report recall_bp=0, not vanish from the
+    # curve (the inner join dropped the row on both legs — parity
+    # held, but the tuning curve silently lost a point)
     return (
-        n_cands.join(hits, "n_probes")
+        n_cands.join(hits, "n_probes", "left")
         .crossJoin(F.broadcast(n_true))  # 1-row truth total attach
         .select(
             "n_probes",
             "n_cands",
-            "n_hits",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
             "n_true",
-            F.expr("n_hits * 10000 DIV n_true").cast("bigint").alias("recall_bp"),
+            F.expr("coalesce(n_hits, 0) * 10000 DIV n_true")
+            .cast("bigint")
+            .alias("recall_bp"),
         )
     )
 
@@ -331,11 +339,11 @@ hit_counts AS (
 )
 SELECT CAST(c.n_probes AS BIGINT) AS n_probes,
        c.n_cands,
-       h.n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
-       CAST(h.n_hits * 10000 // (SELECT COUNT(*) FROM truth) AS BIGINT)
-         AS recall_bp
-FROM cand_counts c JOIN hit_counts h ON h.n_probes = c.n_probes
+       CAST(COALESCE(h.n_hits, 0) * 10000 // (SELECT COUNT(*) FROM truth)
+            AS BIGINT) AS recall_bp
+FROM cand_counts c LEFT JOIN hit_counts h ON h.n_probes = c.n_probes
 """
 
 

@@ -8,6 +8,14 @@ generation (:func:`~...operators.ann_store.extend_ann_index`); a fresh
 path bootstraps with :func:`~...operators.ann_store.save_ann_index`
 (the first batch trains the quantizer — pick the trigger so that batch
 is representative, exactly like training any IVF index on a sample).
+Bootstrap hard requirement (r10 ADVICE): the deterministic seed
+codebook trains on ids 0..PQ_K-1, so the FIRST batch must contain all
+PQ_K seed ids — an arbitrary streaming id space (offsets, hashes,
+re-keyed replicas) won't satisfy that, and ``save_ann_index`` now
+REFUSES to commit the dead index it would produce. Streams over such
+id spaces must bootstrap the index out-of-band (a batch
+``save_ann_index`` on a re-keyed training sample) and let the stream
+start in extend mode against that committed quantizer.
 There is no accept/reject decision here: every vector is indexed, and
 dedup/curation happen on the DOCUMENT path (index_ingest) before
 embeddings exist.

@@ -186,3 +186,23 @@ def test_ann_index_hadoop_fs_adapter(spark, sf_dir, tmp_path):
     info = ann_store.ann_index_info(spark, uri)
     assert info["version"] == 2 and info["codes"].startswith("file://")
     assert _probe(spark, uri, queries) == _rows(S.knn_ivfpq(vecs, queries, k=5))
+
+def test_ann_save_refuses_dead_index_when_seed_ids_missing(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE: a corpus whose id space misses the PQ_K codebook
+    seed ids (0..PQ_K-1) — e.g. a re-keyed streaming batch — must fail
+    LOUDLY at build time, not commit an index whose empty codebook
+    makes every later extend encode nothing and every probe return
+    nothing. Nothing may be committed: the path must still read as
+    index-absent afterwards."""
+    import pytest
+
+    vecs = _vec(spark, sf_dir).filter(F.col("vec_id") < SPLIT)
+    rekeyed = vecs.withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )  # the bench's NEW_ID_BASE-style shift: no id < PQ_K survives
+    path = str(tmp_path / "ann_dead")
+    with pytest.raises(ValueError, match="seed ids"):
+        ann_store.save_ann_index(rekeyed, path)
+    assert not ann_store.ann_index_exists(spark, path)

@@ -1,10 +1,9 @@
-"""Staged round-11 queries vs their DuckDB oracles — the driver's
-compare protocol applied BEFORE declaration (plans/staged_r11.py stays
-out of the declared registry until the round-11 head opens; see its
-module docstring). The oracle compare runs at BOTH sf0.001 (the sf_dir
-fixture) and sf0.01 (the driver's correctness SF) in this file. Also
-pins the staging contract (no staged name collides with a declared one,
-every staged query has an oracle) plus per-query semantic invariants."""
+"""Diagnostics-tranche queries (promoted round 11; staged round 10 as
+plans/staged_r11.py) vs their DuckDB oracles — the driver's compare
+protocol at BOTH sf0.001 (the sf_dir fixture) and sf0.01 (the driver's
+correctness SF), plus per-query semantic invariants. The declaration
+contract test pins that every tranche name is in the declared
+surface with the identical oracle."""
 
 from __future__ import annotations
 
@@ -12,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrypoint
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r11 import (
+from terraform_aws_lambda_kinesis_to_es_spark.plans.diagnostics_queries import (
     AB_PERMS,
     ORACLES,
     PACK_LENGTHS,
@@ -52,9 +51,17 @@ def test_staged_query_matches_oracle_sf001(name, spark, duck01):
     assert res["ok"], f"{name}: {res}"
 
 
-def test_staging_contract():
+def test_declaration_contract():
+    """Promoted round 11: every tranche name is declared with the
+    identical oracle, and the 12 names head the declared surface
+    (driver check order = declaration order)."""
     assert set(QUERIES) == set(ORACLES)
-    assert not set(QUERIES) & set(entrypoint.queries())
+    declared_q = entrypoint.queries()
+    declared_o = entrypoint.oracle_sql()
+    assert set(QUERIES) <= set(declared_q)
+    for name, sql in ORACLES.items():
+        assert declared_o[name] == sql
+    assert list(declared_q)[:12] == list(QUERIES)
 
 
 # ------------------------------------------------------ semantic pins

@@ -190,8 +190,8 @@ _INTENTIONAL_PRODUCT = {
     "q_quality_sweep",     # bounded ttr histogram x broadcast(10 cuts + 1-row totals)
     "q_rejection_mix",     # |sources| rates x broadcast(1-row min / total)
     "q_mg_sketch_agreement",  # summary rows x broadcast(1-row total err)
-    # staged for round 11 (plans/staged_r11.py) — inert until promoted, but
-    # the sweep must not trip the day they join the declared surface:
+    # promoted round 11 (was plans/staged_r11.py; see
+    # test_diagnostics_queries):
     "q_hard_negatives",    # corpus x broadcast(bounded id-hash anchor panel)
     "q_dedup_cascade",     # four 1-row stage counts crossJoin-attached
 }
