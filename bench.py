@@ -43,29 +43,32 @@ from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: 
 # (current median / reference median). Cross-round comparisons divide
 # totals by it — BENCH_r06 vs r05 carried a uniform ~1.26x contention
 # factor that read as a fake regression (PERF.md).
-CANARY_REFS = {
-    "q_validate_route": 0.23,
-    "q_index_name": 0.214,
-    "q_daily_counts": 0.275,
-}
-
-# Round-11 addition (VERDICT r10 #1): the three originals are 0.2 s
-# map-only queries — they track scheduler/JIT latency but not
-# memory-bandwidth or shuffle contention, so BENCH_r10 could read
+# Round-11 re-baseline (VERDICT r10 #1): the original three canaries
+# are 0.2 s map-only queries — they track scheduler/JIT latency but
+# not memory-bandwidth or shuffle contention, so BENCH_r10 could read
 # "host 15% faster" from the canaries while the heavy shared
-# headliners ran 13% slower. Two mid-weight canaries whose resource
-# profile matches the heavy queries: one shuffle-bound (bigram
-# explode -> groupBy over the document corpus: wide exchange, hash
-# agg) and one CPU-bound (all-column profiling aggs: whole-stage
-# codegen arithmetic over every row, negligible shuffle). Reference
-# medians measured on this host idle at round 11 (median of 5,
-# PERF.md round-11 section); both query bodies are frozen plans
-# whose cost cannot drift with algorithm work elsewhere.
-CANARY_REFS_MID = {
-    "q_cooccurrence": 0.97,   # shuffle-bound
-    "q_profile_columns": 2.046,  # CPU-bound
+# headliners ran 13% slower (the idle A/B rerun showed the heavy
+# moves were contention — PERF.md round-11 section). Two mid-weight
+# canaries whose resource profile matches the heavy queries were
+# added: one shuffle-bound (bigram explode -> groupBy over the
+# document corpus: wide exchange, hash agg) and one CPU-bound
+# (all-column profiling aggs: whole-stage codegen arithmetic over
+# every row, negligible shuffle). All five references are the
+# round-11 idle-host medians-of-5 (one measurement epoch — mixing
+# the old r7-epoch refs with r11-epoch refs would skew the median);
+# pre-r11 canary_factors used the r7 epoch, which this host reads
+# ~0.81x of (divide old factors by 0.81 to compare). Every canary
+# body is a frozen plan whose true cost cannot drift with algorithm
+# work elsewhere.
+CANARY_REFS = {
+    # map-only latency trio (r7 epoch: 0.23 / 0.214 / 0.275)
+    "q_validate_route": 0.171,
+    "q_index_name": 0.202,
+    "q_daily_counts": 0.209,
+    # mid-weight pair, new round 11
+    "q_cooccurrence": 0.943,     # shuffle-bound
+    "q_profile_columns": 1.649,  # CPU-bound
 }
-CANARY_REFS = {**CANARY_REFS, **CANARY_REFS_MID}
 
 # Headliner set policy (VERDICT r9 #6): HARD CAP at 80 names. Each
 # promotion adds at most the tranche's representative shapes (~6-8);

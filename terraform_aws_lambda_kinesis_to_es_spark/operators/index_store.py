@@ -135,6 +135,15 @@ class LocalIndexFS:
     def mtime(self, rel: str) -> float:
         return os.path.getmtime(self._p(rel))
 
+    def count_files(self, rel: str) -> int:
+        """Data files under artifact dir ``rel``, recursive (hive
+        partition subdirs included), ignoring marker/hidden files —
+        the streaming auto-compaction trigger's input."""
+        total = 0
+        for _root, _dirs, files in os.walk(self._p(rel)):
+            total += sum(1 for f in files if not f.startswith(("_", ".")))
+        return total
+
 
 class HadoopIndexFS:
     """Control-plane ops through the Hadoop FileSystem of the path's
@@ -189,6 +198,21 @@ class HadoopIndexFS:
 
     def mtime(self, rel: str) -> float:
         return self._fs.getFileStatus(self._jp(rel)).getModificationTime() / 1000.0
+
+    def count_files(self, rel: str) -> int:
+        """Recursive data-file count under ``rel`` via the FileSystem's
+        listFiles RemoteIterator (one listing RPC stream on HDFS/S3A —
+        no per-file stat)."""
+        jp = self._jp(rel)
+        if not self._fs.exists(jp):
+            return 0
+        it = self._fs.listFiles(jp, True)
+        total = 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                total += 1
+        return total
 
 
 def index_fs(spark, path: str):

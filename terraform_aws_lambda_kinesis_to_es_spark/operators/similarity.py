@@ -1239,7 +1239,18 @@ def knn_ivfpq_indexed(
     contract (ADC over probed lists, ties to lowest neighbor id), but the
     corpus is never scanned — only the loaded codes (partition-pruned to
     the probed lists) and the broadcast codebook. Result equality with
-    the build-inline path is pinned by tests/test_components.py."""
+    the build-inline path is pinned by tests/test_components.py.
+
+    Probe-width rule (the q_ann_probe_curve finding, VERDICT r10 #4):
+    on this pure-ADC path recall@k is NOT monotone in ``n_probes`` —
+    measured 4000 bp at 2 probes vs 3400 bp at 8 on the test
+    embeddings, because extra candidates ranked by QUANTIZED distance
+    displace true neighbors from the top-k. Do not widen ``n_probes``
+    here expecting better recall; spend a bigger probe budget through
+    :func:`knn_ivfpq_rerank_indexed`, whose exact re-rank stage is what
+    makes wide probes pay (its default is the wide RERANK_PROBES for
+    exactly this reason). The serving recall floor is pinned by
+    tests/test_ann_store.py::test_ann_serving_recall_floor_and_rerank_rule."""
     from pyspark.sql import Window
 
     summed = _ivfpq_adc(
@@ -1273,7 +1284,15 @@ def knn_ivfpq_rerank_indexed(
     reads only the loaded index; ``corpus`` is touched exclusively by the
     exact leg's broadcast-shortlist join (n_q x shortlist rows fetch true
     vectors — at rest, an id-bucketed vector table prunes the same way
-    the codes table does on list_id)."""
+    the codes table does on list_id).
+
+    This is the recall-oriented serving default (rerank-at-wide-probe):
+    the wide ``RERANK_PROBES`` default is justified by the
+    q_ann_probe_curve finding — pure-ADC recall DEGRADES with probe
+    width (quantized-distance impostors displace true neighbors), while
+    candidate coverage grows monotonically; the exact re-rank converts
+    that coverage into recall. Floor pinned by
+    tests/test_ann_store.py::test_ann_serving_recall_floor_and_rerank_rule."""
     from pyspark.sql import Window
 
     summed = _ivfpq_adc(

@@ -36,6 +36,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import ann_store
+from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+
+def maybe_compact_ann_index(
+    spark, index_path: str, compact_after_files: int
+) -> bool:
+    """Auto-compaction policy, the ANN twin of
+    :func:`~...streaming.index_ingest.maybe_compact_lsh_index`
+    (VERDICT r10 #6): compact when the active generation's codes
+    artifact holds >= ``compact_after_files`` data files (recursive —
+    the codes table is hive-partitioned by list_id, so every extend
+    adds up to |written lists| files, and replayed batches add files
+    without adding distinct ids). One listing per check, no Spark job.
+    Safe inside ``foreachBatch`` — the stream is the single writer, so
+    extend and compact are strictly sequential; readers stay on the
+    previous generation until the manifest commit."""
+    info = ann_store.ann_index_info(spark, index_path)
+    fs = index_store.index_fs(spark, index_path)
+    rel = info["codes"].rsplit("/", 1)[-1]
+    if fs.count_files(rel) < compact_after_files:
+        return False
+    ann_store.compact_ann_index(spark, index_path)
+    return True
 
 
 def ingest_batch(
@@ -43,10 +66,13 @@ def ingest_batch(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    compact_after_files: int | None = None,
 ) -> int:
     """One micro-batch of the ANN ingest protocol; returns the indexed
     row count. Exposed separately so batch backfills and tests drive
-    the exact code the stream runs."""
+    the exact code the stream runs. ``compact_after_files`` arms
+    :func:`maybe_compact_ann_index` after the extend (None = manual
+    compaction, the pre-r11 behavior)."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, vec_col).persist()
     try:
@@ -61,6 +87,8 @@ def ingest_batch(
             ann_store.save_ann_index(
                 batch, index_path, id_col=id_col, vec_col=vec_col
             )
+        if compact_after_files is not None:
+            maybe_compact_ann_index(spark, index_path, compact_after_files)
         return n
     finally:
         batch.unpersist()
@@ -72,14 +100,23 @@ def ann_ingest_stream(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    compact_after_files: int | None = None,
 ):
     """Wire :func:`ingest_batch` behind ``foreachBatch`` and return the
     (unstarted) ``DataStreamWriter`` — callers pick the trigger and
     call ``.start()``. The checkpoint makes batch replay the ONLY
-    duplication mode (see the module contract above)."""
+    duplication mode (see the module contract above).
+    ``compact_after_files`` arms per-batch auto-compaction
+    (:func:`maybe_compact_ann_index`)."""
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        ingest_batch(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+        ingest_batch(
+            batch_df,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            compact_after_files=compact_after_files,
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_process)

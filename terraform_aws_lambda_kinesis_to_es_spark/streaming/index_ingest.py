@@ -49,6 +49,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+
+def maybe_compact_lsh_index(
+    spark, index_path: str, compact_after_files: int
+) -> bool:
+    """Auto-compaction policy (VERDICT r10 #6 — without it the ingest
+    appends forever and compaction is a manual chore): compact when the
+    ACTIVE generation's buckets artifact holds >= ``compact_after_files``
+    data files. File count is the right trigger primitive — every
+    extend appends at least one file per written partition, and a
+    REPLAYED batch appends files without adding distinct ids, so the
+    counter captures both ordinary append fragmentation and replay
+    bloat; it is also one recursive listing (no Spark job, no row
+    counts) per check. Returns True when a compaction ran. Safe inside
+    ``foreachBatch``: the stream is the index's single writer, so the
+    extend and this compaction are strictly sequential (the
+    append-vs-rewrite exclusion extend_lsh_index documents), and the
+    manifest protocol keeps concurrent READERS on the previous
+    generation."""
+    info = D.lsh_index_info(spark, index_path)
+    fs = index_store.index_fs(spark, index_path)
+    rel = info["buckets"].rsplit("/", 1)[-1]
+    if fs.count_files(rel) < compact_after_files:
+        return False
+    D.compact_lsh_index(spark, index_path)
+    return True
 
 
 def ingest_batch(
@@ -58,10 +85,14 @@ def ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_bp: int = 5000,
+    compact_after_files: int | None = None,
 ) -> int:
     """One micro-batch of the ingest protocol (probe → accept → extend
-    → sink); returns the accepted-row count. Exposed separately so
-    batch backfills and tests drive the exact code the stream runs."""
+    → sink → auto-compact); returns the accepted-row count. Exposed
+    separately so batch backfills and tests drive the exact code the
+    stream runs. ``compact_after_files`` arms
+    :func:`maybe_compact_lsh_index` after the extend (None = manual
+    compaction, the pre-r11 behavior)."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).persist()
     caches: list[DataFrame] = [batch]
@@ -155,6 +186,8 @@ def ingest_batch(
                 D.save_lsh_index(
                     accepted, index_path, text_col=text_col, id_col=id_col
                 )
+        if compact_after_files is not None:
+            maybe_compact_lsh_index(spark, index_path, compact_after_files)
         return n_accepted
     finally:
         for c in caches:
@@ -169,11 +202,14 @@ def neardup_ingest_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_bp: int = 5000,
+    compact_after_files: int | None = None,
 ):
     """Wire :func:`ingest_batch` behind ``foreachBatch`` and return the
     (unstarted) ``DataStreamWriter`` — callers pick the trigger and
     call ``.start()``. The checkpoint makes batch replay the ONLY
-    duplication mode (see the module contract above)."""
+    duplication mode (see the module contract above).
+    ``compact_after_files`` arms per-batch auto-compaction
+    (:func:`maybe_compact_lsh_index`)."""
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         ingest_batch(
@@ -183,6 +219,7 @@ def neardup_ingest_stream(
             text_col=text_col,
             id_col=id_col,
             threshold_bp=threshold_bp,
+            compact_after_files=compact_after_files,
         )
 
     return (

@@ -200,3 +200,74 @@ def test_ingest_batch_bootstraps_fresh_index(spark, sf_dir, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(acc).collect()
     } == batch_ids - rejected
+
+
+def test_ingest_stream_auto_compaction_matches_greedy_oracle(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 #6: with the per-batch file-count auto-compaction
+    armed (compact_after_files=1 — every micro-batch triggers one), the
+    stream's accept set and final served index must STILL equal the
+    greedy oracle's (nothing dropped, nothing duplicated), and the
+    generation number must prove compactions committed mid-stream."""
+    docs = load_split(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    pair_set = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in D.minhash_dedup_pairs(docs).collect()
+    }
+    seed_ids = [r["doc_id"] for r in seed.collect()]
+    batches = [
+        [{"doc_id": r["doc_id"], "text": r["text"]} for r in b.collect()]
+        for b in (b1, b2)
+    ]
+    want_accepted, want_indexed = _simulate(seed_ids, batches, pair_set)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _stage_batches(src, batches)
+    index_uri = f"file://{tmp_path}/index"  # remote-scheme serving path
+    accept_dir = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+
+    D.save_lsh_index(seed, index_uri)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        neardup_ingest_stream(
+            stream, index_uri, accept_dir, ck, compact_after_files=1
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "ingest stream did not finish"
+
+    got_accepted = {
+        r["doc_id"] for r in spark.read.parquet(accept_dir).collect()
+    }
+    assert got_accepted == want_accepted
+
+    _b, s = D.load_lsh_index(spark, index_uri)
+    got_indexed = {r["doc_id"] for r in s.select("doc_id").distinct().collect()}
+    shingled = {
+        r["doc_id"]
+        for r in D.with_hashed_shingles(docs)
+        .filter(F.size("sh_hashes") > 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert got_indexed == want_indexed & shingled
+    # no duplicate rows survive the final compaction: one bucket-row set
+    # per (doc, band) — distinct equals raw count on (doc_id, band)
+    b_rows, _sh = D.load_lsh_index(spark, index_uri)
+    assert b_rows.count() == b_rows.distinct().count()
+
+    # seed save committed v1; each micro-batch's policy compaction
+    # committed a new generation on top
+    assert D.lsh_index_info(spark, index_uri)["version"] > 1

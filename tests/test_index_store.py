@@ -343,3 +343,164 @@ def test_gc_rejects_kind_incomplete_prev_manifest(tmp_path):
     assert "shingles-000001-aa" not in names
     for d in a2.values():
         assert d in names
+
+
+# ---------------------------------------------------------------------
+# Commit-point call-sequence contract through a RECORDING adapter
+# (VERDICT r10 #5): the file:// e2e runs prove the protocol works on
+# two Hadoop FileSystem implementations, but they cannot prove WHICH
+# calls carry the correctness burden. This mock — the same six-method
+# adapter surface index_fs() returns — records every control-plane
+# call and delegates to the local adapter, so the tests below pin the
+# EXACT sequence any new scheme adapter must honor: the commit is ONE
+# write_text_exclusive of the next manifest (never exists-then-write,
+# never delete+rewrite of a manifest name), staged data precedes the
+# commit, and GC deletes strictly AFTER it.
+
+
+class RecordingIndexFS:
+    def __init__(self, inner) -> None:
+        self.inner = inner
+        self.calls: list[tuple[str, str]] = []
+        self.root = inner.root
+
+    def _rec(self, op: str, rel: str = ""):
+        self.calls.append((op, rel))
+
+    def exists(self, rel):
+        self._rec("exists", rel)
+        return self.inner.exists(rel)
+
+    def listdir(self):
+        self._rec("listdir")
+        return self.inner.listdir()
+
+    def read_text(self, rel):
+        self._rec("read_text", rel)
+        return self.inner.read_text(rel)
+
+    def write_text_exclusive(self, rel, text):
+        self._rec("write_text_exclusive", rel)
+        return self.inner.write_text_exclusive(rel, text)
+
+    def delete(self, rel):
+        self._rec("delete", rel)
+        self.inner.delete(rel)
+
+    def mtime(self, rel):
+        self._rec("mtime", rel)
+        return self.inner.mtime(rel)
+
+    def count_files(self, rel):
+        self._rec("count_files", rel)
+        return self.inner.count_files(rel)
+
+
+def test_save_commit_sequence_is_one_exclusive_create(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """save_lsh_index through the recording adapter: exactly ONE
+    exclusive manifest create, it is the LAST control-plane mutation,
+    no manifest is ever deleted or probed-then-written, and the staged
+    artifact dirs exist on disk BEFORE the commit call fires."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    rec: dict[str, RecordingIndexFS] = {}
+    real_index_fs = ix.index_fs
+
+    def spy(spark_arg, path):
+        fs = RecordingIndexFS(real_index_fs(spark_arg, path))
+        rec["fs"] = fs
+        return fs
+
+    monkeypatch.setattr(ix, "index_fs", spy)
+    # make the commit-time staging check possible: wrap commit_manifest
+    # to snapshot the staged dirs at the moment of the create
+    staged_at_commit: dict[str, bool] = {}
+    real_commit = ix.commit_manifest
+
+    def commit_spy(fs, version, artifacts):
+        staged_at_commit["all_staged"] = all(
+            os.path.isdir(os.path.join(fs.root, d)) for d in artifacts.values()
+        )
+        real_commit(fs, version, artifacts)
+
+    monkeypatch.setattr(ix, "commit_manifest", commit_spy)
+    monkeypatch.setattr(D.index_store, "index_fs", spy, raising=False)
+    monkeypatch.setattr(
+        D.index_store, "commit_manifest", commit_spy, raising=False
+    )
+
+    docs = load_split(spark, sf_dir, "documents").select("doc_id", "text")
+    D.save_lsh_index(docs.filter(F.col("doc_id") % 7 == 0), str(tmp_path / "idx"))
+
+    calls = rec["fs"].calls
+    creates = [c for c in calls if c[0] == "write_text_exclusive"]
+    assert len(creates) == 1 and creates[0][1] == "manifest-000001.json"
+    assert staged_at_commit["all_staged"]  # data staged before commit
+    deletes = [c for c in calls if c[0] == "delete"]
+    assert deletes == []  # a save never deletes anything
+    # the exclusive create is the FINAL mutation — nothing writes after
+    assert calls.index(creates[0]) == len(calls) - 1 or all(
+        op in ("exists", "listdir", "read_text", "mtime", "count_files")
+        for op, _ in calls[calls.index(creates[0]) + 1 :]
+    )
+
+
+def test_compact_sequence_locks_then_commits_then_gcs(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """compact_lsh_index through the recording adapter: the exact order
+    any adapter must support is lock-create -> (rewrite) -> manifest
+    exclusive-create -> GC deletes -> lock release. Deleting anything
+    BEFORE the manifest create would destroy the live generation on a
+    crash; releasing the lock before GC would let a second compactor
+    race the deletes."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    D.save_lsh_index(docs.filter(F.col("doc_id") % 7 == 0), path)
+    D.extend_lsh_index(docs.filter(F.col("doc_id") % 7 == 1), path)
+
+    rec: dict[str, RecordingIndexFS] = {}
+    real_index_fs = ix.index_fs
+
+    def spy(spark_arg, p):
+        fs = RecordingIndexFS(real_index_fs(spark_arg, p))
+        rec.setdefault("fs", fs)
+        return rec["fs"] if rec["fs"].root == fs.root else fs
+
+    monkeypatch.setattr(ix, "index_fs", spy)
+    monkeypatch.setattr(D.index_store, "index_fs", spy, raising=False)
+
+    D.compact_lsh_index(spark, path)
+
+    calls = rec["fs"].calls
+    creates = [
+        (i, rel)
+        for i, (op, rel) in enumerate(calls)
+        if op == "write_text_exclusive"
+    ]
+    # exactly two exclusive creates: the lock, then the next manifest
+    assert [rel for _i, rel in creates] == [
+        ix.LOCK_NAME,
+        "manifest-000002.json",
+    ]
+    lock_i, manifest_i = creates[0][0], creates[1][0]
+    deletes = [
+        (i, rel) for i, (op, rel) in enumerate(calls) if op == "delete"
+    ]
+    assert deletes, "GC must run"
+    first_delete = deletes[0][0]
+    assert lock_i < manifest_i < first_delete  # lock -> commit -> GC
+    # the lock release is the LAST delete (GC never touches the lock;
+    # pinned separately above) and happens after every GC delete
+    assert deletes[-1][1] == ix.LOCK_NAME
+    assert all(rel != ix.LOCK_NAME for _i, rel in deletes[:-1])
