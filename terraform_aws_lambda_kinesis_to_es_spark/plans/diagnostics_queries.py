@@ -451,6 +451,12 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's exhaustive Jaccard is oracle-SF only), and three 1-row
     aggregates unioned."""
     base = load_split(spark, sf_dir, "documents").select("doc_id", "text")
+    # NOT persisted (measured): caching this ~1.25x-corpus union costs
+    # more than the repeated scans it saves — the branches are cheap
+    # parquet scans that whole-stage-fuse into their consumers, and a
+    # cache barrier between them blocks that (min 4.8 s uncached vs
+    # 6.1 s cached at sf0.1; the 1-row totals persist below is where
+    # the real win is)
     docs = (
         base.unionByName(
             base.filter(F.col("doc_id") % DC_EXACT_MOD == 0).select(
@@ -483,8 +489,12 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = s2.agg(F.count("*").cast("bigint").alias("n2"))
     n3r = removed3.agg(F.count("*").cast("bigint").alias("n3r"))
     # 1-row x 1-row products: the totals attach (whitelisted in
-    # tests/test_plan_shape.py)
-    base = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3r)
+    # tests/test_plan_shape.py). PERSISTED: the three stage frames below
+    # each reference this subtree, and without the cache the UNION
+    # re-derives the entire funnel lineage — including the near-dup
+    # detector — once per branch (measured 9.6 s -> the detector ran
+    # 3x; the cache makes it run once, round-11 bench note in PERF.md).
+    base = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3r).persist()
     rows = [
         ("exact", "n0", "n1"),
         ("normalized", "n1", "n2"),
