@@ -322,17 +322,23 @@ def main() -> None:
     # round. Persist the full per-query table as a side artifact
     # (the SPARK_GRAFT_SWEEP_OUT pattern from examples/scale_sweep.py);
     # BENCH_latest.json is committed per round so cross-round per-query
-    # comparisons cover 80/80.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_latest.json"),
-    )
-    try:
-        with open(out_path, "w") as fh:
-            json.dump(payload, fh, indent=1)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"side artifact not written ({exc})", file=sys.stderr)
+    # comparisons cover 80/80. A SUBSET run (SPARK_GRAFT_QUERIES) never
+    # writes the committed default path — a one-query A/B spot-check
+    # must not clobber the round's full 80-query record (round-11
+    # review); point SPARK_GRAFT_BENCH_OUT somewhere to keep subset
+    # artifacts.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None and headline == HEADLINE:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_latest.json"
+        )
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=1)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"side artifact not written ({exc})", file=sys.stderr)
     # VERDICT r8 #2: the big JSON above can overflow a log-tail capture
     # window (BENCH_r08's driver artifact kept only the last ~44 per-query
     # entries and parsed as null). Emit ONE final compact line so ANY

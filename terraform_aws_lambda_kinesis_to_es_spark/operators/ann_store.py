@@ -145,15 +145,27 @@ def save_ann_index(
     arts = index_store.artifact_names(ver, ANN_KINDS)
     cb = pq_codebook(corpus, id_col, vec_col).persist()
     try:
-        n_cb = cb.count()
-        if n_cb < PQ_M * PQ_K:
+        # one job, two facts: total rows AND distinct (m, code) keys.
+        # Distinct matters (round-11 review): duplicate ids inside the
+        # seed range would keep the TOTAL at PQ_M*PQ_K while a seed id
+        # is missing — and duplicate (m, code) rows fan out the ADC
+        # broadcast join, silently corrupting every probe's ranking.
+        stats = cb.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("m", "code").alias("nd"),
+        ).first()
+        want = PQ_M * PQ_K
+        if stats["n"] != want or stats["nd"] != want:
             raise ValueError(
-                f"pq_codebook trained only {n_cb}/{PQ_M * PQ_K} rows: the "
-                f"corpus is missing some of the PQ_K={PQ_K} seed ids "
-                f"(rows with {id_col} in 0..{PQ_K - 1}). Committing would "
-                "produce a dead index (extends encode to nothing, probes "
-                "return nothing). Re-key the seed batch to a dense 0-based "
-                "id space or train the codebook on a re-keyed sample."
+                f"pq_codebook is malformed: {stats['n']} rows / "
+                f"{stats['nd']} distinct (m, code) keys, need exactly "
+                f"{want} of each — the corpus must hold each of the "
+                f"PQ_K={PQ_K} seed ids ({id_col} in 0..{PQ_K - 1}) "
+                "exactly once. Committing would produce a dead or "
+                "ranking-corrupting index (missing seeds: extends encode "
+                "to nothing, probes return nothing; duplicate seeds: the "
+                "ADC join fans out). Re-key the seed batch to a dense "
+                "0-based id space or train on a re-keyed sample."
             )
         idx = ivfpq_index(corpus, id_col, vec_col, codebook=cb)
         idx.write.partitionBy("list_id").mode("overwrite").parquet(

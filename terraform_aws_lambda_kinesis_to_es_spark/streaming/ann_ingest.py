@@ -40,25 +40,34 @@ from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
 
 
 def maybe_compact_ann_index(
-    spark, index_path: str, compact_after_files: int
-) -> bool:
+    spark, index_path: str, compact_after_files: int, floor: int = 0
+) -> int | None:
     """Auto-compaction policy, the ANN twin of
     :func:`~...streaming.index_ingest.maybe_compact_lsh_index`
-    (VERDICT r10 #6): compact when the active generation's codes
-    artifact holds >= ``compact_after_files`` data files (recursive —
-    the codes table is hive-partitioned by list_id, so every extend
-    adds up to |written lists| files, and replayed batches add files
-    without adding distinct ids). One listing per check, no Spark job.
-    Safe inside ``foreachBatch`` — the stream is the single writer, so
-    extend and compact are strictly sequential; readers stay on the
-    previous generation until the manifest commit."""
-    info = ann_store.ann_index_info(spark, index_path)
-    fs = index_store.index_fs(spark, index_path)
-    rel = info["codes"].rsplit("/", 1)[-1]
-    if fs.count_files(rel) < compact_after_files:
-        return False
-    ann_store.compact_ann_index(spark, index_path)
-    return True
+    (VERDICT r10 #6; one shared body —
+    ``index_store.maybe_compact_index`` — so the twins cannot drift):
+    compact when the active generation's codes artifact has grown
+    ``compact_after_files`` data files past ``floor`` (growth-based:
+    the list_id-partitioned codes table has an irreducible >=16-file
+    floor an absolute threshold would re-trigger on forever). Every
+    extend adds up to |written lists| files, and replayed batches add
+    files without adding distinct ids, so growth captures both
+    fragmentation and replay bloat. One listing per check, no Spark
+    job; a live compact.lock skips rather than failing the batch.
+    Returns the new post-compaction count (the next floor) when a
+    compaction ran, else None. Safe inside ``foreachBatch`` — the
+    stream is the single writer, so extend and compact are strictly
+    sequential; readers stay on the previous generation until the
+    manifest commit."""
+    return index_store.maybe_compact_index(
+        spark,
+        index_path,
+        compact_after_files,
+        info_fn=ann_store.ann_index_info,
+        artifact_key="codes",
+        compact_fn=ann_store.compact_ann_index,
+        floor=floor,
+    )
 
 
 def ingest_batch(
@@ -67,12 +76,15 @@ def ingest_batch(
     id_col: str = "vec_id",
     vec_col: str = "v",
     compact_after_files: int | None = None,
+    compact_state: dict | None = None,
 ) -> int:
     """One micro-batch of the ANN ingest protocol; returns the indexed
     row count. Exposed separately so batch backfills and tests drive
     the exact code the stream runs. ``compact_after_files`` arms
     :func:`maybe_compact_ann_index` after the extend (None = manual
-    compaction, the pre-r11 behavior)."""
+    compaction, the pre-r11 behavior); ``compact_state`` carries the
+    learned post-compaction file floor across batches (the stream
+    wrapper owns one per query)."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, vec_col).persist()
     try:
@@ -88,7 +100,15 @@ def ingest_batch(
                 batch, index_path, id_col=id_col, vec_col=vec_col
             )
         if compact_after_files is not None:
-            maybe_compact_ann_index(spark, index_path, compact_after_files)
+            state = compact_state if compact_state is not None else {}
+            new_floor = maybe_compact_ann_index(
+                spark,
+                index_path,
+                compact_after_files,
+                floor=state.get("floor", 0),
+            )
+            if new_floor is not None:
+                state["floor"] = new_floor
         return n
     finally:
         batch.unpersist()
@@ -107,7 +127,10 @@ def ann_ingest_stream(
     call ``.start()``. The checkpoint makes batch replay the ONLY
     duplication mode (see the module contract above).
     ``compact_after_files`` arms per-batch auto-compaction
-    (:func:`maybe_compact_ann_index`)."""
+    (:func:`maybe_compact_ann_index`); the closure owns the mutable
+    floor state, so the growth-based trigger survives across this
+    query's micro-batches."""
+    compact_state: dict = {}
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         ingest_batch(
@@ -116,6 +139,7 @@ def ann_ingest_stream(
             id_col=id_col,
             vec_col=vec_col,
             compact_after_files=compact_after_files,
+            compact_state=compact_state,
         )
 
     return (

@@ -53,29 +53,37 @@ from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
 
 
 def maybe_compact_lsh_index(
-    spark, index_path: str, compact_after_files: int
-) -> bool:
+    spark, index_path: str, compact_after_files: int, floor: int = 0
+) -> int | None:
     """Auto-compaction policy (VERDICT r10 #6 — without it the ingest
-    appends forever and compaction is a manual chore): compact when the
-    ACTIVE generation's buckets artifact holds >= ``compact_after_files``
-    data files. File count is the right trigger primitive — every
-    extend appends at least one file per written partition, and a
-    REPLAYED batch appends files without adding distinct ids, so the
-    counter captures both ordinary append fragmentation and replay
-    bloat; it is also one recursive listing (no Spark job, no row
-    counts) per check. Returns True when a compaction ran. Safe inside
+    appends forever and compaction is a manual chore): compact when
+    the ACTIVE generation's buckets artifact has grown
+    ``compact_after_files`` data files past ``floor`` (the count right
+    after the last policy compaction — growth-based, because the
+    band-partitioned buckets table has an irreducible >=32-file floor
+    that an absolute threshold would re-trigger on forever). File
+    growth is the right trigger primitive — every extend appends at
+    least one file per written partition, and a REPLAYED batch appends
+    files without adding distinct ids, so the counter captures both
+    append fragmentation and replay bloat; the check is one recursive
+    listing, no Spark job. Returns the new post-compaction count (the
+    caller's next floor) when a compaction ran, else None; a live
+    compact.lock skips rather than failing the batch. Safe inside
     ``foreachBatch``: the stream is the index's single writer, so the
     extend and this compaction are strictly sequential (the
     append-vs-rewrite exclusion extend_lsh_index documents), and the
     manifest protocol keeps concurrent READERS on the previous
-    generation."""
-    info = D.lsh_index_info(spark, index_path)
-    fs = index_store.index_fs(spark, index_path)
-    rel = info["buckets"].rsplit("/", 1)[-1]
-    if fs.count_files(rel) < compact_after_files:
-        return False
-    D.compact_lsh_index(spark, index_path)
-    return True
+    generation. Body shared with the ANN twin
+    (``index_store.maybe_compact_index``)."""
+    return index_store.maybe_compact_index(
+        spark,
+        index_path,
+        compact_after_files,
+        info_fn=D.lsh_index_info,
+        artifact_key="buckets",
+        compact_fn=D.compact_lsh_index,
+        floor=floor,
+    )
 
 
 def ingest_batch(
@@ -86,13 +94,17 @@ def ingest_batch(
     id_col: str = "doc_id",
     threshold_bp: int = 5000,
     compact_after_files: int | None = None,
+    compact_state: dict | None = None,
 ) -> int:
     """One micro-batch of the ingest protocol (probe → accept → extend
     → sink → auto-compact); returns the accepted-row count. Exposed
     separately so batch backfills and tests drive the exact code the
     stream runs. ``compact_after_files`` arms
     :func:`maybe_compact_lsh_index` after the extend (None = manual
-    compaction, the pre-r11 behavior)."""
+    compaction, the pre-r11 behavior); ``compact_state`` is the
+    caller's mutable dict carrying the learned post-compaction file
+    floor across batches (the stream wrapper owns one per query; a
+    stateless caller omits it and pays at most one early compaction)."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).persist()
     caches: list[DataFrame] = [batch]
@@ -187,7 +199,15 @@ def ingest_batch(
                     accepted, index_path, text_col=text_col, id_col=id_col
                 )
         if compact_after_files is not None:
-            maybe_compact_lsh_index(spark, index_path, compact_after_files)
+            state = compact_state if compact_state is not None else {}
+            new_floor = maybe_compact_lsh_index(
+                spark,
+                index_path,
+                compact_after_files,
+                floor=state.get("floor", 0),
+            )
+            if new_floor is not None:
+                state["floor"] = new_floor
         return n_accepted
     finally:
         for c in caches:
@@ -209,7 +229,11 @@ def neardup_ingest_stream(
     call ``.start()``. The checkpoint makes batch replay the ONLY
     duplication mode (see the module contract above).
     ``compact_after_files`` arms per-batch auto-compaction
-    (:func:`maybe_compact_lsh_index`)."""
+    (:func:`maybe_compact_lsh_index`); the closure owns the mutable
+    floor state, so the growth-based trigger survives across this
+    query's micro-batches (a restart re-learns it at the cost of at
+    most one early compaction)."""
+    compact_state: dict = {}
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         ingest_batch(
@@ -220,6 +244,7 @@ def neardup_ingest_stream(
             id_col=id_col,
             threshold_bp=threshold_bp,
             compact_after_files=compact_after_files,
+            compact_state=compact_state,
         )
 
     return (

@@ -254,3 +254,27 @@ def test_ann_serving_recall_floor_and_rerank_rule(spark, sf_dir, tmp_path):
     assert rerank_default >= 0.90, rerank_default  # (a) serving floor
     assert rerank_default > adc_wide  # (b) rerank converts coverage
     assert adc_narrow >= adc_wide  # (c) the non-monotonicity the rule cites
+
+
+def test_ann_save_refuses_duplicate_seed_ids(spark, sf_dir, tmp_path):
+    """Round-11 review: a corpus with a DUPLICATE id inside the seed
+    range (and therefore a missing one) keeps the codebook's raw row
+    count at PQ_M*PQ_K while the (m, code) key set is short — the
+    row-count-only guard would commit a codebook whose duplicate keys
+    fan out the ADC join and silently corrupt every probe's ranking.
+    The distinct-keyed guard must refuse it."""
+    import pytest
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.similarity import PQ_K
+
+    vecs = _vec(spark, sf_dir).filter(F.col("vec_id") < SPLIT)
+    dup = vecs.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == PQ_K - 1, F.lit(0)).otherwise(
+            F.col("vec_id")
+        ),
+    )
+    path = str(tmp_path / "ann_dup")
+    with pytest.raises(ValueError, match="exactly once"):
+        ann_store.save_ann_index(dup, path)
+    assert not ann_store.ann_index_exists(spark, path)

@@ -271,3 +271,50 @@ def test_ingest_stream_auto_compaction_matches_greedy_oracle(
     # seed save committed v1; each micro-batch's policy compaction
     # committed a new generation on top
     assert D.lsh_index_info(spark, index_uri)["version"] > 1
+
+
+def test_auto_compaction_growth_trigger_and_lock_skip(spark, sf_dir, tmp_path):
+    """Round-11 review fixes on the policy itself: (a) the trigger is
+    GROWTH past the learned post-compaction floor, not absolute count —
+    the band-partitioned buckets artifact floors at >=32 files, so an
+    absolute threshold <= 32 would re-trigger a full index rewrite on
+    every batch forever; (b) a live compact.lock (e.g. left by a
+    crashed compactor, stale for up to its timeout) SKIPS the policy
+    compaction instead of failing the micro-batch whose sink/extend are
+    already durable."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import (
+        dedup as D,
+        index_store as ix,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+    from terraform_aws_lambda_kinesis_to_es_spark.streaming.index_ingest import (
+        maybe_compact_lsh_index,
+    )
+
+    docs = load_split(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    D.save_lsh_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    D.extend_lsh_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+
+    floor = maybe_compact_lsh_index(spark, path, 1, floor=0)
+    assert floor is not None and floor >= 1  # compacted, floor learned
+    v_after = D.lsh_index_info(spark, path)["version"]
+
+    # (a) zero growth since the compaction: count >= an absolute
+    # threshold of 1, but growth past the floor is 0 -> must NOT run
+    assert maybe_compact_lsh_index(spark, path, 1, floor=floor) is None
+    assert D.lsh_index_info(spark, path)["version"] == v_after
+
+    # (b) growth armed again, but a live lock is held: skip, not raise
+    D.extend_lsh_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    fs = ix.index_fs(spark, path)
+    assert fs.write_text_exclusive(ix.LOCK_NAME, "{}")
+    assert maybe_compact_lsh_index(spark, path, 1, floor=floor) is None
+    assert D.lsh_index_info(spark, path)["version"] == v_after
+    fs.delete(ix.LOCK_NAME)
+
+    # lock released: the same call now compacts
+    assert maybe_compact_lsh_index(spark, path, 1, floor=floor) is not None
+    assert D.lsh_index_info(spark, path)["version"] == v_after + 1

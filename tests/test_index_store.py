@@ -1,8 +1,11 @@
 """Property and unit tests for the versioned-manifest commit protocol
-(operators/index_store.py) on the LocalIndexFS adapter — no Spark, so
-these run in milliseconds and can afford randomized state-machine
-sweeps. The Spark-integrated paths (save/extend/compact/load, Hadoop
-adapter) are covered in tests/test_components.py."""
+(operators/index_store.py) on the LocalIndexFS adapter — mostly
+Spark-free (milliseconds, so the randomized state-machine sweeps are
+affordable), EXCEPT the two call-sequence contract tests at the bottom
+(RecordingIndexFS through the real save/compact lifecycles), which use
+the spark fixture. The other Spark-integrated paths
+(save/extend/compact/load, Hadoop adapter) are covered in
+tests/test_components.py."""
 
 from __future__ import annotations
 
