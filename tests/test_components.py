@@ -952,3 +952,36 @@ def test_write_text_exclusive_adapter_contract(spark, tmp_path):
             conf.unset("fs.file.impl.disable.cache")
         else:
             conf.set("fs.file.impl.disable.cache", old_cache)
+
+
+def test_count_files_adapter_contract(spark, tmp_path):
+    """Round-11: ``count_files`` (the auto-compaction trigger's input)
+    pinned per adapter — recursive through hive-partition subdirs,
+    marker/hidden files excluded, 0 for a missing dir — on LocalIndexFS
+    AND HadoopIndexFS (file://), whose listFiles RemoteIterator path
+    differs from os.walk."""
+    import os as _os
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
+
+    root = str(tmp_path / "idx")
+    _os.makedirs(f"{root}/art-000001/band=0")
+    _os.makedirs(f"{root}/art-000001/band=1")
+    for p in (
+        "art-000001/part-0.parquet",
+        "art-000001/band=0/part-1.parquet",
+        "art-000001/band=1/part-2.parquet",
+        "art-000001/band=1/part-3.parquet",
+        "art-000001/_SUCCESS",
+        "art-000001/.part-4.crc",
+    ):
+        with open(f"{root}/{p}", "w") as fh:
+            fh.write("x")
+
+    lfs = index_store.LocalIndexFS(root)
+    assert lfs.count_files("art-000001") == 4
+    assert lfs.count_files("absent-dir") == 0
+
+    hfs = index_store.HadoopIndexFS(spark, f"file://{root}")
+    assert hfs.count_files("art-000001") == 4
+    assert hfs.count_files("absent-dir") == 0
