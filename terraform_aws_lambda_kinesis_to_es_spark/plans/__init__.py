@@ -190,6 +190,43 @@ _R12_HEAD_PLAN = (
     "q_media_audio_stats",
 )
 
+# Round-13 head plan (explicit, written at round-11 end; the r8 tier is
+# fixed — its 50 names' latest green verdicts are round 8 in the
+# CORRECTNESS_r01-r10 union, and neither the r11 window (r11-promoted +
+# r6 tier) nor the planned r12 window (_R12_HEAD_PLAN above) touches
+# them, so the tier cannot shift before round 13): head, exactly 50 =
+#   (a) the 12 staged round-13 names from plans/staged_r13.py
+#       (the evaluation & operational-tuning tranche — built and
+#       two-SF driver-protocol-tested in round 11; promote on
+#       schedule, renamed to its promoted module);
+#   (b) the 7-name r7 residue (q_pack_sequences .. q_quantize, the
+#       tail of the r7 tier _R12_HEAD_PLAN leaves);
+#   (c) the first 31 r8-tier names in their CORRECTNESS_r08 order.
+# That leaves the last 19 r8 names (q_doc_chunks .. q_forget_users)
+# plus the r9 tier for round 14.
+_R13_HEAD_PLAN = (
+    # (a) staged r13 tranche
+    "q_split_leakage", "q_retrieval_eval", "q_contamination_sweep",
+    "q_prefix_sharing", "q_cusum_changepoint", "q_watermark_sizing",
+    "q_session_gap_curve", "q_media_integrity", "q_readability",
+    "q_mojibake", "q_poisson_bootstrap", "q_hubness",
+    # (b) r7 residue
+    "q_pack_sequences", "q_percent_change", "q_percentiles",
+    "q_phrase_search", "q_pivot_priority", "q_profile_columns",
+    "q_quantize",
+    # (c) r8 tier, CORRECTNESS_r08 order, first 31
+    "q_url_canonical", "q_weighted_reservoir", "q_layout_skipping",
+    "q_linear_quality", "q_lsh_tuning", "q_time_decay", "q_media_phash",
+    "q_kmv_overlap", "q_audio_fingerprint", "q_mmr_diversify",
+    "q_ngram_novelty", "q_join_size_est", "q_repeat_upsample",
+    "q_salted_agg", "q_semdedup", "q_set_ops", "q_source_mix",
+    "q_stratified_sample", "q_string_functions", "q_temperature_mix",
+    "q_text_normalize", "q_token_budget", "q_unigram_ppl",
+    "q_value_buckets", "q_parse_props", "q_validate_route",
+    "q_whitelist", "q_unknown_route", "q_rollup_merge",
+    "q_duplicate_payloads", "q_quality_classifier",
+)
+
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (

@@ -136,6 +136,9 @@ _INTENTIONAL_PRODUCT = {
     # pre-whitelisted staged-r12 shapes (promotion precedent, r8/r9):
     "q_ann_probe_curve",   # knn_bruteforce_l2 truth leg + 1-row total attach
     "q_dup_transitivity",  # three 1-row aggregates broadcast-joined
+    # pre-whitelisted staged-r13 shapes (same precedent):
+    "q_hubness",           # knn_bruteforce_l2 truth leg + 1-row totals attach
+    "q_cusum_changepoint",  # day spine x broadcast(single-row totals)
     "q_knn_classify",    # same knn_bruteforce core x broadcast queries
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
