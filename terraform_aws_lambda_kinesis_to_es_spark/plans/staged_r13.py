@@ -376,10 +376,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer CUSUM level-shift alarm over daily event volume: with
     x_d the day's count, D the day count and T the total, the scaled
     residual r_d = x_d*D - T (x_d minus the mean, scaled by D to stay
-    integer-exact), S_d its running sum, and CUSUM_d = S_d - min_{j<=d}
-    S_j — the classic one-sided CUSUM, exactly reproducible because
-    every intermediate is an int64. is_peak flags the argmax day(s):
-    where the upward level shift is largest.
+    integer-exact), S_d its running sum, and CUSUM_d = S_d - min(0,
+    min_{j<=d} S_j) — identical to the textbook recursion C_d =
+    max(0, C_{d-1} + r_d) (the 0 in the min is the implicit S_0 = 0;
+    without it a leading positive residual is silently absorbed — the
+    identity is pinned property-based in tests/test_properties.py).
+    Exactly reproducible because every intermediate is an int64.
+    is_peak flags the argmax day(s): where the upward level shift is
+    largest.
 
     One keyed agg to daily counts (bounded rows), one single-row
     totals attach (broadcast), then windows over the day spine — the
@@ -402,7 +406,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.crossJoin(F.broadcast(tot))
         .withColumn("resid", F.col("n_events") * F.col("nd") - F.col("total"))
         .withColumn("s", F.sum("resid").over(w))
-        .withColumn("cusum_scaled", (F.col("s") - F.min("s").over(w)).cast("bigint"))
+        .withColumn(
+            "cusum_scaled",
+            (F.col("s") - F.least(F.lit(0), F.min("s").over(w))).cast("bigint"),
+        )
     )
     return cur.select(
         "day",
@@ -427,7 +434,8 @@ s AS (
 ),
 c AS (
   SELECT day, n,
-         s - MIN(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum
+         s - LEAST(0, MIN(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+           AS cusum
   FROM s
 )
 SELECT day,

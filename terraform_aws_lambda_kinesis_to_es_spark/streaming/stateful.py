@@ -277,6 +277,73 @@ def running_type_counts(df: DataFrame, type_col: str = "log_type") -> DataFrame:
     )
 
 
+CUSUM_SCHEMA = (
+    "key string, n_obs long, cusum long, peak_cusum long, alarm boolean"
+)
+_CUSUM_STATE = "c long, n long, peak long"
+
+
+def _cusum_fn_factory(
+    target: int, alarm_at: int, value_col: str, ts_col: str, id_col: str
+):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        c, n, peak = state.get if state.exists else (0, 0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # Deterministic in-batch order: event time, then id — the same
+        # pinned (ts, id) composite every ordered operator here uses.
+        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+        for v in batch[value_col]:
+            c = max(0, c + (int(v) - target))
+            peak = max(peak, c)
+        n += len(batch)
+        state.update((c, n, peak))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n],
+                "cusum": [c],
+                "peak_cusum": [peak],
+                "alarm": [c >= alarm_at],
+            }
+        )
+
+    return fn
+
+
+def cusum_stream(
+    df: DataFrame,
+    target: int,
+    alarm_at: int,
+    key_col: str = "log_type",
+    value_col: str = "v",
+    ts_col: str = "log_ts",
+    id_col: str = "log_id",
+) -> DataFrame:
+    """Streaming one-sided CUSUM alarm: per key, maintain C = max(0,
+    C + (x - target)) over the observation stream and flag when the
+    cumulative upward drift crosses ``alarm_at`` — the on-stream twin
+    of the batch ``q_cusum_changepoint`` audit (same recursion; the
+    identity between the recursion and the batch window form is
+    property-pinned in tests/test_properties.py). The level-shift
+    monitor you run ON the pipeline (ingest volume, reject counts,
+    lateness) rather than after it.
+
+    ``target`` and observations must be integers (exact state, no
+    float drift across checkpoints); scale milli/micro upstream.
+    State is three longs per key; in-batch fold order is pinned by
+    (event time, id), so replays reproduce the same trace. Update
+    mode: one row per (key, micro-batch) with the running state."""
+    return df.groupBy(key_col).applyInPandasWithState(
+        _cusum_fn_factory(target, alarm_at, value_col, ts_col, id_col),
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def clean_project(
     df: DataFrame,
     text_col: str = "text",

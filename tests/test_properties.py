@@ -193,3 +193,44 @@ def test_wav_framing_decodes_exact_samples(data):
     assert rate == AUDIO_RATE
     assert samples.shape == (AUDIO_BYTES // 2, 1)
     assert [int(s) for s in samples[:, 0]] == list(ref)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60))
+@settings(max_examples=200)
+def test_cusum_window_form_equals_recursive_definition(xs):
+    """q_cusum_changepoint computes the one-sided CUSUM in window form
+    (S_d - min_{j<=d} S_j over scaled residuals r_d = x_d*D - T). The
+    textbook definition is the recursion C_d = max(0, C_{d-1} + r_d).
+    The two are the same function — this pins the identity the window
+    plan relies on, over arbitrary integer series."""
+    D, T = len(xs), sum(xs)
+    resid = [x * D - T for x in xs]
+    # window form: mn is min(0, min prefix S) — the 0 seed is S_0
+    s, mn, window = 0, 0, []
+    for r in resid:
+        s += r
+        mn = min(mn, s)
+        window.append(s - mn)
+    # recursive form
+    c, rec = 0, []
+    for r in resid:
+        c = max(0, c + r)
+        rec.append(c)
+    assert window == rec
+
+
+@given(st.integers(min_value=0, max_value=9_999))
+@settings(max_examples=200)
+def test_poisson_bootstrap_weight_thresholds(h):
+    """The hash-Poisson inverse-CDF thresholds partition [0, 10000)
+    exhaustively and monotonically (every hash value draws exactly one
+    weight, and weights are ordered by threshold)."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r13 import (
+        _POISSON_CUM,
+    )
+
+    w = next(
+        (i for i, t in enumerate(_POISSON_CUM) if h < t), len(_POISSON_CUM)
+    )
+    assert 0 <= w <= 4
+    assert list(_POISSON_CUM) == sorted(_POISSON_CUM)
