@@ -283,6 +283,41 @@ CUSUM_SCHEMA = (
 _CUSUM_STATE = "c long, n long, peak long"
 
 
+def _cusum_fold(
+    c: int,
+    peak: int,
+    pdfs: Iterator[pd.DataFrame],
+    target: int,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+) -> tuple[int, int, int]:
+    """Fold the CUSUM recursion over a micro-batch in pinned (ts, id)
+    order; returns (c, peak, n_rows). Shared by the
+    applyInPandasWithState form and the transformWithState port so the
+    two APIs cannot drift."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # Deterministic in-batch order: event time, then id — the same
+    # pinned (ts, id) composite every ordered operator here uses.
+    batch = batch.sort_values([ts_col, id_col], kind="mergesort")
+    for v in batch[value_col]:
+        c = max(0, c + (int(v) - target))
+        peak = max(peak, c)
+    return c, peak, len(batch)
+
+
+def _cusum_out(key: tuple, n: int, c: int, peak: int, alarm_at: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_obs": [n],
+            "cusum": [c],
+            "peak_cusum": [peak],
+            "alarm": [c >= alarm_at],
+        }
+    )
+
+
 def _cusum_fn_factory(
     target: int, alarm_at: int, value_col: str, ts_col: str, id_col: str
 ):
@@ -290,26 +325,47 @@ def _cusum_fn_factory(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         c, n, peak = state.get if state.exists else (0, 0, 0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # Deterministic in-batch order: event time, then id — the same
-        # pinned (ts, id) composite every ordered operator here uses.
-        batch = batch.sort_values([ts_col, id_col], kind="mergesort")
-        for v in batch[value_col]:
-            c = max(0, c + (int(v) - target))
-            peak = max(peak, c)
-        n += len(batch)
-        state.update((c, n, peak))
-        yield pd.DataFrame(
-            {
-                "key": [key[0]],
-                "n_obs": [n],
-                "cusum": [c],
-                "peak_cusum": [peak],
-                "alarm": [c >= alarm_at],
-            }
+        c, peak, n_batch = _cusum_fold(
+            c, peak, pdfs, target, value_col, ts_col, id_col
         )
+        n += n_batch
+        state.update((c, n, peak))
+        yield _cusum_out(key, n, c, peak, alarm_at)
 
     return fn
+
+
+class _CusumProcessor(StatefulProcessor):
+    """cusum_stream's transformWithState port (no timers; one ValueState
+    of three longs per key). The fold body is the SHARED _cusum_fold —
+    identical trace to the applyInPandasWithState form by construction."""
+
+    def __init__(
+        self, target: int, alarm_at: int, value_col: str, ts_col: str, id_col: str
+    ) -> None:
+        self.target = target
+        self.alarm_at = alarm_at
+        self.value_col = value_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("cusum", "c long, n long, peak long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        got = self._st.get()
+        c, n, peak = got if got is not None else (0, 0, 0)
+        c, peak, n_batch = _cusum_fold(
+            c, peak, rows, self.target, self.value_col, self.ts_col, self.id_col
+        )
+        n += n_batch
+        self._st.update((c, n, peak))
+        yield _cusum_out(key, n, c, peak, self.alarm_at)
+
+    def close(self) -> None:
+        pass
 
 
 def cusum_stream(
@@ -341,6 +397,28 @@ def cusum_stream(
         stateStructType=_CUSUM_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cusum_stream_tws(
+    df: DataFrame,
+    target: int,
+    alarm_at: int,
+    key_col: str = "log_type",
+    value_col: str = "v",
+    ts_col: str = "log_ts",
+    id_col: str = "log_id",
+) -> DataFrame:
+    """cusum_stream on transformWithStateInPandas (the Spark 4
+    arbitrary-state API; same RocksDB-provider and protobuf runtime
+    requirements as quota_per_key_tws — the test suite skips when the
+    wheel is absent). The fold body is shared with the legacy form
+    (_cusum_fold), so both APIs emit the identical trace."""
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _CusumProcessor(target, alarm_at, value_col, ts_col, id_col),
+        outputStructType=CUSUM_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )
 
 

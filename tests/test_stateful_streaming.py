@@ -921,6 +921,63 @@ def test_tws_expired_timer_signatures_match_framework():
         assert params[3] == "expiredTimerInfo", proc_cls
 
 
+_CUSUM_TARGET, _CUSUM_ALARM = 5, 10
+
+
+def _stage_cusum_batches(src) -> None:
+    _write_batch(
+        src,
+        "b1",
+        [
+            {"log_id": "1", "log_type": "app", "log_ts": "2024-03-01T10:00:00", "v": 9},
+            {"log_id": "2", "log_type": "app", "log_ts": "2024-03-01T10:00:01", "v": 3},
+            {"log_id": "3", "log_type": "web", "log_ts": "2024-03-01T10:00:02", "v": 12},
+        ],
+    )
+    _write_batch(
+        src,
+        "b2",
+        [
+            {"log_id": "4", "log_type": "app", "log_ts": "2024-03-01T10:00:03", "v": 11},
+            {"log_id": "5", "log_type": "app", "log_ts": "2024-03-01T10:00:04", "v": 10},
+        ],
+    )
+
+
+def _cusum_stream_input(spark, src):
+    return (
+        spark.readStream.schema(
+            "log_id string, log_type string, log_ts timestamp, v long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+
+def _assert_cusum_trace(rows) -> None:
+    def fold(vals):
+        c, peak, trace = 0, 0, []
+        for v in vals:
+            c = max(0, c + v - _CUSUM_TARGET)
+            peak = max(peak, c)
+            trace.append((c, peak))
+        return trace
+
+    # 'app' over both batches: values 9,3 then 11,10
+    app_trace = fold([9, 3, 11, 10])
+    app_rows = sorted([r for r in rows if r.key == "app"], key=lambda r: r.n_obs)
+    assert [(r.cusum, r.peak_cusum) for r in app_rows] == [
+        app_trace[1],
+        app_trace[3],
+    ]
+    assert [r.alarm for r in app_rows] == [
+        app_trace[1][0] >= _CUSUM_ALARM,
+        app_trace[3][0] >= _CUSUM_ALARM,
+    ]
+    web = [r for r in rows if r.key == "web"]
+    assert [(r.n_obs, r.cusum, r.alarm) for r in web] == [(1, 7, False)]
+
+
 def test_cusum_stream_matches_recursive_fold(spark, tmp_path):
     """The streaming CUSUM trace must equal the textbook recursion
     folded over the same observations in (ts, id) order, across
@@ -928,49 +985,38 @@ def test_cusum_stream_matches_recursive_fold(spark, tmp_path):
     must fire exactly when C >= alarm_at."""
     src = tmp_path / "src"
     src.mkdir()
-    b1 = [
-        {"log_id": "1", "log_type": "app", "log_ts": "2024-03-01T10:00:00", "v": 9},
-        {"log_id": "2", "log_type": "app", "log_ts": "2024-03-01T10:00:01", "v": 3},
-        {"log_id": "3", "log_type": "web", "log_ts": "2024-03-01T10:00:02", "v": 12},
-    ]
-    b2 = [
-        {"log_id": "4", "log_type": "app", "log_ts": "2024-03-01T10:00:03", "v": 11},
-        {"log_id": "5", "log_type": "app", "log_ts": "2024-03-01T10:00:04", "v": 10},
-    ]
-    _write_batch(src, "b1", b1)
-    _write_batch(src, "b2", b2)
-    target, alarm_at = 5, 10
-    stream = (
-        spark.readStream.schema(
-            "log_id string, log_type string, log_ts timestamp, v long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src))
+    _stage_cusum_batches(src)
+    out = stateful.cusum_stream(
+        _cusum_stream_input(spark, src),
+        target=_CUSUM_TARGET,
+        alarm_at=_CUSUM_ALARM,
     )
-    out = stateful.cusum_stream(stream, target=target, alarm_at=alarm_at)
     _run_to_memory(out, "cusum_t", str(tmp_path / "ck"), output_mode="update")
-    rows = spark.table("cusum_t").collect()
+    _assert_cusum_trace(spark.table("cusum_t").collect())
 
-    def fold(vals):
-        c, peak, trace = 0, 0, []
-        for v in vals:
-            c = max(0, c + v - target)
-            peak = max(peak, c)
-            trace.append((c, peak))
-        return trace
 
-    # 'app' over both batches: values 9,3 then 11,10
-    app_trace = fold([9, 3, 11, 10])
-    app_rows = sorted(
-        [r for r in rows if r.key == "app"], key=lambda r: r.n_obs
+def test_cusum_stream_tws_variant(spark, tmp_path):
+    """The transformWithState port must emit the identical trace (the
+    fold body is shared; this pins the wrapper/state plumbing)."""
+    pytest.importorskip("google.protobuf")
+    src = tmp_path / "src"
+    src.mkdir()
+    _stage_cusum_batches(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    assert [(r.cusum, r.peak_cusum) for r in app_rows] == [
-        app_trace[1],
-        app_trace[3],
-    ]
-    assert [r.alarm for r in app_rows] == [
-        app_trace[1][0] >= alarm_at,
-        app_trace[3][0] >= alarm_at,
-    ]
-    web = [r for r in rows if r.key == "web"]
-    assert [(r.n_obs, r.cusum, r.alarm) for r in web] == [(1, 7, False)]
+    try:
+        out = stateful.cusum_stream_tws(
+            _cusum_stream_input(spark, src),
+            target=_CUSUM_TARGET,
+            alarm_at=_CUSUM_ALARM,
+        )
+        _run_to_memory(out, "cusum_tws_t", str(tmp_path / "ck"), output_mode="update")
+        _assert_cusum_trace(spark.table("cusum_tws_t").collect())
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
