@@ -179,15 +179,22 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset); at cluster scale the same contract runs as a per-term
     TakeOrdered top-k."""
     docs = load_split(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
 
     def _eq(term: str):
         return lambda t: t == term
 
-    d = docs.select(
+    # Tokenize ONCE into a column, then derive the tf counts from it:
+    # higher-order functions evaluate interpreted with no cross-
+    # expression CSE (the word_ngrams pitfall in operators/text.py), so
+    # embedding tokens(...) in each tf would re-split every document
+    # |SEARCH_TERMS| times.
+    toked = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    d = toked.select(
         "doc_id",
         *[
-            F.size(F.filter(toks, _eq(term))).cast("bigint").alias(f"tf{i}")
+            F.size(F.filter(F.col("toks"), _eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
             for i, term in enumerate(SEARCH_TERMS)
         ],
     )

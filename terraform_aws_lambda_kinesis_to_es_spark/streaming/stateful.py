@@ -295,8 +295,15 @@ def _cusum_fold(
     """Fold the CUSUM recursion over a micro-batch in pinned (ts, id)
     order; returns (c, peak, n_rows). Shared by the
     applyInPandasWithState form and the transformWithState port so the
-    two APIs cannot drift."""
+    two APIs cannot drift.
+
+    Null observations (a record missing the value field) are dropped
+    from the fold rather than poisoning it: int(NaN) would kill the
+    micro-batch and then crash-loop the restart on the same replayed
+    record — the monitor must survive exactly the dirty input it
+    monitors. Malformed rows belong to the validation/DLQ path."""
     batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.dropna(subset=[value_col])
     # Deterministic in-batch order: event time, then id — the same
     # pinned (ts, id) composite every ordered operator here uses.
     batch = batch.sort_values([ts_col, id_col], kind="mergesort")
@@ -307,13 +314,16 @@ def _cusum_fold(
 
 
 def _cusum_out(key: tuple, n: int, c: int, peak: int, alarm_at: int) -> pd.DataFrame:
+    # alarm is LATCHED on the peak, not the end-of-batch value: a
+    # crossing that spikes and recedes within one micro-batch must
+    # still report (an end-of-batch read would miss it entirely).
     return pd.DataFrame(
         {
             "key": [key[0]],
             "n_obs": [n],
             "cusum": [c],
             "peak_cusum": [peak],
-            "alarm": [c >= alarm_at],
+            "alarm": [peak >= alarm_at],
         }
     )
 
@@ -350,7 +360,7 @@ class _CusumProcessor(StatefulProcessor):
         self.id_col = id_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._st = handle.getValueState("cusum", "c long, n long, peak long")
+        self._st = handle.getValueState("cusum", _CUSUM_STATE)
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timer_values: TimerValues
@@ -385,6 +395,12 @@ def cusum_stream(
     property-pinned in tests/test_properties.py). The level-shift
     monitor you run ON the pipeline (ingest volume, reject counts,
     lateness) rather than after it.
+
+    ``alarm`` is LATCHED on ``peak_cusum`` (has the drift EVER crossed
+    the threshold), so a crossing that spikes and recedes inside one
+    micro-batch still reports. Null observations are dropped from the
+    fold (and from n_obs) rather than poisoning the query — the
+    validation/DLQ path owns malformed rows.
 
     ``target`` and observations must be integers (exact state, no
     float drift across checkpoints); scale milli/micro upstream.

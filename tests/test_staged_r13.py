@@ -23,7 +23,10 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r13 import (
 )
 from tests.oracle_harness import compare, duck_connect
 
-SF001 = "/root/testdata/sf0.01"
+# sf0.01 — the driver's own correctness scale factor (the sf_dir fixture
+# default is sf0.001; overriding TEST_SF_DIR to sf0.01 collapses the
+# two-SF coverage into one corpus — keep the override off for staging)
+SF01 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
@@ -35,7 +38,7 @@ def duck(sf_dir):
 
 @pytest.fixture(scope="module")
 def duck01():
-    con = duck_connect(SF001)
+    con = duck_connect(SF01)
     yield con
     con.close()
 
@@ -50,7 +53,7 @@ def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_staged_query_matches_oracle_sf001(name, spark, duck01):
     """The same compare at the driver's own correctness scale factor."""
-    df = QUERIES[name](spark, SF001)
+    df = QUERIES[name](spark, SF01)
     res = compare(df, duck01, ORACLES[name])
     assert res["ok"], f"{name}: {res}"
 
@@ -66,7 +69,7 @@ def test_staging_contract():
 def test_split_leakage_covers_cross_split_pairs(spark):
     """The audit must see cross-split pairs, and every unordered pair
     class it emits must be internally consistent (lo <= hi)."""
-    rows = QUERIES["q_split_leakage"](spark, SF001).collect()
+    rows = QUERIES["q_split_leakage"](spark, SF01).collect()
     assert rows, "detector found no near-dup pairs at sf0.01"
     assert all(r.split_lo <= r.split_hi for r in rows)
     # train is 90% of mass, so same-split train pairs must exist
@@ -74,23 +77,22 @@ def test_split_leakage_covers_cross_split_pairs(spark):
 
 
 def test_retrieval_eval_mrr_bounds(spark):
-    """MRR is a rational in (0, 10000]; hits <= k; the 'all' ranker is
-    at least as good as the worst single-term ranker (its score is the
-    sum, so conjunction docs can only move up)."""
-    rows = {r.query_term: r for r in QUERIES["q_retrieval_eval"](spark, SF001).collect()}
+    """MRR is a rational in [0, 10000]; hits <= k; and MRR is positive
+    exactly when a relevant doc made the top k (a theorem of the
+    definition, unlike ranker-vs-ranker orderings, which depend on the
+    corpus)."""
+    rows = {r.query_term: r for r in QUERIES["q_retrieval_eval"](spark, SF01).collect()}
     assert "all" in rows and len(rows) == 4
     for r in rows.values():
         assert 0 <= r.mrr_bp <= 10_000
         assert 0 <= r.n_hits_at_k <= RETR_K
-    assert rows["all"].mrr_bp >= min(
-        r.mrr_bp for t, r in rows.items() if t != "all"
-    )
+        assert (r.mrr_bp > 0) == (r.n_hits_at_k > 0)
 
 
 def test_contamination_sweep_monotone(spark):
     """Larger n can only shrink the contaminated set: every n-gram
     shared at size n+Δ contains a shared n-gram at size n."""
-    rows = {r.n: r for r in QUERIES["q_contamination_sweep"](spark, SF001).collect()}
+    rows = {r.n: r for r in QUERIES["q_contamination_sweep"](spark, SF01).collect()}
     ns = sorted(rows)
     assert list(ns) == sorted(CONTAM_NS)
     for a, b in zip(ns, ns[1:]):
@@ -98,7 +100,7 @@ def test_contamination_sweep_monotone(spark):
 
 
 def test_cusum_nonnegative_with_single_peak_value(spark):
-    rows = QUERIES["q_cusum_changepoint"](spark, SF001).collect()
+    rows = QUERIES["q_cusum_changepoint"](spark, SF01).collect()
     assert all(r.cusum_scaled >= 0 for r in rows)
     peak = max(r.cusum_scaled for r in rows)
     assert all((r.cusum_scaled == peak) == bool(r.is_peak) for r in rows)
@@ -107,7 +109,7 @@ def test_cusum_nonnegative_with_single_peak_value(spark):
 def test_watermark_curve_monotone(spark):
     """A wider watermark can only drop fewer events."""
     rows = sorted(
-        QUERIES["q_watermark_sizing"](spark, SF001).collect(),
+        QUERIES["q_watermark_sizing"](spark, SF01).collect(),
         key=lambda r: r.threshold_s,
     )
     assert [r.threshold_s for r in rows] == list(WM_THRESHOLDS_S)
@@ -119,32 +121,32 @@ def test_watermark_curve_monotone(spark):
 
 def test_session_gap_curve_monotone(spark):
     rows = sorted(
-        QUERIES["q_session_gap_curve"](spark, SF001).collect(),
+        QUERIES["q_session_gap_curve"](spark, SF01).collect(),
         key=lambda r: r.gap_s,
     )
     assert [r.gap_s for r in rows] == list(GAP_THRESHOLDS_S)
     for a, b in zip(rows, rows[1:]):
         assert a.n_sessions >= b.n_sessions
     # n_sessions >= n_users always
-    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
     nu = ev.select("user_id").distinct().count()
     assert all(r.n_sessions >= nu for r in rows)
 
 
 def test_media_integrity_counts_match_corrupt_rule(spark):
     """The audit's flags must recover exactly the injected subsets."""
-    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
     expect_trunc = docs.filter(F.col("doc_id") % 7 == 0).count()
     expect_magic = docs.filter(F.col("doc_id") % 11 == 0).count()
-    rows = QUERIES["q_media_integrity"](spark, SF001).collect()
+    rows = QUERIES["q_media_integrity"](spark, SF01).collect()
     assert sum(r.n_truncated for r in rows) == expect_trunc
     assert sum(r.n_bad_magic for r in rows) == expect_magic
     assert all(0 <= r.ok_bp <= 10_000 for r in rows)
 
 
 def test_mojibake_recovers_injected_noise(spark):
-    docs = spark.read.parquet(f"{SF001}/documents.parquet")
-    rows = QUERIES["q_mojibake"](spark, SF001).collect()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    rows = QUERIES["q_mojibake"](spark, SF01).collect()
     assert sum(r.n_mojibake for r in rows) == docs.filter(
         F.col("doc_id") % 13 == 0
     ).count()
@@ -160,9 +162,9 @@ def test_poisson_bootstrap_replicates_and_weights(spark):
     """All BOOT_B replicates present; each reweighted mean is close to
     the population mean (Poisson(1) weights are unbiased) — a sanity
     band, not an exact pin."""
-    rows = QUERIES["q_poisson_bootstrap"](spark, SF001).collect()
+    rows = QUERIES["q_poisson_bootstrap"](spark, SF01).collect()
     assert len(rows) == BOOT_B
-    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
     pop_milli = (
         docs.agg(F.expr("CAST((1000 * SUM(n_chars)) DIV COUNT(*) AS BIGINT)"))
         .collect()[0][0]
@@ -176,16 +178,16 @@ def test_hubness_mass_conservation(spark):
     """sum(k_occurrence * n_vectors) == panel * k retrieved slots, and
     sum(n_vectors) == corpus size (every vector lands in exactly one
     histogram bucket, including the zero bucket)."""
-    rows = QUERIES["q_hubness"](spark, SF001).collect()
-    vecs = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    rows = QUERIES["q_hubness"](spark, SF01).collect()
+    vecs = spark.read.parquet(f"{SF01}/embeddings.parquet")
     n = vecs.count()
     assert sum(r.n_vectors for r in rows) == n
     assert sum(r.k_occurrence * r.n_vectors for r in rows) == HUB_PANEL * RETR_K
 
 
 def test_readability_bands_partition_the_corpus(spark):
-    df = QUERIES["q_readability"](spark, SF001)
-    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    df = QUERIES["q_readability"](spark, SF01)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
     assert df.count() == docs.count()
     bands = {r.band for r in df.select("band").distinct().collect()}
     assert bands <= {"easy", "standard", "hard", "very_hard"}
@@ -194,7 +196,7 @@ def test_readability_bands_partition_the_corpus(spark):
 def test_prefix_sharing_groups_are_real(spark):
     """Every reported group's saving arithmetic holds, and group sizes
     are >= 2 by contract."""
-    rows = QUERIES["q_prefix_sharing"](spark, SF001).collect()
+    rows = QUERIES["q_prefix_sharing"](spark, SF01).collect()
     assert rows, "corpus has shared prefixes at sf0.01 (measured 23)"
     for r in rows:
         assert r.n_docs >= 2

@@ -940,6 +940,9 @@ def _stage_cusum_batches(src) -> None:
         [
             {"log_id": "4", "log_type": "app", "log_ts": "2024-03-01T10:00:03", "v": 11},
             {"log_id": "5", "log_type": "app", "log_ts": "2024-03-01T10:00:04", "v": 10},
+            # malformed record (no value field): must be DROPPED by the
+            # fold (and excluded from n_obs), never poison the query
+            {"log_id": "6", "log_type": "app", "log_ts": "2024-03-01T10:00:05"},
         ],
     )
 
@@ -970,10 +973,14 @@ def _assert_cusum_trace(rows) -> None:
         app_trace[1],
         app_trace[3],
     ]
+    # alarm is latched on the PEAK, not the end-of-batch value
     assert [r.alarm for r in app_rows] == [
-        app_trace[1][0] >= _CUSUM_ALARM,
-        app_trace[3][0] >= _CUSUM_ALARM,
+        app_trace[1][1] >= _CUSUM_ALARM,
+        app_trace[3][1] >= _CUSUM_ALARM,
     ]
+    # n_obs counts only non-null observations (the malformed b2 record
+    # is dropped, not folded and not counted)
+    assert [r.n_obs for r in app_rows] == [2, 4]
     web = [r for r in rows if r.key == "web"]
     assert [(r.n_obs, r.cusum, r.alarm) for r in web] == [(1, 7, False)]
 
