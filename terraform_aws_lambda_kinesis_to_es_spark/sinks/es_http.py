@@ -16,6 +16,8 @@ import datetime
 import hashlib
 import hmac
 import json
+import random
+import time
 import urllib.error
 import urllib.request
 
@@ -80,10 +82,26 @@ def sigv4_headers(
     return out
 
 
+#: HTTP statuses worth an in-call retry: throttling and transient
+#: gateway failures. 4xx config/mapping errors and connection-level
+#: failures fail fast — the checkpointed micro-batch replay owns those.
+TRANSIENT_STATUSES = frozenset({429, 502, 503, 504})
+
+
 class HttpElasticsearch:
     """BulkClient over HTTP(S). One ``bulk()`` call = one ``_bulk``
     request; per-item errors are returned as rejects, never raised
-    (reference main.py:149-153)."""
+    (reference main.py:149-153).
+
+    Whole-request failures with a TRANSIENT status (429/502/503/504)
+    retry in-call with capped exponential backoff + jitter (honoring
+    ``Retry-After`` when the server sends one) — bulk indexing keyed by
+    ``_id`` is idempotent, so a retried request cannot double-apply.
+    The reference has no client-side retry (Lambda redelivery fills
+    that role, main.py:76-84); here the in-call retry avoids failing a
+    whole micro-batch — and re-running every other record in it — for
+    one throttled HTTP round trip. Anything else still raises so the
+    at-least-once replay path stays the backstop."""
 
     def __init__(
         self,
@@ -95,9 +113,15 @@ class HttpElasticsearch:
         secret_key: str | None = None,
         session_token: str | None = None,
         service: str = "es",
+        max_retries: int = 3,
+        backoff_base_s: float = 0.5,
+        backoff_cap_s: float = 8.0,
     ) -> None:
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.max_retries = max_retries
+        self.backoff_base_s = backoff_base_s
+        self.backoff_cap_s = backoff_cap_s
         self._sig = None
         if region and access_key and secret_key:
             self._sig = {
@@ -123,8 +147,7 @@ class HttpElasticsearch:
         if self._sig:
             headers.update(sigv4_headers("POST", url, body, **self._sig))
         req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            payload = json.loads(resp.read())
+        payload = self._post_with_retry(req)
         rejects: list[dict] = []
         if payload.get("errors"):
             for action, item in zip(actions, payload.get("items", [])):
@@ -132,3 +155,25 @@ class HttpElasticsearch:
                 if info.get("error"):
                     rejects.append(action)
         return rejects
+
+    def _post_with_retry(self, req: urllib.request.Request) -> dict:
+        """POST once, retrying only TRANSIENT_STATUSES up to
+        max_retries with capped exponential backoff + full jitter
+        (Retry-After wins when the server sends one). Everything else
+        propagates immediately."""
+        attempt = 0
+        while True:
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read())
+            except urllib.error.HTTPError as exc:
+                if exc.code not in TRANSIENT_STATUSES or attempt >= self.max_retries:
+                    raise
+                retry_after = (exc.headers or {}).get("Retry-After")
+                if retry_after is not None and str(retry_after).isdigit():
+                    delay = float(retry_after)
+                else:
+                    cap = min(self.backoff_cap_s, self.backoff_base_s * (2**attempt))
+                    delay = random.uniform(0, cap)
+                time.sleep(delay)
+                attempt += 1

@@ -146,3 +146,86 @@ def test_http_error_propagates(stub_server):
     bad = HttpElasticsearch(url.replace("http://", "http://bad-host-"), timeout=1)
     with pytest.raises(urllib.error.URLError):
         bad.bulk(_actions(1))
+
+
+class _ThrottleStub(BaseHTTPRequestHandler):
+    """Returns `fail_statuses` in order (one per request), then clean 200s."""
+
+    requests: list[str] = []
+    fail_statuses: list[int] = []
+    retry_after: str | None = None
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        type(self).requests.append(self.path)
+        if type(self).fail_statuses:
+            code = type(self).fail_statuses.pop(0)
+            self.send_response(code)
+            if type(self).retry_after is not None:
+                self.send_header("Retry-After", type(self).retry_after)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        n_actions = len(body.strip().split("\n")) // 2
+        resp = json.dumps(
+            {"errors": False, "items": [{"index": {"status": 201}}] * n_actions}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(resp)))
+        self.end_headers()
+        self.wfile.write(resp)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def throttle_server():
+    _ThrottleStub.requests = []
+    _ThrottleStub.fail_statuses = []
+    _ThrottleStub.retry_after = None
+    srv = HTTPServer(("127.0.0.1", 0), _ThrottleStub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", _ThrottleStub
+    srv.shutdown()
+
+
+def test_bulk_retries_transient_statuses(throttle_server):
+    """Two 429s then success: one bulk() call absorbs the throttling
+    (3 HTTP requests total, zero rejects). Retry-After: 0 keeps the
+    test instant and pins the header being honored."""
+    url, stub = throttle_server
+    stub.fail_statuses = [429, 503]
+    stub.retry_after = "0"
+    client = HttpElasticsearch(url, max_retries=3)
+    assert client.bulk(_actions(2)) == []
+    assert len(stub.requests) == 3
+
+
+def test_bulk_fails_fast_on_config_errors(throttle_server):
+    """A 401 (bad credentials) must raise on the FIRST request — no
+    retry: it is not transient and replaying cannot fix it."""
+    import urllib.error
+
+    url, stub = throttle_server
+    stub.fail_statuses = [401]
+    client = HttpElasticsearch(url, max_retries=3)
+    with pytest.raises(urllib.error.HTTPError):
+        client.bulk(_actions(1))
+    assert len(stub.requests) == 1
+
+
+def test_bulk_raises_after_retry_budget(throttle_server):
+    """Persistent throttling exhausts max_retries and then raises, so
+    the micro-batch replay backstop still engages."""
+    import urllib.error
+
+    url, stub = throttle_server
+    stub.fail_statuses = [429, 429, 429]
+    stub.retry_after = "0"
+    client = HttpElasticsearch(url, max_retries=2)
+    with pytest.raises(urllib.error.HTTPError):
+        client.bulk(_actions(1))
+    assert len(stub.requests) == 3
