@@ -139,6 +139,11 @@ _INTENTIONAL_PRODUCT = {
     # pre-whitelisted staged-r13 shapes (same precedent):
     "q_hubness",           # knn_bruteforce_l2 truth leg + 1-row totals attach
     "q_cusum_changepoint",  # day spine x broadcast(single-row totals)
+    # pre-whitelisted staged-r14 shapes (same precedent):
+    "q_jl_distortion",       # 20-vector panel non-equi self-join (190 pairs)
+    "q_event_bursts",        # window spine x broadcast(1-row median/total)
+    "q_mixture_rebalance",   # lang rollup x broadcast(single-row totals)
+    "q_dedup_survivor_bias",  # source rollup x broadcast(single-row totals)
     "q_knn_classify",    # same knn_bruteforce core x broadcast queries
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
