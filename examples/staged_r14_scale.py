@@ -1,4 +1,4 @@
-"""100x scale evidence for the staged round-13 queries (pre-promotion),
+"""100x scale evidence for the staged round-14 queries (pre-promotion),
 following the staging bar set in rounds 5-11: min-of-N timing per side,
 construction included, against the standing /tmp scale corpora
 (`python examples/materialize_corpora.py` rebuilds them).

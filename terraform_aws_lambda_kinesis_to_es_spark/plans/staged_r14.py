@@ -147,11 +147,27 @@ def q_mase_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly seasonality carries signal — the go/no-go for
     seasonality-aware capacity planning. All-integer; the day spine is
     bounded by the trace's span, so the unpartitioned lag window is
-    spine-sized, never corpus-sized."""
+    spine-sized, never corpus-sized. The spine is DENSE (generated
+    from min to max day, zero-filled): LAG(n, 7) over only the
+    observed days would silently compare across a gap whenever a day
+    has no events, misaligning the weekly season."""
     events = load(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.col("ts").cast("date").cast("string").alias("day")
-    ).agg(F.count("*").cast("bigint").alias("n"))
+    observed = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    span = observed.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    daily = (
+        spine.join(observed, "d", "left")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
     w = Window.orderBy("day")
     lagged = daily.select(
         "day",
@@ -180,9 +196,17 @@ def q_mase_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MASE_SQL = f"""
-WITH daily AS (
-  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1
+WITH observed AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(d) FROM observed),
+                                (SELECT MAX(d) FROM observed),
+                                INTERVAL 1 DAY))::DATE AS d
+),
+daily AS (
+  SELECT CAST(s.d AS VARCHAR) AS day, COALESCE(o.n, 0) AS n
+  FROM spine s LEFT JOIN observed o ON s.d = o.d
 ),
 lagged AS (
   SELECT day, n,
@@ -401,8 +425,13 @@ def q_dup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-mass sensitivity to the Jaccard cut: from ONE verified
     pair set (the declared detector at its tuned verify threshold —
     every sweep threshold is >= it, so banding recall is inherited,
-    never re-risked), the surviving pair count and the docs a
-    keep-min collapse would remove at each candidate threshold.
+    never re-risked), the surviving pair count and the docs removed
+    under the PAIRWISE keep-smaller rule (a doc is removed iff it has
+    a smaller-id near-dup at >= t, i.e. distinct doc_b). On chain
+    components this differs from the transitive cluster-collapse
+    policy — that variant is q_dup_clusters / q_dedup_keep_best's
+    declared contract; the pairwise count is the cut-sensitivity
+    signal at a per-threshold filter's cost, no CC iteration.
     q_band_yield tunes the banding; THIS tunes the cut you apply to
     its output — the last knob before a dedup run deletes data.
     Detector cost paid once (persisted); each threshold row is a
@@ -448,12 +477,14 @@ def q_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts to the min doc_id, and the shift. A source whose share drops
     is a boilerplate re-publisher; a rising share means the dedup
     policy silently reweights the mix toward it — the post-hoc audit
-    every dedup run should ship with. One digest groupBy (the
-    q_exact_dedup shuffle) + two keyed rollups + one totals attach."""
+    every dedup run should ship with. The keep rule is the declared
+    operators.dedup.exact_dedup (reused, not re-derived); one digest
+    groupBy + two keyed rollups + one totals attach. The before→after
+    join is LEFT (n_after coalesced to 0): a source whose every doc is
+    removed is the most extreme survivorship case and must still
+    report."""
     docs = load_split(spark, sf_dir, "documents")
-    keep = docs.groupBy(F.md5("text").alias("k")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
+    keep = D.exact_dedup(docs)
     surv = docs.join(
         keep.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
     )
@@ -463,7 +494,8 @@ def q_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(after.agg(F.sum("n_after").cast("bigint").alias("ta")))
     )
     return (
-        before.join(after, "source")
+        before.join(after, "source", "left")
+        .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint"))
         .crossJoin(F.broadcast(tot))
         .select(
             "source",
@@ -495,12 +527,12 @@ tot AS (
 )
 SELECT b.source,
        CAST(n_before AS BIGINT) AS n_before,
-       CAST(n_after AS BIGINT) AS n_after,
+       CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
        CAST((10000 * n_before) // tb AS BIGINT) AS before_bp,
-       CAST((10000 * n_after) // ta AS BIGINT) AS after_bp,
-       CAST((10000 * n_after) // ta - (10000 * n_before) // tb AS BIGINT)
-         AS shift_bp
-FROM before b JOIN after a ON b.source = a.source, tot
+       CAST((10000 * COALESCE(n_after, 0)) // ta AS BIGINT) AS after_bp,
+       CAST((10000 * COALESCE(n_after, 0)) // ta
+            - (10000 * n_before) // tb AS BIGINT) AS shift_bp
+FROM before b LEFT JOIN after a ON b.source = a.source, tot
 """
 
 # --------------------------------------------- pair sample audit
@@ -563,9 +595,14 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-translations surface as changed rows. Fixed iteration count
     keeps it SQL-expressible (the q_dup_clusters CC discipline); each
     round is one edge join + one keyed majority vote, output-shaped by
-    the pair set."""
+    the pair set. The pair set is PERSISTED: the edges union references
+    it twice and every vote round re-reads it — without the persist the
+    whole LSH candidate+verify lineage re-executes per consumer (the
+    q_dup_threshold_sensitivity discipline; cut the 100x wall severalfold)."""
     docs = load_split(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    pairs = D.minhash_dedup_pairs(
+        docs, threshold_bp=JACCARD_THRESHOLD_BP
+    ).persist()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -810,21 +847,33 @@ GROUP BY dim
 
 def q_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Gini-Simpson diversity of event types in exact basis
-    points: 10000 - (10000 * sum(c_i^2)) DIV total^2 — 0 means one
-    behavior only, higher means a diverse usage profile. The
-    behavioral-diversity feature for user segmentation, all-integer
-    (the squared-share sum needs no floats at bp precision). Two
-    keyed aggregations, both partial-aggregable."""
+    points over bp-QUANTIZED shares: s_i = (10000*c_i) DIV total, then
+    gini_bp = 10000 - SUM(s_i^2) DIV 10000 — 0 means one behavior
+    only, higher means a diverse usage profile. Quantizing the shares
+    first (the house bp recipe) keeps every intermediate within int64
+    at ANY scale: the naive 10000*SUM(c^2) overflows BIGINT once a
+    single (user, type) passes ~3e7 events, and DuckDB's HUGEINT sum
+    would silently diverge from Spark's ANSI overflow error there.
+    n_types counts the per-(user, type) group rows (NULL types form a
+    group in both engines — countDistinct would drop them on the
+    Spark side only). Two keyed aggs + one user-keyed totals join,
+    all partial-aggregable."""
     events = load(spark, sf_dir, "events")
     per = events.groupBy("user_id", "event_type").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    return per.groupBy("user_id").agg(
+    totals = per.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("total"))
+    shares = per.join(totals, "user_id").select(
+        "user_id",
+        "c",
+        F.expr("(10000 * c) DIV total").cast("bigint").alias("sbp"),
+    )
+    return shares.groupBy("user_id").agg(
         F.sum("c").cast("bigint").alias("n_events"),
-        F.countDistinct("event_type").cast("bigint").alias("n_types"),
-        F.expr(
-            "CAST(10000 - (10000 * SUM(c * c)) DIV (SUM(c) * SUM(c)) AS BIGINT)"
-        ).alias("gini_bp"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.expr("CAST(10000 - SUM(sbp * sbp) DIV 10000 AS BIGINT)").alias(
+            "gini_bp"
+        ),
     )
 
 
@@ -832,13 +881,17 @@ _GINI_SQL = """
 WITH per AS (
   SELECT user_id, event_type, COUNT(*) AS c
   FROM events GROUP BY user_id, event_type
+),
+totals AS (SELECT user_id, SUM(c) AS total FROM per GROUP BY user_id),
+shares AS (
+  SELECT p.user_id, c, (10000 * c) // total AS sbp
+  FROM per p JOIN totals t ON p.user_id = t.user_id
 )
 SELECT user_id,
        CAST(SUM(c) AS BIGINT) AS n_events,
        CAST(COUNT(*) AS BIGINT) AS n_types,
-       CAST(10000 - (10000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS BIGINT)
-         AS gini_bp
-FROM per GROUP BY user_id
+       CAST(10000 - SUM(sbp * sbp) // 10000 AS BIGINT) AS gini_bp
+FROM shares GROUP BY user_id
 """
 
 # ------------------------------------------------------------ registry

@@ -143,11 +143,7 @@ class HttpElasticsearch:
             lines.append(src if isinstance(src, str) else json.dumps(src))
         body = ("\n".join(lines) + "\n").encode()
         url = f"{self.base_url}/_bulk"
-        headers = {"Content-Type": "application/x-ndjson"}
-        if self._sig:
-            headers.update(sigv4_headers("POST", url, body, **self._sig))
-        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
-        payload = self._post_with_retry(req)
+        payload = self._post_with_retry(url, body)
         rejects: list[dict] = []
         if payload.get("errors"):
             for action, item in zip(actions, payload.get("items", [])):
@@ -156,13 +152,26 @@ class HttpElasticsearch:
                     rejects.append(action)
         return rejects
 
-    def _post_with_retry(self, req: urllib.request.Request) -> dict:
-        """POST once, retrying only TRANSIENT_STATUSES up to
-        max_retries with capped exponential backoff + full jitter
-        (Retry-After wins when the server sends one). Everything else
+    def _post_with_retry(self, url: str, body: bytes) -> dict:
+        """POST, retrying only TRANSIENT_STATUSES up to max_retries with
+        capped exponential backoff + full jitter. Retry-After is honored
+        but CLAMPED to backoff_cap_s — an hour-long server hint must not
+        block an executor thread (past the cap, failing into the
+        micro-batch replay is cheaper than sleeping). The request is
+        (re)built — and re-SIGNED — per attempt: a SigV4 signature
+        carries x-amz-date and expires within minutes, so resending a
+        pre-throttle signature after a long backoff would be rejected.
+        The caught error response is closed before sleeping so the
+        socket is not held across the backoff. Everything else
         propagates immediately."""
         attempt = 0
         while True:
+            headers = {"Content-Type": "application/x-ndjson"}
+            if self._sig:
+                headers.update(sigv4_headers("POST", url, body, **self._sig))
+            req = urllib.request.Request(
+                url, data=body, headers=headers, method="POST"
+            )
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
                     return json.loads(resp.read())
@@ -170,10 +179,11 @@ class HttpElasticsearch:
                 if exc.code not in TRANSIENT_STATUSES or attempt >= self.max_retries:
                     raise
                 retry_after = (exc.headers or {}).get("Retry-After")
+                exc.close()
+                cap = min(self.backoff_cap_s, self.backoff_base_s * (2**attempt))
                 if retry_after is not None and str(retry_after).isdigit():
-                    delay = float(retry_after)
+                    delay = min(float(retry_after), self.backoff_cap_s)
                 else:
-                    cap = min(self.backoff_cap_s, self.backoff_base_s * (2**attempt))
                     delay = random.uniform(0, cap)
                 time.sleep(delay)
                 attempt += 1
