@@ -301,15 +301,27 @@ def _cusum_fold(
     from the fold rather than poisoning it: int(NaN) would kill the
     micro-batch and then crash-loop the restart on the same replayed
     record — the monitor must survive exactly the dirty input it
-    monitors. Malformed rows belong to the validation/DLQ path."""
+    monitors. Malformed rows belong to the validation/DLQ path.
+
+    The fold is VECTORIZED via the seeded window identity — with
+    carry-in c and residuals r_i, C_i = T_i - min(0, min_{j<=i} T_j)
+    where T_i = c + cumsum(r)_i (the same S_0-seed identity the batch
+    q_cusum_changepoint plan uses, property-pinned against the
+    recursion in tests/test_properties.py) — so the per-batch cost is
+    three numpy passes, never a per-row Python loop."""
+    import numpy as np
+
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch.dropna(subset=[value_col])
     # Deterministic in-batch order: event time, then id — the same
     # pinned (ts, id) composite every ordered operator here uses.
     batch = batch.sort_values([ts_col, id_col], kind="mergesort")
-    for v in batch[value_col]:
-        c = max(0, c + (int(v) - target))
-        peak = max(peak, c)
+    if len(batch):
+        r = batch[value_col].to_numpy(dtype="int64") - target
+        t = c + np.cumsum(r)
+        cus = t - np.minimum(np.minimum.accumulate(t), 0)
+        c = int(cus[-1])
+        peak = max(peak, int(cus.max()))
     return c, peak, len(batch)
 
 

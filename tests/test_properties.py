@@ -234,3 +234,25 @@ def test_poisson_bootstrap_weight_thresholds(h):
     )
     assert 0 <= w <= 4
     assert list(_POISSON_CUM) == sorted(_POISSON_CUM)
+
+
+@given(
+    st.integers(min_value=0, max_value=500),
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=80),
+)
+@settings(max_examples=200)
+def test_cusum_seeded_vector_fold_equals_recursion(c0, resid):
+    """The streaming fold's vectorized identity with a CARRY-IN:
+    C_i = T_i - min(0, min prefix T) with T = c0 + cumsum(r) must equal
+    the recursion C_i = max(0, C_{i-1} + r_i) started at C_0 = c0 —
+    this is what lets _cusum_fold run as three numpy passes instead of
+    a per-row Python loop."""
+    import numpy as np
+
+    t = c0 + np.cumsum(np.array(resid, dtype="int64"))
+    vec = t - np.minimum(np.minimum.accumulate(t), 0)
+    c, rec = c0, []
+    for r in resid:
+        c = max(0, c + r)
+        rec.append(c)
+    assert vec.tolist() == rec
