@@ -1,9 +1,10 @@
-"""100x scale evidence for the staged round-12 queries (pre-promotion),
+"""100x scale evidence for the ANN-index-internals queries (promoted
+round 12; staged as plans/staged_r12.py),
 following the staging bar set in rounds 5-11: min-of-N timing per side,
 construction included, against the standing /tmp scale corpora
 (`python examples/materialize_corpora.py` rebuilds them).
 
-Run: python examples/staged_r12_scale.py
+Run: python examples/index_queries_scale.py
 One JSON line per query + a summary line.
 """
 
@@ -16,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r12 import (  # noqa: E402
+from terraform_aws_lambda_kinesis_to_es_spark.plans.index_queries import (  # noqa: E402
     QUERIES,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.session import get_spark  # noqa: E402
@@ -46,7 +47,7 @@ def time_query(fn, spark, sf_dir: str, n_runs: int = 2) -> dict:
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     spark = get_spark(
-        "staged_r12_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "index_queries_scale", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     # q_ann_probe_curve's exact truth leg (knn_bruteforce_l2) is the
     # railed bounded-audit contract; the 100x corpus (200k vectors)

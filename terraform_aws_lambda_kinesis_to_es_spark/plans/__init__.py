@@ -152,22 +152,23 @@ _R11_PROMOTED = (
     "q_pack_efficiency", "q_image_border_uniformity",
     "q_growth_accounting",
 )
-_HEAD = _R11_PROMOTED + _R6_TIER[9:47]
-
-# Round-12 head plan (explicit, written at round-11 promotion time per
-# VERDICT r10 #7; the r7 tier is fixed — its 50 names' latest green
-# verdicts are round 7 in the CORRECTNESS_r01-r10 union, and the r11
-# window re-checks only r11-promoted + r6-tier names, so the r7 tier
-# cannot shift before round 12): head, exactly 50 =
-#   (a) the 4 staged round-12 names from plans/staged_r12.py
-#       (promote on schedule);
+# Round-12 head (VERDICT r11 #1, the plan written at round-11
+# promotion time per VERDICT r10 #7, executed name-for-name; the r7
+# tier is fixed — its 50 names' latest green verdicts are round 7 in
+# the CORRECTNESS_r01-r11 union, and the r11 window re-checked only
+# r11-promoted + r6-tier names, so the r7 tier could not shift):
+# head, exactly 50 =
+#   (a) the 4 PROMOTED index_queries names (built + staged in r10 as
+#       plans/staged_r12.py with two-SF driver-protocol pytest and
+#       100x scale evidence; renamed plans/index_queries.py on
+#       promotion);
 #   (b) the 3-name r6 residue (_R6_TIER[47:]);
 #   (c) the first 43 r7-tier names in their CORRECTNESS_r07 order.
 # That leaves the last 7 r7 names (q_pack_sequences, q_percent_change,
 # q_percentiles, q_phrase_search, q_pivot_priority, q_profile_columns,
 # q_quantize) plus the 50-name r8 tier for round 13.
-_R12_HEAD_PLAN = (
-    # (a) staged r12 tranche
+_R12_HEAD = (
+    # (a) promoted index_queries tranche
     "q_ivf_balance", "q_pq_distortion", "q_ann_probe_curve",
     "q_dup_transitivity",
     # (b) r6 residue
@@ -189,11 +190,12 @@ _R12_HEAD_PLAN = (
     "q_keyphrase", "q_mad_outliers", "q_matryoshka",
     "q_media_audio_stats",
 )
+_HEAD = _R12_HEAD
 
 # Round-13 head plan (explicit, written at round-11 end; the r8 tier is
 # fixed — its 50 names' latest green verdicts are round 8 in the
 # CORRECTNESS_r01-r10 union, and neither the r11 window (r11-promoted +
-# r6 tier) nor the planned r12 window (_R12_HEAD_PLAN above) touches
+# r6 tier) nor the executed r12 window (_R12_HEAD above) touches
 # them, so the tier cannot shift before round 13): head, exactly 50 =
 #   (a) the 12 staged round-13 names from plans/staged_r13.py
 #       (the evaluation & operational-tuning tranche — built and
@@ -237,6 +239,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         diagnostics_queries,
         events_analytics,
         hygiene_queries,
+        index_queries,
         multimodal_queries,
         pipeline_queries,
         reference_queries,
@@ -269,6 +272,7 @@ def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:
         audit_queries,
         hygiene_queries,
         diagnostics_queries,
+        index_queries,
     )
     for mod in modules:
         queries.update(mod.QUERIES)

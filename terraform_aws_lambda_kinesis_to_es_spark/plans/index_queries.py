@@ -1,8 +1,6 @@
-"""Staged round-12 queries — built in round 10, NOT declared (the
-round-11 driver window is already allocated to the staged-r11
-promotions + the r6-tier rotation; see the head plan in
-plans/__init__.py). Promote QUERIES/ORACLES into the round-12 head
-verbatim, alongside the 3 remaining r6 names and the r7 tier.
+"""ANN-index-internals queries (promoted round 12; built and staged
+in round 10 as plans/staged_r12.py with two-SF driver-protocol tests
+and 100x scale evidence — see the head plan in plans/__init__.py).
 
 A deliberately compact tranche (4) centered on the ANN index's
 INTERNALS — the audits a team operating the round-10 persisted IVF+PQ

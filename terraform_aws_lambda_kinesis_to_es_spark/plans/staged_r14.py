@@ -421,7 +421,11 @@ FROM per_lang, tot
 DUP_THRESHOLDS_BP = (5000, 6500, 8000)  # all >= the detector's verify cut
 
 
-def q_dup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dup_threshold_sensitivity(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Dedup-mass sensitivity to the Jaccard cut: from ONE verified
     pair set (the declared detector at its tuned verify threshold —
     every sweep threshold is >= it, so banding recall is inherited,
@@ -435,11 +439,20 @@ def q_dup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_band_yield tunes the banding; THIS tunes the cut you apply to
     its output — the last knob before a dedup run deletes data.
     Detector cost paid once (persisted); each threshold row is a
-    filter + two aggregates over the bounded pair set."""
+    filter + two aggregates over the bounded pair set.
+
+    Cache lifecycle (r11 ADVICE, the cms_sketch pattern): the persisted
+    pair set feeds every threshold leg inside the returned lazy plan,
+    so it cannot be unpersisted here. Batch callers rely on the house
+    clearCache-between-queries rule (bench.py) or LRU eviction;
+    long-lived sessions pass ``cache_registry`` (a list) and unpersist
+    after their terminal action — ``for f in reg: f.unpersist()``."""
     docs = load_split(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         docs, threshold_bp=JACCARD_THRESHOLD_BP
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
 
     def one(t: int) -> DataFrame:
         ft = pairs.filter(F.col("jaccard_bp") >= t)
@@ -585,7 +598,11 @@ FROM filt GROUP BY 1
 LP_ROUNDS = 2
 
 
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_label_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Two unrolled rounds of majority label propagation over the
     verified near-dup graph, seeded with the lang column: each round,
     a node with neighbors takes the majority label among them (ties to
@@ -598,11 +615,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair set. The pair set is PERSISTED: the edges union references
     it twice and every vote round re-reads it — without the persist the
     whole LSH candidate+verify lineage re-executes per consumer (the
-    q_dup_threshold_sensitivity discipline; cut the 100x wall severalfold)."""
+    q_dup_threshold_sensitivity discipline; cut the 100x wall
+    severalfold). Cache lifecycle: same as that query — in-plan persist,
+    bench.py clearCache / LRU for batch callers, ``cache_registry`` for
+    long-lived sessions."""
     docs = load_split(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         docs, threshold_bp=JACCARD_THRESHOLD_BP
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(pairs)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -95,13 +95,22 @@ class HttpElasticsearch:
 
     Whole-request failures with a TRANSIENT status (429/502/503/504)
     retry in-call with capped exponential backoff + jitter (honoring
-    ``Retry-After`` when the server sends one) — bulk indexing keyed by
-    ``_id`` is idempotent, so a retried request cannot double-apply.
-    The reference has no client-side retry (Lambda redelivery fills
-    that role, main.py:76-84); here the in-call retry avoids failing a
-    whole micro-batch — and re-running every other record in it — for
-    one throttled HTTP round trip. Anything else still raises so the
-    at-least-once replay path stays the backstop."""
+    ``Retry-After`` when the server sends one). Retrying is only
+    exactly-once for actions that carry ``_id`` (index-by-id is
+    idempotent); auto-id actions can double-index when the backend
+    applied the write before the transient status — the same
+    at-least-once class the micro-batch replay already has, so the
+    retry changes latency, not the delivery contract. The reference
+    has no client-side retry (Lambda redelivery fills that role,
+    main.py:76-84); here the in-call retry avoids failing a whole
+    micro-batch — and re-running every other record in it — for one
+    throttled HTTP round trip.
+
+    A 413 (payload too large) is not retryable-by-backoff: the request
+    is split in half and each half resent; a single action that still
+    413s is returned as a reject row (it can never succeed), never
+    raised. Anything else still raises so the at-least-once replay
+    path stays the backstop."""
 
     def __init__(
         self,
@@ -133,6 +142,8 @@ class HttpElasticsearch:
             }
 
     def bulk(self, actions: list[dict]) -> list[dict]:
+        if not actions:
+            return []
         lines = []
         for a in actions:
             meta = {"_index": a["_index"], "_type": a.get("_type", "_doc")}
@@ -143,7 +154,22 @@ class HttpElasticsearch:
             lines.append(src if isinstance(src, str) else json.dumps(src))
         body = ("\n".join(lines) + "\n").encode()
         url = f"{self.base_url}/_bulk"
-        payload = self._post_with_retry(url, body)
+        try:
+            payload = self._post_with_retry(url, body)
+        except urllib.error.HTTPError as exc:
+            # 413: the body exceeded http.max_content_length. Backoff
+            # cannot shrink a payload — halve and resend each side
+            # (depth <= log2(chunk) ~ 9 for the 500-action cap). One
+            # action still over the limit is a permanent per-action
+            # failure: surface it as a reject row for the DLQ, exactly
+            # like a mapping error, never an exception.
+            if exc.code != 413:
+                raise
+            exc.close()
+            if len(actions) == 1:
+                return list(actions)
+            mid = len(actions) // 2
+            return self.bulk(actions[:mid]) + self.bulk(actions[mid:])
         rejects: list[dict] = []
         if payload.get("errors"):
             for action, item in zip(actions, payload.get("items", [])):
@@ -155,9 +181,11 @@ class HttpElasticsearch:
     def _post_with_retry(self, url: str, body: bytes) -> dict:
         """POST, retrying only TRANSIENT_STATUSES up to max_retries with
         capped exponential backoff + full jitter. Retry-After is honored
-        but CLAMPED to backoff_cap_s — an hour-long server hint must not
-        block an executor thread (past the cap, failing into the
-        micro-batch replay is cheaper than sleeping). The request is
+        as a floor under the jittered exponential (so "Retry-After: 0"
+        still backs off and desynchronizes a fleet) and CLAMPED to
+        backoff_cap_s — an hour-long server hint must not block an
+        executor thread (past the cap, failing into the micro-batch
+        replay is cheaper than sleeping). The request is
         (re)built — and re-SIGNED — per attempt: a SigV4 signature
         carries x-amz-date and expires within minutes, so resending a
         pre-throttle signature after a long backoff would be rejected.
@@ -181,9 +209,15 @@ class HttpElasticsearch:
                 retry_after = (exc.headers or {}).get("Retry-After")
                 exc.close()
                 cap = min(self.backoff_cap_s, self.backoff_base_s * (2**attempt))
+                delay = random.uniform(0, cap)
                 if retry_after is not None and str(retry_after).isdigit():
-                    delay = min(float(retry_after), self.backoff_cap_s)
-                else:
-                    delay = random.uniform(0, cap)
+                    # Honor the server hint as a FLOOR under the jittered
+                    # exponential, clamped to the cap — a literal
+                    # "Retry-After: 0" from a throttling server must not
+                    # turn max_retries into a zero-backoff thundering
+                    # herd across a fleet of executors.
+                    delay = min(
+                        max(float(retry_after), delay), self.backoff_cap_s
+                    )
                 time.sleep(delay)
                 attempt += 1

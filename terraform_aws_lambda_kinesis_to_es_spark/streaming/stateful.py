@@ -317,7 +317,32 @@ def _cusum_fold(
     # pinned (ts, id) composite every ordered operator here uses.
     batch = batch.sort_values([ts_col, id_col], kind="mergesort")
     if len(batch):
-        r = batch[value_col].to_numpy(dtype="int64") - target
+        vals = batch[value_col].to_numpy()
+        if not np.issubdtype(vals.dtype, np.integer):
+            # The monitor is integer-only by contract (counts, bytes,
+            # latencies-in-ms). to_numpy(dtype='int64') would TRUNCATE
+            # fractional observations silently — round within a strict
+            # tolerance instead, and fail loudly on genuinely
+            # fractional input rather than fold a distorted statistic.
+            rounded = np.rint(vals)
+            if not np.allclose(vals, rounded, rtol=0.0, atol=1e-9):
+                raise ValueError(
+                    f"cusum_stream: non-integer values in '{value_col}' "
+                    "(the CUSUM fold is integer-only; scale fractional "
+                    "metrics to integer units upstream)"
+                )
+            vals = rounded
+        r = vals.astype("int64") - target
+        # int64 cumsum wraps silently (and consistently — a post-hoc
+        # diff check cannot see it), unlike the unbounded Python
+        # recursion this identity is pinned against. Sound a-priori
+        # guard: |any partial sum| <= c + sum|r|; float64's ~1e-16
+        # relative error is irrelevant at the 2^62 threshold.
+        if c + float(np.abs(r).sum(dtype="float64")) >= 2.0**62:
+            raise OverflowError(
+                "cusum_stream: micro-batch residual mass risks int64 "
+                "cumulative-sum wrap (scale the metric down upstream)"
+            )
         t = c + np.cumsum(r)
         cus = t - np.minimum(np.minimum.accumulate(t), 0)
         c = int(cus[-1])

@@ -194,14 +194,46 @@ def throttle_server():
 
 def test_bulk_retries_transient_statuses(throttle_server):
     """Two 429s then success: one bulk() call absorbs the throttling
-    (3 HTTP requests total, zero rejects). Retry-After: 0 keeps the
-    test instant and pins the header being honored."""
+    (3 HTTP requests total, zero rejects). Tiny backoff params keep
+    the test instant (Retry-After: 0 no longer bypasses the jittered
+    floor by design)."""
     url, stub = throttle_server
     stub.fail_statuses = [429, 503]
     stub.retry_after = "0"
-    client = HttpElasticsearch(url, max_retries=3)
+    client = HttpElasticsearch(
+        url, max_retries=3, backoff_base_s=0.001, backoff_cap_s=0.002
+    )
     assert client.bulk(_actions(2)) == []
     assert len(stub.requests) == 3
+
+
+def test_retry_after_is_floor_under_jitter_and_clamped(
+    throttle_server, monkeypatch
+):
+    """'Retry-After: 0' must NOT zero the backoff (thundering-herd on a
+    fleet): the jittered exponential is the floor. And a huge hint is
+    clamped to backoff_cap_s, never slept verbatim."""
+    from terraform_aws_lambda_kinesis_to_es_spark.sinks import es_http
+
+    slept: list[float] = []
+    monkeypatch.setattr(es_http.time, "sleep", slept.append)
+    # deterministic jitter: always draw the full cap
+    monkeypatch.setattr(es_http.random, "uniform", lambda a, b: b)
+
+    url, stub = throttle_server
+    stub.fail_statuses = [429]
+    stub.retry_after = "0"
+    client = HttpElasticsearch(
+        url, max_retries=1, backoff_base_s=0.5, backoff_cap_s=8.0
+    )
+    assert client.bulk(_actions(1)) == []
+    assert slept == [0.5]  # floor = jittered exponential, not the 0 hint
+
+    slept.clear()
+    stub.fail_statuses = [429]
+    stub.retry_after = "3600"
+    assert client.bulk(_actions(1)) == []
+    assert slept == [8.0]  # hour-long hint clamped to the cap
 
 
 def test_bulk_fails_fast_on_config_errors(throttle_server):
@@ -225,7 +257,79 @@ def test_bulk_raises_after_retry_budget(throttle_server):
     url, stub = throttle_server
     stub.fail_statuses = [429, 429, 429]
     stub.retry_after = "0"
-    client = HttpElasticsearch(url, max_retries=2)
+    client = HttpElasticsearch(
+        url, max_retries=2, backoff_base_s=0.001, backoff_cap_s=0.002
+    )
     with pytest.raises(urllib.error.HTTPError):
         client.bulk(_actions(1))
     assert len(stub.requests) == 3
+
+
+class _SizeLimitStub(BaseHTTPRequestHandler):
+    """413s any request carrying more than `max_actions` actions
+    (mirroring ES's http.max_content_length rejection); otherwise a
+    clean bulk 200. Records the per-request action counts."""
+
+    request_sizes: list[int] = []
+    max_actions: int = 2
+
+    def do_POST(self):
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        n_actions = len(body.strip().split("\n")) // 2
+        type(self).request_sizes.append(n_actions)
+        if n_actions > type(self).max_actions:
+            self.send_response(413)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        resp = json.dumps(
+            {"errors": False, "items": [{"index": {"status": 201}}] * n_actions}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(resp)))
+        self.end_headers()
+        self.wfile.write(resp)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def size_limit_server():
+    _SizeLimitStub.request_sizes = []
+    _SizeLimitStub.max_actions = 2
+    srv = HTTPServer(("127.0.0.1", 0), _SizeLimitStub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}", _SizeLimitStub
+    srv.shutdown()
+
+
+def test_bulk_413_splits_and_succeeds(size_limit_server):
+    """413 -> halve and resend: 5 actions against a 2-action limit
+    converge to <=2-action requests, all indexed, zero rejects."""
+    url, stub = size_limit_server
+    client = HttpElasticsearch(url)
+    assert client.bulk(_actions(5)) == []
+    # 5 -> 413; halves [2],[3]; the 3-wide half 413s again -> [1],[2]
+    assert stub.request_sizes == [5, 2, 3, 1, 2]
+    # every action delivered exactly once across the fitting requests
+    assert sum(n for n in stub.request_sizes if n <= 2) == 5
+
+
+def test_bulk_413_single_action_becomes_reject(size_limit_server):
+    """An action that 413s ALONE can never succeed: it comes back as a
+    reject row (DLQ path), never an exception — and it must not sink
+    the other actions split alongside it."""
+    url, stub = size_limit_server
+    stub.max_actions = 0  # every action is "too large" on its own
+    client = HttpElasticsearch(url)
+    rejects = client.bulk(_actions(3))
+    assert [r["_source"]["log_id"] for r in rejects] == ["0", "1", "2"]
+
+    stub.max_actions = 1  # singles fit; wider requests 413 and split
+    stub.request_sizes = []
+    assert client.bulk(_actions(3)) == []
+    # 3 -> 413; halves [1],[2]; the 2-wide half 413s again -> [1],[1]
+    assert stub.request_sizes == [3, 1, 2, 1, 1]

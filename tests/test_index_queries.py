@@ -1,8 +1,7 @@
-"""Staged round-12 queries vs their DuckDB oracles — the driver's
-compare protocol applied BEFORE declaration (plans/staged_r12.py stays
-out of the declared registry until the round-12 head opens). The
-oracle compare runs at BOTH sf0.001 and sf0.01, plus the staging
-contract and per-query semantic pins."""
+"""ANN-index-internals queries (promoted round 12; staged in round 10
+as plans/staged_r12.py) vs their DuckDB oracles — the driver's compare
+protocol at BOTH sf0.001 and sf0.01, plus the declaration contract and
+per-query semantic pins."""
 
 from __future__ import annotations
 
@@ -10,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrypoint
-from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r12 import (
+from terraform_aws_lambda_kinesis_to_es_spark.plans.index_queries import (
     ORACLES,
     PROBE_WIDTHS,
     QUERIES,
@@ -35,23 +34,31 @@ def duck01():
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_staged_query_matches_oracle(name, spark, sf_dir, duck):
+def test_query_matches_oracle(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     res = compare(df, duck, ORACLES[name])
     assert res["ok"], f"{name}: {res}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_staged_query_matches_oracle_sf001(name, spark, duck01):
+def test_query_matches_oracle_sf001(name, spark, duck01):
     """The same compare at the driver's own correctness scale factor."""
     df = QUERIES[name](spark, SF001)
     res = compare(df, duck01, ORACLES[name])
     assert res["ok"], f"{name}: {res}"
 
 
-def test_staging_contract():
+def test_declaration_contract():
+    """Promoted round 12: every tranche name is declared with the
+    identical oracle, and the 4 names head the declared surface
+    (driver check order = declaration order)."""
     assert set(QUERIES) == set(ORACLES)
-    assert not set(QUERIES) & set(entrypoint.queries())
+    declared_q = entrypoint.queries()
+    declared_o = entrypoint.oracle_sql()
+    assert set(QUERIES) <= set(declared_q)
+    for name, sql in ORACLES.items():
+        assert declared_o[name] == sql
+    assert list(declared_q)[:4] == list(QUERIES)
 
 
 # ------------------------------------------------------ semantic pins

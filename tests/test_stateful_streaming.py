@@ -1027,3 +1027,29 @@ def test_cusum_stream_tws_variant(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_cusum_fold_input_guards():
+    """The shared fold is integer-only by contract: integral floats
+    (1.0) fold fine, fractional input raises instead of silently
+    truncating, and a residual mass near the int64 ceiling raises
+    instead of wrapping the cumulative sum (ADVICE r11)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    def fold(values, c=0, target=0):
+        pdf = pd.DataFrame(
+            {"v": values, "ts": range(len(values)), "id": range(len(values))}
+        )
+        return stateful._cusum_fold(c, 0, iter([pdf]), target, "v", "ts", "id")
+
+    # integral floats are accepted (parquet often lands counts as double)
+    # residuals [1,-1,2] -> CUSUM trace [1,0,2]
+    c, peak, n = fold([3.0, 1.0, 4.0], target=2)
+    assert (c, peak, n) == fold([3, 1, 4], target=2) == (2, 2, 3)
+    # fractional input fails loudly, never truncates
+    with _pytest.raises(ValueError, match="integer-only"):
+        fold([1.5, 2.0])
+    # residual mass at the int64 ceiling fails loudly, never wraps
+    with _pytest.raises(OverflowError, match="wrap"):
+        fold([2**62, 2**62])
