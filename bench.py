@@ -69,6 +69,17 @@ CANARY_REFS = {
     "q_cooccurrence": 0.943,     # shuffle-bound
     "q_profile_columns": 1.649,  # CPU-bound
 }
+# Reference-epoch id stamped into every bench artifact (VERDICT r11 #2):
+# canary_factors are only comparable WITHIN one epoch. Artifacts whose
+# canary_epoch differs need the cross-epoch conversion documented in
+# PERF.md (r7-epoch factors divide by ~0.81 to land in r11-idle units).
+CANARY_EPOCH = "r11-idle"
+# A committed bench artifact should be captured at low contention: above
+# this canary_factor the per-query numbers carry a uniform host-state
+# inflation (BENCH_r11 shipped at 1.433 and read as a fake 32%
+# regression until normalized). bench.py warns loudly; the round process
+# re-runs idle before committing BENCH_latest.
+CANARY_WARN_FACTOR = 1.2
 
 # Headliner set policy (VERDICT r9 #6): HARD CAP at 80 names. Each
 # promotion adds at most the tranche's representative shapes (~6-8);
@@ -128,13 +139,19 @@ HEADLINE = (
     "q_clean_corpus",
     "q_clean_stream",
     # pipeline ops (round 3)
+    # (round-12 rotation, per the cap policy above: q_cdc_latest,
+    # q_orphan_check, q_rollup_merge, q_profile_columns_approx rotated
+    # OUT — the four oldest-promoted names with flat min-timings across
+    # BENCH_r09/r10/r11 (0.26/0.31/0.24 · 0.77/0.79/0.60 ·
+    # 0.26/0.31/0.29 · 0.89/0.91/0.91 canary-normalized) whose shapes
+    # stay covered: latest-per-key windows by q_crawl_frontier /
+    # q_growth_accounting, anti-join audit by q_snapshot_delta /
+    # q_bloom_semijoin, rollup aggs by q_pricing_summary, approx-
+    # distinct sketches by q_mg_sketch_agreement / q_kmv_overlap; the
+    # exact q_profile_columns stays as the permanent CPU canary)
     "q_gopher_filters",
-    "q_cdc_latest",
     "q_cooccurrence",
     "q_profile_columns",
-    "q_profile_columns_approx",
-    "q_orphan_check",
-    "q_rollup_merge",
     "q_entity_match",
     "q_ann_recall",
     # round-6 headliners: the FAISS-refine ANN leg and the two
@@ -197,6 +214,15 @@ HEADLINE = (
     "q_filter_overlap",
     "q_image_border_uniformity",
     "q_growth_accounting",
+    # round-12 headliners: the promoted ANN-index-internals tranche
+    # (IVF occupancy rollup, per-subspace PQ error fold, the multi-
+    # probe recall curve with its exact-L2 truth leg, near-dup graph
+    # triangle/wedge count) — 76 + 4 = 80 after the four-name rotation
+    # above.
+    "q_ivf_balance",
+    "q_pq_distortion",
+    "q_ann_probe_curve",
+    "q_dup_transitivity",
 )
 
 
@@ -312,10 +338,19 @@ def main() -> None:
         "runs": runs,
         "n_runs": n_runs,
         "canary_factor": canary_factor,
+        "canary_epoch": CANARY_EPOCH,
         "canary_refs": CANARY_REFS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **({"errors": errors} if errors else {}),
     }
+    if canary_factor is not None and canary_factor > CANARY_WARN_FACTOR:
+        payload["canary_contended"] = True
+        print(
+            f"WARNING: canary_factor {canary_factor} > {CANARY_WARN_FACTOR} — "
+            "host is contended; per-query numbers carry a uniform "
+            "inflation. Re-run idle before committing this artifact.",
+            file=sys.stderr,
+        )
     print(json.dumps(payload))
     # VERDICT r10 #3: the driver's BENCH_rN.json keeps only a stdout
     # TAIL, so ~half the per-query medians were unrecoverable each
@@ -352,6 +387,7 @@ def main() -> None:
                     sum(t for t in mins.values() if t is not None), 3
                 ),
                 "canary_factor": canary_factor,
+                "canary_epoch": CANARY_EPOCH,
                 "n_queries": len(headline),
                 "n_timed": sum(1 for t in timings.values() if t is not None),
                 "errors": sorted(errors),

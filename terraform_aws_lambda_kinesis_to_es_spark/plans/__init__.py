@@ -202,7 +202,7 @@ _HEAD = _R12_HEAD
 #       two-SF driver-protocol-tested in round 11; promote on
 #       schedule, renamed to its promoted module);
 #   (b) the 7-name r7 residue (q_pack_sequences .. q_quantize, the
-#       tail of the r7 tier _R12_HEAD_PLAN leaves);
+#       tail of the r7 tier _R12_HEAD leaves);
 #   (c) the first 31 r8-tier names in their CORRECTNESS_r08 order.
 # That leaves the last 19 r8 names (q_doc_chunks .. q_forget_users)
 # plus the r9 tier for round 14.
@@ -228,6 +228,20 @@ _R13_HEAD_PLAN = (
     "q_whitelist", "q_unknown_route", "q_rollup_merge",
     "q_duplicate_payloads", "q_quality_classifier",
 )
+
+# Round-14 head arithmetic (write the explicit _R14_HEAD_PLAN tuple at
+# round-13 promotion time, per the standing pattern): head, exactly
+# 50 = the 12 staged round-14 names from plans/staged_r14.py + the
+# 19-name r8 residue (q_doc_chunks .. q_forget_users, the tail of the
+# r8 tier _R13_HEAD_PLAN leaves) + the first 19 r9-tier names in their
+# CORRECTNESS_r09 order. That leaves the last 31 r9 names for round 15.
+#
+# Round-15 head arithmetic (tuple written at round-14 promotion time):
+# head, exactly 50 = the 12 staged round-15 names from
+# plans/staged_r15.py (built + two-SF driver-protocol-tested + 100x
+# evidenced in round 12) + the 31-name r9 residue + the first 7
+# r10-tier names in their CORRECTNESS_r10 order. That leaves 43 r10
+# names plus the r11 tier for round 16.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:

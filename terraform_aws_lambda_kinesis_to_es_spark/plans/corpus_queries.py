@@ -528,28 +528,10 @@ PH_W, PH_H = 8, 4  # q_media_decode's framing: 8x4 RGB = 96 body bytes
 PH_PIXELS = PH_W * PH_H
 
 
-def q_media_phash(
-    spark: SparkSession,
-    sf_dir: str,
-    cache_registry: list[DataFrame] | None = None,
-) -> DataFrame:
-    """Perceptual image dedup via average-hash (aHash): each document's
-    text bytes are framed as a valid binary-PPM exactly like
-    q_media_decode (header + rpad-to-96-byte body), decoded by the REAL
-    pure-python PPM decoder inside Arrow mapInPandas, and hashed:
-    gray[p] = R+G+B of pixel p (integer, no scaling loss), bit p set
-    iff 32*gray[p] > sum(gray) — the strictly-greater integer form of
-    "above the mean", so the hash is deterministic with no float
-    anywhere. Output: (doc_id, ahash, n_same) where n_same counts docs
-    sharing the hash — duplicate-image groups by ONE keyed shuffle on
-    the 32-bit hash, never pairwise pixel comparison.
-
-    At 100 TB this is image exact/near-dup stage 1: decode once
-    (Arrow-batched, embarrassingly parallel), bucket by perceptual
-    hash; stage 2 (intra-bucket verification) is bounded by bucket
-    sizes exactly like text LSH buckets. The oracle reproduces the
-    decode arithmetically from hex(encode(text)) — byte-exact for any
-    text — so the REAL decoder's output is value-checked."""
+def ahash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ahash) via the REAL PPM decode inside Arrow mapInPandas
+    — the shared perceptual-hash stage of q_media_phash and the staged
+    MIH near-dup detector (factored so the two cannot drift)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -582,7 +564,32 @@ def q_media_phash(
                 }
             )
 
-    hashed = framed.mapInPandas(gen, "doc_id long, ahash long").persist()
+    return framed.mapInPandas(gen, "doc_id long, ahash long")
+
+
+def q_media_phash(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Perceptual image dedup via average-hash (aHash): each document's
+    text bytes are framed as a valid binary-PPM exactly like
+    q_media_decode (header + rpad-to-96-byte body), decoded by the REAL
+    pure-python PPM decoder inside Arrow mapInPandas, and hashed:
+    gray[p] = R+G+B of pixel p (integer, no scaling loss), bit p set
+    iff 32*gray[p] > sum(gray) — the strictly-greater integer form of
+    "above the mean", so the hash is deterministic with no float
+    anywhere. Output: (doc_id, ahash, n_same) where n_same counts docs
+    sharing the hash — duplicate-image groups by ONE keyed shuffle on
+    the 32-bit hash, never pairwise pixel comparison.
+
+    At 100 TB this is image exact/near-dup stage 1: decode once
+    (Arrow-batched, embarrassingly parallel), bucket by perceptual
+    hash; stage 2 (intra-bucket verification) is bounded by bucket
+    sizes exactly like text LSH buckets. The oracle reproduces the
+    decode arithmetically from hex(encode(text)) — byte-exact for any
+    text — so the REAL decoder's output is value-checked."""
+    hashed = ahash_frame(spark, sf_dir).persist()
     if cache_registry is not None:
         cache_registry.append(hashed)
     groups = hashed.groupBy("ahash").agg(F.count("*").cast("bigint").alias("n_same"))
@@ -1256,8 +1263,10 @@ _PH_GRAYS = (
     "    + CAST(('0x' || substring(hx, 6*p + 5, 2)) AS BIGINT))"
 )
 
-_PHASH_SQL = f"""
-WITH body AS (
+# body/g/h chain ending in h(doc_id, ahash) — shared with the staged
+# MIH near-dup oracle so the arithmetic reproduction of the decoder
+# cannot drift between the two.
+AHASH_CTES = f"""body AS (
   SELECT doc_id,
          rpad(substring(hex(encode(text)), 1, {PH_PIXELS * 6}),
               {PH_PIXELS * 6}, '78') AS hx
@@ -1273,7 +1282,10 @@ h AS (
                         THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
            AS ahash
   FROM g
-)
+)"""
+
+_PHASH_SQL = f"""
+WITH {AHASH_CTES}
 SELECT doc_id, ahash,
        CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
 FROM h

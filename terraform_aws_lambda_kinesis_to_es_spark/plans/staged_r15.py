@@ -1,0 +1,1295 @@
+"""Staged round-15 queries — built in round 12, NOT declared: the
+round-13 and round-14 windows are already allocated (_R13_HEAD_PLAN /
+the r14 head arithmetic in plans/__init__.py). Promote QUERIES/ORACLES
+into the round-15 head verbatim when its window opens.
+
+Theme: SERVING-PATH & RELEASE-GATE AUDITS across the engine's families
+— image near-dup at scale, the metric choice behind every vector
+serving path, dedup-graph robustness and its label hygiene, the
+privacy triad's distribution gate, retrieval quality, revenue/traffic
+concentration, and the SRE-style burn-rate monitor:
+
+- q_phash_mih          — image near-dup PAIRS via multi-index hashing
+                         over the aHash (4 x 8-bit bands; pigeonhole
+                         guarantees every Hamming<=3 pair collides in
+                         >=1 band — Norouzi et al.'s MIH, public
+                         literature), the image twin of text LSH
+- q_metric_agreement   — cosine vs raw-dot top-k agreement per query
+                         vector (the normalize-or-not audit run before
+                         choosing an ANN metric)
+- q_kcore              — bounded k-core peeling of the near-dup graph
+                         (how much of the dup mass survives removing
+                         weakly-connected nodes; fixed unrolled rounds
+                         keep it SQL-expressible)
+- q_dup_cluster_purity — language purity per near-dup cluster (clusters
+                         spanning languages = translations or label
+                         errors; the label-hygiene read on CC output)
+- q_t_closeness        — total-variation t-closeness of the sensitive
+                         attribute per QI class in exact bp
+                         (the distribution gate k-anonymity and
+                         l-diversity both miss — Li et al., public
+                         literature)
+- q_chi2_independence  — bp-quantized chi-squared deviation cells for
+                         lang x source (is the language mix independent
+                         of source — the mixture-QA significance read)
+- q_dup_quality_interaction — near-dup membership x quality band
+                         cross-tab (is redundancy concentrated in
+                         low-quality strata — decides dedup-vs-filter
+                         ordering)
+- q_shingle_ablation   — detector yield and precision vs shingle size
+                         (the OTHER detector knob next to
+                         q_minhash_ablation's signature width)
+- q_revenue_pareto     — customer revenue concentration (Lorenz
+                         deciles, cumulative share) — the skew read
+                         that sizes per-key state and cache tiers
+- q_seasonality_strength — day-of-week traffic profile per event type
+                         (share + deviation from uniform in bp)
+- q_ndcg_eval          — nDCG@p curve of BM25 against graded term-
+                         frequency relevance, with integer micro-unit
+                         discount weights (no float logs cross engines)
+- q_slo_burn           — multi-window (1h/6h) error-budget burn-rate
+                         alerts over the event stream (the Google SRE
+                         workbook's alerting policy, public literature)
+
+Cross-engine determinism: id/count arithmetic and integer bp/milli via
+DIV throughout; ranking floats (cosine/dot/BM25) reuse the established
+order-pinned fold expressions and rank AFTER round(4) where ties are
+possible; the nDCG discount weights are Python-side integer literals
+embedded identically in both engines' expressions.
+
+Reference citation: the reference engine (lambda/main.py, 174 lines)
+has no vector/dedup/retrieval layer; these extend the repo's
+training-data north star (SURVEY.md §2 extensions) following the
+audit-query pattern of q_ann_probe_curve / q_lsh_tuning /
+q_mase_forecast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
+    AHASH_CTES,
+    ahash_frame,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+    _PAIR_JACCARD,
+    JACCARD_THRESHOLD_BP,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.diagnostics_queries import (
+    _SIG_LIST,
+    _SIG_MINS,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
+    SEARCH_TERMS,
+    q_bm25,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
+    _cosine_sql,
+    _dot_sql,
+    _vec,
+    _VEC_CTE,
+    N_QUERY_VECS,
+    TOP_K,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+    _ngrams_sql,
+    _TOKS,
+    with_quality,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+    MOD31,
+    hash60_sql,
+    perm_hash_sql,
+)
+from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
+
+# ------------------------------------------------------ phash MIH
+
+MIH_BANDS = 4  # 32-bit aHash -> 4 disjoint 8-bit bands
+MIH_HAM_T = 3  # pigeonhole: d <= MIH_BANDS-1 collides in >= 1 band
+
+
+def q_phash_mih(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Image near-dup PAIRS via multi-index hashing (MIH) over the
+    perceptual aHash: split the 32-bit hash into 4 disjoint 8-bit
+    bands, bucket-join on (band, value), verify candidates with an
+    exact popcount — (doc_a, doc_b, hamming) for every pair within
+    Hamming distance MIH_HAM_T. The pigeonhole guarantee makes the
+    banded join EXACT for d <= 3 (a pair differing in <= 3 bits leaves
+    at least one of 4 bands untouched), so this is image near-dup with
+    text-LSH economics: one keyed shuffle on narrow band keys, bucket-
+    bounded pair expansion, popcount only on candidates — never an
+    all-pairs Hamming scan. q_media_phash reports exact-hash groups;
+    this is its near-miss tier (sensor noise, re-encodes).
+
+    The hash stage is the REAL Arrow-batched PPM decode shared with
+    q_media_phash (corpus_queries.ahash_frame); the oracle reproduces
+    it arithmetically from hex(encode(text)) and mirrors the banding,
+    so detector recall itself is value-checked.
+
+    Cache lifecycle (the cms_sketch pattern): the persisted hash frame
+    feeds both join sides inside the returned lazy plan; batch callers
+    rely on bench.py's clearCache / LRU, long-lived sessions pass
+    ``cache_registry`` and unpersist after their terminal action."""
+    h = ahash_frame(spark, sf_dir).persist()
+    if cache_registry is not None:
+        cache_registry.append(h)
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[F.lit(m) for m in range(MIH_BANDS)])
+        ).alias("m"),
+    ).withColumn("bval", F.expr("shiftright(ahash, 8 * m) & 255"))
+    a = bands.select(
+        F.col("m"),
+        F.col("bval"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash").alias("ha"),
+    )
+    b = bands.select(
+        F.col("m"),
+        F.col("bval"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("hb"),
+    )
+    cands = (
+        a.join(b, ["m", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= MIH_HAM_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+    )
+
+
+_PHASH_MIH_SQL = f"""
+WITH {AHASH_CTES},
+bands AS (
+  SELECT doc_id, ahash, m, (ahash >> (8 * m)) & 255 AS bval
+  FROM h, range({MIH_BANDS}) t(m)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b ON a.m = b.m AND a.bval = b.bval
+                            AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(ha, hb)) <= {MIH_HAM_T}
+"""
+
+# ------------------------------------------------ metric agreement
+
+
+def q_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine vs raw-dot-product top-k agreement per query vector —
+    the audit behind the normalize-or-not decision every vector
+    serving path makes: if the two metrics' top-k disagree, the index
+    must be built on the metric the application means (or vectors
+    normalized at write time). Per query: top-k overlap, the set
+    agreement in bp, and whether the top-1 neighbor itself agrees.
+
+    Output is ID-SET arithmetic (the q_ann_recall discipline): both
+    rankings order by float scores, but the scores are the established
+    order-pinned fold expressions (bit-identical cross-engine) and
+    ties break on neighbor id, so the sets — and therefore every
+    emitted integer — are exact. Cost: two broadcast-query corpus
+    scans (one per metric) + a k-bounded join; at rest the dot leg is
+    the same IVF/PQ-servable shape as the cosine leg."""
+    vecs = _vec(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    cos = S.knn_bruteforce(vecs, queries, k=TOP_K)
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", S.dot(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    dot = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    joined = cos.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_cos")
+    ).join(
+        dot.select("query_id", "neighbor_id", F.col("rank").alias("rank_dot")),
+        ["query_id", "neighbor_id"],
+        "full",
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(
+            (F.col("rank_cos").isNotNull() & F.col("rank_dot").isNotNull()).cast(
+                "bigint"
+            )
+        ).alias("n_overlap"),
+        F.expr(
+            f"CAST(10000 * sum(CASE WHEN rank_cos IS NOT NULL AND rank_dot"
+            f" IS NOT NULL THEN 1 ELSE 0 END) DIV {TOP_K} AS BIGINT)"
+        ).alias("overlap_bp"),
+        F.max(
+            F.when(
+                (F.col("rank_cos") == 1) & (F.col("rank_dot") == 1), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("top1_agree"),
+    )
+
+
+_METRIC_AGREE_SQL = f"""
+WITH vecs AS ({_VEC_CTE}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERY_VECS}),
+cos_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql("c.v", "q.qv")} AS s
+  FROM vecs c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+cosr AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank_cos
+  FROM cos_scored QUALIFY rank_cos <= {TOP_K}
+),
+dot_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_dot_sql("c.v", "q.qv")} AS s
+  FROM vecs c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+dotr AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id ASC) AS rank_dot
+  FROM dot_scored QUALIFY rank_dot <= {TOP_K}
+),
+j AS (
+  SELECT COALESCE(c.query_id, d.query_id) AS query_id,
+         c.rank_cos, d.rank_dot
+  FROM cosr c FULL OUTER JOIN dotr d
+    ON c.query_id = d.query_id AND c.neighbor_id = d.neighbor_id
+)
+SELECT query_id,
+       CAST(SUM(CASE WHEN rank_cos IS NOT NULL AND rank_dot IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       CAST(10000 * SUM(CASE WHEN rank_cos IS NOT NULL AND rank_dot IS NOT NULL
+                     THEN 1 ELSE 0 END) // {TOP_K} AS BIGINT) AS overlap_bp,
+       CAST(MAX(CASE WHEN rank_cos = 1 AND rank_dot = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1_agree
+FROM j GROUP BY query_id
+"""
+
+# ------------------------------------------------------------ k-core
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def q_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Bounded k-core peeling of the verified near-dup graph: each
+    round removes nodes with degree < KCORE_K and the edges they carry;
+    per round, the surviving node and edge counts. The robustness read
+    on the dup graph — a thick k-core means cluster-collapse dedup
+    removes hubs of genuinely redundant content; a graph that peels to
+    nothing is pair-noise that cluster policies would over-delete.
+    Fixed unrolled rounds keep it SQL-expressible (the q_dup_clusters /
+    q_label_propagation discipline); full peeling is iterate-to-
+    fixpoint, and on real corpora the census converges in a handful of
+    rounds (each is one degree aggregate + two semi-joins on a pair set
+    already bounded by the detector)."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()  # detector runs once; cache_registry owns the lifetime
+    if cache_registry is not None:
+        cache_registry.append(edges)
+
+    def census(e: DataFrame, rnd: int) -> DataFrame:
+        nodes = e.select(F.col("src").alias("u")).unionAll(
+            e.select(F.col("dst").alias("u"))
+        )
+        return nodes.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.countDistinct("u").cast("bigint").alias("n_nodes"),
+            F.expr("count(*) DIV 2").cast("bigint").alias("n_edges"),
+        )
+
+    cur = edges
+    rows = [census(cur, 0)]  # round 0: the raw detector graph
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("src").alias("u"))
+            .unionAll(cur.select(F.col("dst").alias("u")))
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("u")
+        cur = (
+            cur.join(keep.withColumnRenamed("u", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("u", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        rows.append(census(cur, rnd))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    return f""",
+{out}_deg AS (
+  SELECT u, COUNT(*) AS deg FROM (
+    SELECT src AS u FROM {prev} UNION ALL SELECT dst AS u FROM {prev}
+  ) GROUP BY u
+),
+{out} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN {out}_deg ka ON e.src = ka.u AND ka.deg >= {KCORE_K}
+  JOIN {out}_deg kb ON e.dst = kb.u AND kb.deg >= {KCORE_K}
+)"""
+
+
+def _kcore_census_sql(rel: str, rnd: int) -> str:
+    return f"""
+SELECT CAST({rnd} AS BIGINT) AS round,
+       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_edges
+FROM (SELECT src AS u FROM {rel} UNION ALL SELECT dst AS u FROM {rel})
+"""
+
+
+_KCORE_SQL = (
+    _PAIR_JACCARD
+    + f""", e0 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+)"""
+    + "".join(
+        _kcore_round_sql(f"e{r - 1}", f"e{r}") for r in range(1, KCORE_ROUNDS + 1)
+    )
+    + "\nUNION ALL\n".join(
+        _kcore_census_sql(f"e{r}", r) for r in range(0, KCORE_ROUNDS + 1)
+    )
+)
+
+# ------------------------------------------------- cluster purity
+
+
+def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per near-dup cluster: for every multi-doc
+    cluster the declared CC machinery emits, its size, distinct-lang
+    count, the majority language (ties to the lexicographically
+    smallest) and its share in bp. Clusters spanning languages are
+    near-translations or langid errors — either way the label-hygiene
+    read a team does BEFORE trusting per-language token budgets on a
+    deduped corpus. Reuses near_dup_clusters verbatim (digest collapse
+    + LSH + min-label CC); the rollup is one keyed aggregate over
+    cluster x lang plus a window over those bounded rows."""
+    docs = load_split(spark, sf_dir, "documents")
+    comps = D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    members = comps.join(docs.select("doc_id", "lang"), "doc_id")
+    by_lang = members.groupBy("cluster_id", "lang").agg(
+        F.count("*").alias("n_lang")
+    )
+    sizes = by_lang.groupBy("cluster_id").agg(
+        F.sum("n_lang").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_lang").desc(), F.col("lang").asc()
+    )
+    top = (
+        by_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("lang").alias("top_lang"), "n_lang")
+    )
+    return (
+        sizes.filter(F.col("n_docs") > 1)
+        .join(top, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            "top_lang",
+            F.expr("CAST(10000 * n_lang DIV n_docs AS BIGINT)").alias(
+                "purity_bp"
+            ),
+        )
+    )
+
+
+# The oracle mirrors q_dup_clusters' declared recursive-CTE transitive
+# closure VERBATIM (min reachable id over symmetrized edges from the
+# exhaustive exact-Jaccard pair set; exact dups re-emerge as
+# jaccard=10000 pairs, so the Spark side's digest collapse is
+# output-invariant here exactly as it is for q_dup_clusters), then
+# rolls cluster x lang up and picks the majority.
+_PURITY_SQL = (
+    _PAIR_JACCARD.replace("WITH sh", "WITH RECURSIVE sh", 1)
+    + f""",
+filt AS (SELECT doc_a, doc_b FROM pairs
+         WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM filt
+  UNION SELECT doc_b, doc_a FROM filt
+),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+by_lang AS (
+  SELECT c.cluster_id, d.lang, COUNT(*) AS n_lang
+  FROM comp c JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cluster_id, SUM(n_lang) AS n_docs, COUNT(*) AS n_langs
+  FROM by_lang GROUP BY cluster_id
+),
+top AS (
+  SELECT cluster_id, lang AS top_lang, n_lang,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_lang DESC, lang ASC) AS rn
+  FROM by_lang QUALIFY rn = 1
+)
+SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_langs AS BIGINT) AS n_langs,
+       t.top_lang,
+       CAST(10000 * t.n_lang // s.n_docs AS BIGINT) AS purity_bp
+FROM sizes s JOIN top t USING (cluster_id)
+WHERE s.n_docs > 1
+"""
+)
+
+# ------------------------------------------------------ t-closeness
+
+TCLOSE_SIZE_BUCKET = 100  # the q_l_diversity quasi-identifier bucketing
+TCLOSE_T_BP = 3300  # release gate: classes farther than 0.33 TV are at risk
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007 — public
+    literature) on the (lang, length-bucket) quasi-identifier with
+    ``source`` as the sensitive attribute, using total-variation
+    distance for the categorical case: per equivalence class, its size
+    and TV(class dist, global dist) in exact bp. Completes the privacy
+    triad next to q_k_anonymity / q_l_diversity — a class can be large
+    (k ok) and diverse (l ok) yet still leak by skew toward one source.
+
+    Integer recipe: both distributions quantize to bp shares FIRST
+    (DIV), the TV sum of absolute share gaps halves with DIV 2 — exact
+    at any scale. The class x source grid is |classes| x |sources|
+    (both bounded dims); missing cells coalesce to 0 so absent sources
+    contribute their full global share."""
+    docs = load_split(spark, sf_dir, "documents")
+    cls = docs.select(
+        "lang",
+        F.expr(f"n_chars DIV {TCLOSE_SIZE_BUCKET}").cast("bigint").alias(
+            "size_bucket"
+        ),
+        "source",
+    )
+    class_counts = cls.groupBy("lang", "size_bucket", "source").agg(
+        F.count("*").alias("n_cs")
+    )
+    class_tot = class_counts.groupBy("lang", "size_bucket").agg(
+        F.sum("n_cs").alias("n_c")
+    )
+    glob = cls.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_total = cls.count()
+    grid = class_tot.crossJoin(
+        F.broadcast(
+            glob.select(
+                "source",
+                F.expr(f"CAST(10000 * n_s DIV {n_total} AS BIGINT)").alias(
+                    "g_bp"
+                ),
+            )
+        )
+    )
+    filled = grid.join(
+        class_counts, ["lang", "size_bucket", "source"], "left"
+    ).select(
+        "lang",
+        "size_bucket",
+        "n_c",
+        "g_bp",
+        F.expr(
+            "CAST(10000 * coalesce(n_cs, 0) DIV n_c AS BIGINT)"
+        ).alias("c_bp"),
+    )
+    return filled.groupBy("lang", "size_bucket").agg(
+        F.max("n_c").cast("bigint").alias("k_rows"),
+        F.expr("CAST(sum(abs(c_bp - g_bp)) DIV 2 AS BIGINT)").alias("t_bp"),
+        F.expr(
+            f"CAST(sum(abs(c_bp - g_bp)) DIV 2 > {TCLOSE_T_BP} AS BIGINT)"
+        ).alias("at_risk"),
+    )
+
+
+_TCLOSE_SQL = f"""
+WITH cls AS (
+  SELECT lang, CAST(n_chars // {TCLOSE_SIZE_BUCKET} AS BIGINT) AS size_bucket,
+         source
+  FROM documents
+),
+class_counts AS (
+  SELECT lang, size_bucket, source, COUNT(*) AS n_cs
+  FROM cls GROUP BY 1, 2, 3
+),
+class_tot AS (
+  SELECT lang, size_bucket, SUM(n_cs) AS n_c
+  FROM class_counts GROUP BY 1, 2
+),
+gdist AS (
+  SELECT source,
+         CAST(10000 * COUNT(*) // (SELECT COUNT(*) FROM cls) AS BIGINT) AS g_bp
+  FROM cls GROUP BY source
+),
+filled AS (
+  SELECT t.lang, t.size_bucket, t.n_c, g.g_bp,
+         CAST(10000 * COALESCE(c.n_cs, 0) // t.n_c AS BIGINT) AS c_bp
+  FROM class_tot t CROSS JOIN gdist g
+  LEFT JOIN class_counts c
+    ON c.lang = t.lang AND c.size_bucket = t.size_bucket
+   AND c.source = g.source
+)
+SELECT lang, size_bucket,
+       CAST(MAX(n_c) AS BIGINT) AS k_rows,
+       CAST(SUM(ABS(c_bp - g_bp)) // 2 AS BIGINT) AS t_bp,
+       CAST(SUM(ABS(c_bp - g_bp)) // 2 > {TCLOSE_T_BP} AS BIGINT) AS at_risk
+FROM filled GROUP BY 1, 2
+"""
+
+# ---------------------------------------------- chi2 independence
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bp-quantized chi-squared deviation cells for lang x source —
+    the independence read behind mixture QA: a cell whose observed
+    share deviates from the product of its marginals is a (language,
+    source) pocket the sampler must know about. Emits the full grid
+    (zero cells included: their deviation is exactly the expected
+    mass) with observed/expected shares and the per-cell deviation
+    term; the statistic is the sum of dev_q over cells, left to the
+    reader so every cell stays inspectable.
+
+    Integer recipe (the q_type_gini discipline): quantize ALL shares
+    to bp FIRST, then dev_q = (p_obs*10000 - p_i*p_j)^2 DIV (p_i*p_j)
+    — each factor <= 1e8, each square <= 1e16: bounded at any scale,
+    no HUGEINT divergence. This is the chi-squared ARITHMETIC on
+    quantized shares (a documented contract, not an approximation of
+    the float statistic)."""
+    docs = load_split(spark, sf_dir, "documents")
+    n_total = docs.count()
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_obs"))
+    li = docs.groupBy("lang").agg(
+        F.expr(f"CAST(10000 * count(*) DIV {n_total} AS BIGINT)").alias("pi_bp")
+    )
+    sj = docs.groupBy("source").agg(
+        F.expr(f"CAST(10000 * count(*) DIV {n_total} AS BIGINT)").alias("pj_bp")
+    )
+    grid = li.crossJoin(F.broadcast(sj)).join(
+        cells, ["lang", "source"], "left"
+    )
+    return grid.select(
+        "lang",
+        "source",
+        F.expr("CAST(coalesce(n_obs, 0) AS BIGINT)").alias("n_obs"),
+        F.expr(
+            f"CAST(10000 * coalesce(n_obs, 0) DIV {n_total} AS BIGINT)"
+        ).alias("p_obs_bp"),
+        F.expr("CAST(pi_bp * pj_bp DIV 10000 AS BIGINT)").alias("p_exp_bp"),
+        F.expr(
+            f"CAST(((10000 * coalesce(n_obs, 0) DIV {n_total}) * 10000"
+            f" - pi_bp * pj_bp) * ((10000 * coalesce(n_obs, 0) DIV {n_total})"
+            f" * 10000 - pi_bp * pj_bp) DIV (pi_bp * pj_bp) AS BIGINT)"
+        ).alias("dev_q"),
+    )
+
+
+_CHI2_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n_total FROM documents),
+cells AS (
+  SELECT lang, source, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2
+),
+li AS (
+  SELECT lang, CAST(10000 * COUNT(*) // (SELECT n_total FROM n) AS BIGINT)
+           AS pi_bp
+  FROM documents GROUP BY lang
+),
+sj AS (
+  SELECT source, CAST(10000 * COUNT(*) // (SELECT n_total FROM n) AS BIGINT)
+           AS pj_bp
+  FROM documents GROUP BY source
+),
+grid AS (
+  SELECT li.lang, sj.source, li.pi_bp, sj.pj_bp,
+         COALESCE(c.n_obs, 0) AS n_obs
+  FROM li CROSS JOIN sj
+  LEFT JOIN cells c ON c.lang = li.lang AND c.source = sj.source
+)
+SELECT lang, source,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(10000 * n_obs // (SELECT n_total FROM n) AS BIGINT) AS p_obs_bp,
+       CAST(pi_bp * pj_bp // 10000 AS BIGINT) AS p_exp_bp,
+       CAST(((10000 * n_obs // (SELECT n_total FROM n)) * 10000
+             - pi_bp * pj_bp)
+            * ((10000 * n_obs // (SELECT n_total FROM n)) * 10000
+             - pi_bp * pj_bp)
+            // (pi_bp * pj_bp) AS BIGINT) AS dev_q
+FROM grid
+"""
+
+# ------------------------------------------ dup x quality interaction
+
+QUALITY_BAND_BP = 2000  # quality_bp in [0, 10000] -> 6 bands
+
+
+def q_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup membership x quality band cross-tab: per quality band
+    (the declared with_quality score, bucketed), how many docs sit in
+    at least one verified near-dup pair and the band's dup rate in bp.
+    THE ordering decision for a cleaning pipeline: if redundancy
+    concentrates in low-quality strata, quality-filter FIRST and the
+    dedup works a smaller corpus; if it is uniform, dedup first so
+    quality thresholds see deduplicated mass. Detector reused verbatim
+    (one pair set), quality is row-local arithmetic, the rollup is one
+    keyed aggregate over <= 6 bands."""
+    docs = load_split(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    qual = with_quality(docs).select(
+        "doc_id",
+        F.expr(f"CAST(quality_bp DIV {QUALITY_BAND_BP} AS BIGINT)").alias(
+            "quality_band"
+        ),
+    )
+    return (
+        qual.join(dup_ids, "doc_id", "left")
+        .groupBy("quality_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup"),
+            F.expr(
+                "CAST(10000 * sum(coalesce(is_dup, 0)) DIV count(*) AS BIGINT)"
+            ).alias("dup_rate_bp"),
+        )
+    )
+
+
+def _dup_quality_sql() -> str:
+    """The declared q_quality oracle is reused VERBATIM as a subquery
+    (DuckDB allows a WITH inside a parenthesized derived table), so the
+    quality arithmetic cannot drift between the two oracles."""
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
+        ORACLES as _TEXT_ORACLES,
+    )
+
+    return (
+        _PAIR_JACCARD
+        + f""",
+dup_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs WHERE jaccard_bp >= {JACCARD_THRESHOLD_BP}
+  )
+),
+qual AS (
+  SELECT doc_id, CAST(quality_bp // {QUALITY_BAND_BP} AS BIGINT) AS quality_band
+  FROM ({_TEXT_ORACLES["q_quality"]})
+)
+SELECT q.quality_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(10000 * SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS dup_rate_bp
+FROM qual q LEFT JOIN dup_ids d USING (doc_id)
+GROUP BY q.quality_band
+"""
+    )
+
+
+_DUP_QUALITY_SQL = _dup_quality_sql()
+
+# -------------------------------------------------- shingle ablation
+
+AB_SHINGLE_NS = (3, 5, 7)
+
+
+def q_shingle_ablation(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Detector yield vs SHINGLE SIZE — the other detector knob next
+    to q_minhash_ablation's signature width: per shingle n in
+    AB_SHINGLE_NS, the banded candidate count, how many candidates
+    verify at the tuned Jaccard cut (on THAT n's shingle sets), and
+    candidate precision in bp. Small shingles inflate candidate mass
+    (common phrases collide); large shingles miss short docs entirely
+    — this curve is how the n=5 default is defended with data.
+
+    Per n this is the full portable-signature banding (so the oracle
+    reconstructs candidates exactly, the q_minhash_est discipline) plus
+    a candidate-bounded string-shingle verify; three single-row
+    aggregates union at the end."""
+    docs = load_split(spark, sf_dir, "documents")
+
+    def one(n: int) -> DataFrame:
+        sh = D.with_shingles(docs, n=n).select("doc_id", "shingles").filter(
+            F.size("shingles") > 0
+        ).persist()  # feeds the signature fold AND both verify sides
+        if cache_registry is not None:
+            cache_registry.append(sh)
+        sig = D.with_minhash_signature(sh, portable=True)
+        cands = D.lsh_candidate_pairs(sig)
+        sa = sh.select(
+            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+        )
+        sb = sh.select(
+            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+        )
+        ver = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                F.expr(
+                    "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
+                    " DIV (size(sh_a) + size(sh_b)"
+                    "      - size(array_intersect(sh_a, sh_b))) AS BIGINT)"
+                ).alias("jaccard_bp")
+            )
+        )
+        return ver.agg(
+            F.lit(n).cast("bigint").alias("shingle_n"),
+            F.count("*").cast("bigint").alias("n_cands"),
+            F.sum(
+                (F.col("jaccard_bp") >= JACCARD_THRESHOLD_BP).cast("bigint")
+            ).alias("n_verified"),
+            F.expr(
+                f"CAST(10000 * sum(CASE WHEN jaccard_bp >="
+                f" {JACCARD_THRESHOLD_BP} THEN 1 ELSE 0 END)"
+                f" DIV greatest(count(*), 1) AS BIGINT)"
+            ).alias("precision_bp"),
+        )
+
+    out = one(AB_SHINGLE_NS[0])
+    for n in AB_SHINGLE_NS[1:]:
+        out = out.unionAll(one(n))
+    return out
+
+
+def _shingle_block_sql(n: int) -> str:
+    shingles_n = f"list_distinct({_ngrams_sql(_TOKS, n)})"
+    return f"""
+sh_k{n} AS (
+  SELECT doc_id, {shingles_n} AS s FROM documents
+),
+hs_k{n} AS (
+  SELECT doc_id, ({hash60_sql("g")}) % {MOD31} AS h
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh_k{n} WHERE len(s) > 0)
+),
+sigs_k{n} AS (
+  SELECT doc_id,
+         {_SIG_MINS}
+  FROM hs_k{n} GROUP BY doc_id
+),
+sigl_k{n} AS (
+  SELECT doc_id, [{_SIG_LIST}] AS sig FROM sigs_k{n}
+),
+bands_k{n} AS (
+  SELECT doc_id, j AS band,
+         CAST(sig[{D.LSH_ROWS} * j + 1] AS VARCHAR) || '_' ||
+         CAST(sig[{D.LSH_ROWS} * j + 2] AS VARCHAR) AS bkey
+  FROM sigl_k{n}, range({D.LSH_BANDS}) t(j)
+),
+cands_k{n} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_k{n} a JOIN bands_k{n} b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+ver_k{n} AS (
+  SELECT (10000 * len(list_intersect(sa.s, sb.s)))
+           // (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+           AS jaccard_bp
+  FROM cands_k{n} c
+  JOIN sh_k{n} sa ON c.doc_a = sa.doc_id
+  JOIN sh_k{n} sb ON c.doc_b = sb.doc_id
+)"""
+
+
+def _shingle_row_sql(n: int) -> str:
+    return f"""
+SELECT CAST({n} AS BIGINT) AS shingle_n,
+       CAST(COUNT(*) AS BIGINT) AS n_cands,
+       CAST(SUM(CASE WHEN jaccard_bp >= {JACCARD_THRESHOLD_BP}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       CAST(10000 * SUM(CASE WHEN jaccard_bp >= {JACCARD_THRESHOLD_BP}
+                         THEN 1 ELSE 0 END)
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS precision_bp
+FROM ver_k{n}
+"""
+
+
+_SHINGLE_ABLATION_SQL = (
+    "WITH "
+    + ",".join(_shingle_block_sql(n).lstrip() for n in AB_SHINGLE_NS)
+    + "\nUNION ALL\n".join(_shingle_row_sql(n) for n in AB_SHINGLE_NS)
+)
+
+# --------------------------------------------------- revenue pareto
+
+PARETO_BUCKETS = 10
+
+
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration (Lorenz/Pareto deciles): rank
+    customers by lifetime order value, cut into 10 equal-count tiers,
+    and report each tier's revenue share and the cumulative share —
+    the "top 10% of keys carry X% of the mass" read that sizes
+    per-key state, cache tiers and salting decisions. Money is exact
+    integer CENTS (o_totalprice is 2dp by construction, so
+    round-then-cast is lossless); every share is integer bp.
+
+    Scale note: the decile cut is the exact-NTILE contract
+    (q_price_deciles' discipline) — a composite (revenue, custkey)
+    ORDER BY funnels through one sort task; the declared scale path
+    for a corpus-sized key space is the sampled-quantile cut, traded
+    here for exactness on the bounded customer dimension."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+    tiers = per_cust.withColumn(
+        "decile", F.ntile(PARETO_BUCKETS).over(w)
+    ).groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+    )
+    total = tiers.agg(F.sum("rev_cents").alias("total_cents"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tiers.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_bp",
+            F.expr("CAST(10000 * rev_cents DIV total_cents AS BIGINT)"),
+        )
+        .withColumn(
+            "cum_share_bp",
+            F.expr(
+                "CAST(sum(10000 * rev_cents DIV total_cents) OVER "
+                "(ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                " CURRENT ROW) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_cust",
+            "rev_cents",
+            "share_bp",
+            "cum_share_bp",
+        )
+    )
+
+
+_PARETO_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+tiers AS (
+  SELECT NTILE({PARETO_BUCKETS}) OVER (ORDER BY rev_cents DESC,
+                                       o_custkey ASC) AS decile,
+         rev_cents
+  FROM per_cust
+),
+rolled AS (
+  SELECT decile, COUNT(*) AS n_cust, SUM(rev_cents) AS rev_cents
+  FROM tiers GROUP BY decile
+),
+tot AS (SELECT SUM(rev_cents) AS total_cents FROM rolled)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(10000 * rev_cents // total_cents AS BIGINT) AS share_bp,
+       CAST(SUM(10000 * rev_cents // total_cents)
+            OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS cum_share_bp
+FROM rolled CROSS JOIN tot
+"""
+
+# ---------------------------------------------- seasonality strength
+
+UNIFORM_DOW_BP = 10000 // 7
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week traffic profile per event type: each (type, isodow)
+    cell's count, share of the type's traffic in bp, and absolute
+    deviation from the uniform 1/7 share — the seasonality read that
+    decides whether capacity plans and recrawl schedules need a weekly
+    shape or a flat rate. One keyed aggregation + a keyed totals join;
+    dow via ISO numbering on BOTH engines (Spark weekday()+1 ==
+    DuckDB isodow: Monday=1..Sunday=7 — the cross-engine dow trap)."""
+    events = load(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.expr("weekday(ts) + 1").cast("bigint").alias("dow")
+    ).agg(F.count("*").alias("n_events"))
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_type")
+    )
+    return (
+        cells.join(totals, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(10000 * n_events DIV n_type AS BIGINT)").alias(
+                "share_bp"
+            ),
+            F.expr(
+                f"CAST(abs(10000 * n_events DIV n_type - {UNIFORM_DOW_BP})"
+                " AS BIGINT)"
+            ).alias("dev_bp"),
+        )
+    )
+
+
+_SEASONALITY_SQL = f"""
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, SUM(n_events) AS n_type FROM cells GROUP BY 1
+)
+SELECT c.event_type, c.dow,
+       CAST(c.n_events AS BIGINT) AS n_events,
+       CAST(10000 * c.n_events // t.n_type AS BIGINT) AS share_bp,
+       CAST(ABS(10000 * c.n_events // t.n_type - {UNIFORM_DOW_BP}) AS BIGINT)
+         AS dev_bp
+FROM cells c JOIN totals t USING (event_type)
+"""
+
+# ---------------------------------------------------------- nDCG@p
+
+NDCG_K = 10
+NDCG_MAX_REL = 3
+# Integer micro-unit discount weights: W[p] = round(1e6 / log2(p+1)),
+# computed ONCE in Python and embedded as literals in BOTH engines'
+# expressions — log2 across libms is not guaranteed bit-exact, an
+# integer table is (the staged-r14 sign-matrix discipline).
+NDCG_W = tuple(
+    int(round(1_000_000 / math.log2(p + 1))) for p in range(1, NDCG_K + 1)
+)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@p curve (p = 1..NDCG_K) of the declared BM25 ranking
+    against graded term-frequency relevance (rel = min(total tf of the
+    SEARCH_TERMS, 3) — the standard graded-qrels surrogate when human
+    judgments don't exist): per position, the system's document, its
+    grade, and nDCG@p in bp. The retrieval-quality release gate next
+    to q_retrieval_eval's set metrics — nDCG is what actually moves
+    when ranking ORDER changes within a fixed match set.
+
+    Determinism: ranking keys are the ROUNDED bm25 (4dp, the declared
+    q_bm25 output) with doc_id tiebreak; DCG terms are rel x integer
+    micro-weights; ndcg_bp is integer DIV. Scale shape: both top-k cuts
+    are TakeOrdered (distributed sort-limit), the position window runs
+    over <= NDCG_K rows."""
+    base = q_bm25(spark, sf_dir).select(
+        "doc_id",
+        "bm25",
+        F.expr(
+            f"CAST(least(tf0 + tf1 + tf2, {NDCG_MAX_REL}) AS BIGINT)"
+        ).alias("rel"),
+    )
+    sys_top = base.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        NDCG_K
+    )
+    ideal_top = base.orderBy(F.col("rel").desc(), F.col("doc_id").asc()).limit(
+        NDCG_K
+    )
+    wpos = Window.partitionBy(F.lit(1))
+    sys_p = sys_top.withColumn(
+        "pos",
+        F.row_number().over(
+            wpos.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )
+    ideal_p = ideal_top.withColumn(
+        "pos",
+        F.row_number().over(
+            wpos.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        ),
+    )
+    w_expr = "CASE pos " + " ".join(
+        f"WHEN {p + 1} THEN {NDCG_W[p]}" for p in range(NDCG_K)
+    ) + " END"
+    joined = sys_p.select(
+        "pos", "doc_id", "rel", F.expr(f"rel * ({w_expr})").alias("gain_micro")
+    ).join(
+        ideal_p.select(
+            "pos", F.expr(f"rel * ({w_expr})").alias("ideal_micro")
+        ),
+        "pos",
+    )
+    wcum = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        "doc_id",
+        "rel",
+        F.sum("gain_micro").over(wcum).cast("bigint").alias("dcg_micro"),
+        F.sum("ideal_micro").over(wcum).cast("bigint").alias("idcg_micro"),
+        F.expr(
+            "CAST(10000 * (sum(gain_micro) OVER (ORDER BY pos ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW))"
+            " DIV greatest(sum(ideal_micro) OVER (ORDER BY pos ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS BIGINT)"
+        ).alias("ndcg_bp"),
+    )
+
+
+def _ndcg_sql() -> str:
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.search_queries import (
+        ORACLES as _SEARCH_ORACLES,
+    )
+
+    w_expr = "CASE pos " + " ".join(
+        f"WHEN {p + 1} THEN {NDCG_W[p]}" for p in range(NDCG_K)
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, bm25,
+         CAST(LEAST(tf0 + tf1 + tf2, {NDCG_MAX_REL}) AS BIGINT) AS rel
+  FROM ({_SEARCH_ORACLES["q_bm25"]})
+),
+sys_p AS (
+  SELECT doc_id, rel,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS pos
+  FROM base QUALIFY pos <= {NDCG_K}
+),
+ideal_p AS (
+  SELECT rel,
+         ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS pos
+  FROM base QUALIFY pos <= {NDCG_K}
+),
+j AS (
+  SELECT s.pos, s.doc_id, s.rel,
+         s.rel * ({w_expr}) AS gain_micro,
+         i.rel * ({w_expr}) AS ideal_micro
+  FROM sys_p s JOIN ideal_p i USING (pos)
+)
+SELECT CAST(pos AS BIGINT) AS pos, doc_id, rel,
+       CAST(SUM(gain_micro) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS dcg_micro,
+       CAST(SUM(ideal_micro) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS idcg_micro,
+       CAST(10000 * (SUM(gain_micro) OVER (ORDER BY pos ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW))
+            // GREATEST(SUM(ideal_micro) OVER (ORDER BY pos ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS BIGINT) AS ndcg_bp
+FROM j
+"""
+
+
+_NDCG_SQL = _ndcg_sql()
+
+# ------------------------------------------------------- SLO burn
+
+SLO_VALUE = 150.0  # per-event threshold: value above this breaches SLO
+SLO_BUDGET_BP = 200  # error budget: 2% of events may breach
+SLO_WINDOW_6H = 6
+SLO_ALERT_MILLI = 2000  # alert when BOTH windows burn > 2x budget
+
+
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the Google SRE
+    workbook policy, public literature) over the event stream: per
+    hour, the event count, breaches (value > SLO_VALUE), and the
+    burn rate — breach share over budget, in milli-units — for the
+    1h and trailing-6h windows; alert when BOTH exceed
+    SLO_ALERT_MILLI (the short window proves it's current, the long
+    window proves it's material — single-window alerts page on
+    blips). The hourly spine is densified (q_gap_fill's discipline)
+    so silent hours count as zero-burn rows instead of silently
+    shrinking the 6h window.
+
+    Scale shape: one corpus aggregation onto hour cells; the spine
+    and both windows run over the BOUNDED hour dimension (time span,
+    not volume). All rates integer DIV."""
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("value") > SLO_VALUE).cast("bigint")).alias("n_bad"),
+    )
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    filled = spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-(SLO_WINDOW_6H - 1), 0)
+    burn1 = (
+        f"CAST(1000 * (10000 * n_bad DIV greatest(n_events, 1))"
+        f" DIV {SLO_BUDGET_BP} AS BIGINT)"
+    )
+    return (
+        filled.withColumn("n6", F.sum("n_events").over(w6))
+        .withColumn("nb6", F.sum("n_bad").over(w6))
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_bad").cast("bigint").alias("n_bad"),
+            F.expr(burn1).alias("burn_1h_milli"),
+            F.expr(
+                f"CAST(1000 * (10000 * nb6 DIV greatest(n6, 1))"
+                f" DIV {SLO_BUDGET_BP} AS BIGINT)"
+            ).alias("burn_6h_milli"),
+            F.expr(
+                f"CAST(({burn1} > {SLO_ALERT_MILLI}) AND"
+                f" (CAST(1000 * (10000 * nb6 DIV greatest(n6, 1))"
+                f" DIV {SLO_BUDGET_BP} AS BIGINT) > {SLO_ALERT_MILLI})"
+                f" AS BIGINT)"
+            ).alias("alert"),
+        )
+    )
+
+
+_SLO_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN value > {SLO_VALUE} THEN 1 ELSE 0 END) AS n_bad
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+),
+filled AS (
+  SELECT s.hour, COALESCE(h.n_events, 0) AS n_events,
+         COALESCE(h.n_bad, 0) AS n_bad
+  FROM spine s LEFT JOIN hourly h USING (hour)
+),
+win AS (
+  SELECT hour, n_events, n_bad,
+         SUM(n_events) OVER (ORDER BY hour ROWS BETWEEN {SLO_WINDOW_6H - 1}
+                             PRECEDING AND CURRENT ROW) AS n6,
+         SUM(n_bad) OVER (ORDER BY hour ROWS BETWEEN {SLO_WINDOW_6H - 1}
+                          PRECEDING AND CURRENT ROW) AS nb6
+  FROM filled
+)
+SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       CAST(1000 * (10000 * n_bad // GREATEST(n_events, 1))
+            // {SLO_BUDGET_BP} AS BIGINT) AS burn_1h_milli,
+       CAST(1000 * (10000 * nb6 // GREATEST(n6, 1))
+            // {SLO_BUDGET_BP} AS BIGINT) AS burn_6h_milli,
+       CAST((1000 * (10000 * n_bad // GREATEST(n_events, 1))
+             // {SLO_BUDGET_BP} > {SLO_ALERT_MILLI})
+            AND (1000 * (10000 * nb6 // GREATEST(n6, 1))
+             // {SLO_BUDGET_BP} > {SLO_ALERT_MILLI}) AS BIGINT) AS alert
+FROM win
+"""
+
+# ----------------------------------------------------------- registry
+
+QUERIES = {
+    "q_phash_mih": q_phash_mih,
+    "q_metric_agreement": q_metric_agreement,
+    "q_kcore": q_kcore,
+    "q_dup_cluster_purity": q_dup_cluster_purity,
+    "q_t_closeness": q_t_closeness,
+    "q_chi2_independence": q_chi2_independence,
+    "q_dup_quality_interaction": q_dup_quality_interaction,
+    "q_shingle_ablation": q_shingle_ablation,
+    "q_revenue_pareto": q_revenue_pareto,
+    "q_seasonality_strength": q_seasonality_strength,
+    "q_ndcg_eval": q_ndcg_eval,
+    "q_slo_burn": q_slo_burn,
+}
+
+ORACLES = {
+    "q_phash_mih": _PHASH_MIH_SQL,
+    "q_metric_agreement": _METRIC_AGREE_SQL,
+    "q_kcore": _KCORE_SQL,
+    "q_dup_cluster_purity": _PURITY_SQL,
+    "q_t_closeness": _TCLOSE_SQL,
+    "q_chi2_independence": _CHI2_SQL,
+    "q_dup_quality_interaction": _DUP_QUALITY_SQL,
+    "q_shingle_ablation": _SHINGLE_ABLATION_SQL,
+    "q_revenue_pareto": _PARETO_SQL,
+    "q_seasonality_strength": _SEASONALITY_SQL,
+    "q_ndcg_eval": _NDCG_SQL,
+    "q_slo_burn": _SLO_SQL,
+}

@@ -507,3 +507,105 @@ def test_compact_sequence_locks_then_commits_then_gcs(
     # pinned separately above) and happens after every GC delete
     assert deletes[-1][1] == ix.LOCK_NAME
     assert all(rel != ix.LOCK_NAME for _i, rel in deletes[:-1])
+
+
+# ------------------------------------------- concurrent reader window
+
+
+def test_lsh_reader_survives_concurrent_compaction(spark, sf_dir, tmp_path):
+    """A reader that resolved the index BEFORE a compaction commits must
+    keep working and see a coherent single generation (VERDICT r11 #8):
+    the manifest is read once, both artifacts come from that generation,
+    GC keeps exactly one previous generation alive for in-flight
+    readers, and the old-generation probe equals the new-generation
+    probe (collapse-only compaction is semantics-preserving). A SECOND
+    compaction is the retention boundary: generation 1's dirs are gone."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    docs = load_split(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    path = str(tmp_path / "lsh_live")
+    D.save_lsh_index(docs, path)
+    # replayed append -> duplicate rows, so the compaction really rewrites
+    D.extend_lsh_index(docs.filter(F.col("doc_id") % 7 == 0), path)
+
+    # in-flight reader: resolves generation 1 and BUILDS its plan now
+    info_old = D.lsh_index_info(spark, path)
+    b_old, s_old = D.load_lsh_index(spark, path)
+    plan_old = D.probe_lsh_index(b_old, s_old, batch)
+
+    # a compaction commits generation 2 mid-window (collapse only)
+    D.compact_lsh_index(spark, path)
+    info_new = D.lsh_index_info(spark, path)
+    assert info_new["version"] == info_old["version"] + 1
+    # the reader's generation is retained for in-flight use...
+    assert os.path.isdir(info_old["buckets"]) and os.path.isdir(
+        info_old["shingles"]
+    )
+    # ...and both its artifacts are from the SAME (old) generation —
+    # never a mix of generations (names are <kind>-<ver>-<suffix>)
+    ver_tag = f"-{info_old['version']:06d}-"
+    assert ver_tag in os.path.basename(info_old["buckets"])
+    assert ver_tag in os.path.basename(info_old["shingles"])
+
+    got_old = {tuple(r) for r in plan_old.collect()}  # executes NOW
+    b_new, s_new = D.load_lsh_index(spark, path)
+    got_new = {
+        tuple(r) for r in D.probe_lsh_index(b_new, s_new, batch).collect()
+    }
+    assert got_old == got_new
+    assert got_new, "fixture must exercise near-dups across the window"
+
+    # retention boundary: the NEXT compaction GCs generation 1
+    D.compact_lsh_index(spark, path)
+    assert not os.path.exists(info_old["buckets"])
+    assert not os.path.exists(info_old["shingles"])
+
+
+def test_ann_reader_survives_concurrent_compaction(spark, sf_dir, tmp_path):
+    """The ANN twin of the LSH concurrent-reader pin: a serving plan
+    built on generation 1 artifacts executes correctly after a
+    compaction commits generation 2, its results equal the fresh-load
+    serving path, and the frozen-quantizer contract means the codebook
+    is IDENTICAL across the window."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import ann_store as A
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split
+
+    emb = load_split(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    queries = vecs.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ann_live")
+    A.save_ann_index(vecs, path)
+    # replayed append -> duplicate code rows for the compactor to collapse
+    A.extend_ann_index(vecs.filter(F.col("vec_id") % 9 == 0), path)
+
+    info_old = A.ann_index_info(spark, path)
+    codes_old, cb_old = A.load_ann_index(spark, path)
+    plan_old = S.knn_ivfpq_rerank_indexed(codes_old, cb_old, vecs, queries)
+
+    A.compact_ann_index(spark, path)
+    info_new = A.ann_index_info(spark, path)
+    assert info_new["version"] == info_old["version"] + 1
+    assert os.path.isdir(info_old["codes"])
+
+    got_old = {tuple(r) for r in plan_old.collect()}
+    codes_new, cb_new = A.load_ann_index(spark, path)
+    got_new = {
+        tuple(r)
+        for r in S.knn_ivfpq_rerank_indexed(
+            codes_new, cb_new, vecs, queries
+        ).collect()
+    }
+    assert got_old == got_new and got_new
+    # frozen quantizer: the codebook is byte-identical across generations
+    cb_a = sorted(map(tuple, cb_old.collect()))
+    cb_b = sorted(map(tuple, cb_new.collect()))
+    assert cb_a == cb_b

@@ -144,6 +144,13 @@ _INTENTIONAL_PRODUCT = {
     "q_event_bursts",        # window spine x broadcast(1-row median/total)
     "q_mixture_rebalance",   # lang rollup x broadcast(single-row totals)
     "q_dedup_survivor_bias",  # source rollup x broadcast(single-row totals)
+    # pre-whitelisted staged-r15 shapes (same precedent):
+    "q_metric_agreement",    # corpus x broadcast(5 query vecs), both metric legs
+    "q_t_closeness",         # class rollup x broadcast(|sources| global shares)
+    "q_chi2_independence",   # lang marginals x broadcast(source marginals) grid
+    "q_revenue_pareto",      # decile rollup x broadcast(single-row total)
+    "q_ndcg_eval",           # inherits q_bm25's 1-row corpus-stats attach
+    "q_slo_burn",            # hour spine from broadcast(1-row min/max span)
     "q_knn_classify",    # same knn_bruteforce core x broadcast queries
     "q_embed_near_dup",  # exact baseline: corpus x corpus (declared)
     "q_ann_ivf",         # corpus x broadcast(16 centroids)
