@@ -9,11 +9,12 @@ serving path, dedup-graph robustness and its label hygiene, the
 privacy triad's distribution gate, retrieval quality, revenue/traffic
 concentration, and the SRE-style burn-rate monitor:
 
-- q_phash_mih          — image near-dup PAIRS via multi-index hashing
-                         over the aHash (4 x 8-bit bands; pigeonhole
-                         guarantees every Hamming<=3 pair collides in
-                         >=1 band — Norouzi et al.'s MIH, public
-                         literature), the image twin of text LSH
+- q_phash_mih          — anchor-sampled image near-dup pairs via
+                         multi-index hashing over the aHash (4 x 8-bit
+                         bands; pigeonhole guarantees every Hamming<=3
+                         pair collides in >=1 band — Norouzi et al.'s
+                         MIH, public literature), the image twin of the
+                         sampled exact text/embedding probes
 - q_metric_agreement   — cosine vs raw-dot top-k agreement per query
                          vector (the normalize-or-not audit run before
                          choosing an ANN metric)
@@ -36,9 +37,9 @@ concentration, and the SRE-style burn-rate monitor:
                          cross-tab (is redundancy concentrated in
                          low-quality strata — decides dedup-vs-filter
                          ordering)
-- q_shingle_ablation   — detector yield and precision vs shingle size
-                         (the OTHER detector knob next to
-                         q_minhash_ablation's signature width)
+- q_shingle_ablation   — anchor-sampled detector yield and precision
+                         vs shingle size (the OTHER detector knob next
+                         to q_minhash_ablation's signature width)
 - q_revenue_pareto     — customer revenue concentration (Lorenz
                          deciles, cumulative share) — the skew read
                          that sizes per-key state and cache tiers
@@ -104,6 +105,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
 )
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     MOD31,
+    hash60,
     hash60_sql,
     perm_hash_sql,
 )
@@ -113,6 +115,7 @@ from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_s
 
 MIH_BANDS = 4  # 32-bit aHash -> 4 disjoint 8-bit bands
 MIH_HAM_T = 3  # pigeonhole: d <= MIH_BANDS-1 collides in >= 1 band
+MIH_ANCHOR_TARGET = 160  # expected anchor count at every SF
 
 
 def q_phash_mih(
@@ -120,79 +123,109 @@ def q_phash_mih(
     sf_dir: str,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """Image near-dup PAIRS via multi-index hashing (MIH) over the
-    perceptual aHash: split the 32-bit hash into 4 disjoint 8-bit
-    bands, bucket-join on (band, value), verify candidates with an
-    exact popcount — (doc_a, doc_b, hamming) for every pair within
-    Hamming distance MIH_HAM_T. The pigeonhole guarantee makes the
-    banded join EXACT for d <= 3 (a pair differing in <= 3 bits leaves
-    at least one of 4 bands untouched), so this is image near-dup with
-    text-LSH economics: one keyed shuffle on narrow band keys, bucket-
-    bounded pair expansion, popcount only on candidates — never an
-    all-pairs Hamming scan. q_media_phash reports exact-hash groups;
-    this is its near-miss tier (sensor noise, re-encodes).
+    """Image near-dup pairs via multi-index hashing (MIH) over the
+    perceptual aHash, ANCHOR-SAMPLED (the q_embed_near_dup_sampled
+    contract): a deterministic id-hash sample of anchor docs (expected
+    ~MIH_ANCHOR_TARGET at every SF) is probed EXACTLY against the full
+    corpus — split the 32-bit hash into 4 disjoint 8-bit bands, join
+    anchor bands to corpus bands on (band, value), verify candidates
+    with a popcount. Pigeonhole makes the probe exact per anchor: a
+    partner within Hamming MIH_HAM_T=3 shares at least one of the 4
+    bands untouched (Norouzi et al.'s MIH, public literature). Output
+    (anchor_id, partner_id, hamming), one row per anchored direction —
+    an unbiased estimate of the corpus image near-dup rate and exact
+    ground truth on the anchored pairs.
+
+    WHY sampled (found by this tranche's own 100x staging run): a
+    32-bit hash has only 256 values per 8-bit band, so full self-join
+    MIH goes birthday-quadratic once the corpus approaches the hash
+    capacity — at 500k docs the all-pairs form expands ~4e9 candidates
+    and never finishes. Production MIH amortizes 64-128-bit hashes;
+    with the 4x8 test geometry the anchored probe is the form whose
+    cost (|anchors| x bucket mass) stays linear in the corpus.
+    q_media_phash remains the exact-hash full-corpus grouping (groupBy,
+    no pair expansion).
 
     The hash stage is the REAL Arrow-batched PPM decode shared with
     q_media_phash (corpus_queries.ahash_frame); the oracle reproduces
-    it arithmetically from hex(encode(text)) and mirrors the banding,
-    so detector recall itself is value-checked.
+    it arithmetically from hex(encode(text)) and mirrors the banding
+    AND the anchor predicate, so probe recall itself is value-checked.
 
     Cache lifecycle (the cms_sketch pattern): the persisted hash frame
     feeds both join sides inside the returned lazy plan; batch callers
     rely on bench.py's clearCache / LRU, long-lived sessions pass
     ``cache_registry`` and unpersist after their terminal action."""
+    docs = load_split(spark, sf_dir, "documents")
+    k_mod = max(1, docs.count() // MIH_ANCHOR_TARGET)
     h = ahash_frame(spark, sf_dir).persist()
     if cache_registry is not None:
         cache_registry.append(h)
-    bands = h.select(
-        "doc_id",
-        "ahash",
-        F.explode(
-            F.array(*[F.lit(m) for m in range(MIH_BANDS)])
-        ).alias("m"),
-    ).withColumn("bval", F.expr("shiftright(ahash, 8 * m) & 255"))
-    a = bands.select(
-        F.col("m"),
-        F.col("bval"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("ahash").alias("ha"),
+    band_m = F.explode(
+        F.array(*[F.lit(m) for m in range(MIH_BANDS)])
+    ).alias("m")
+    anchors = (
+        h.filter(hash60(F.col("doc_id").cast("string")) % k_mod == 0)
+        .select("doc_id", "ahash", band_m)
+        .withColumn("bval", F.expr("shiftright(ahash, 8 * m) & 255"))
+        .select(
+            "m",
+            "bval",
+            F.col("doc_id").alias("anchor_id"),
+            F.col("ahash").alias("ha"),
+        )
     )
-    b = bands.select(
-        F.col("m"),
-        F.col("bval"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("ahash").alias("hb"),
+    corpus = (
+        h.select("doc_id", "ahash", band_m)
+        .withColumn("bval", F.expr("shiftright(ahash, 8 * m) & 255"))
+        .select(
+            "m",
+            "bval",
+            F.col("doc_id").alias("partner_id"),
+            F.col("ahash").alias("hb"),
+        )
     )
     cands = (
-        a.join(b, ["m", "bval"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        corpus.join(anchors, ["m", "bval"])
+        .filter(F.col("anchor_id") != F.col("partner_id"))
+        .select("anchor_id", "partner_id", "ha", "hb")
         .distinct()
     )
     return (
         cands.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
         .filter(F.col("hamming") <= MIH_HAM_T)
         .select(
-            "doc_a",
-            "doc_b",
+            "anchor_id",
+            "partner_id",
             F.col("hamming").cast("bigint").alias("hamming"),
         )
     )
 
 
+_MIH_ANCHOR_PRED = (
+    f"({hash60_sql('CAST(doc_id AS VARCHAR)')})"
+    f" % GREATEST(1, (SELECT COUNT(*) FROM documents) // {MIH_ANCHOR_TARGET})"
+    " = 0"
+)
+
 _PHASH_MIH_SQL = f"""
 WITH {AHASH_CTES},
-bands AS (
+ab AS (
+  SELECT doc_id, ahash, m, (ahash >> (8 * m)) & 255 AS bval
+  FROM h, range({MIH_BANDS}) t(m)
+  WHERE {_MIH_ANCHOR_PRED}
+),
+cb AS (
   SELECT doc_id, ahash, m, (ahash >> (8 * m)) & 255 AS bval
   FROM h, range({MIH_BANDS}) t(m)
 ),
 cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.ahash AS ha, b.ahash AS hb
-  FROM bands a JOIN bands b ON a.m = b.m AND a.bval = b.bval
-                            AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS anchor_id, c.doc_id AS partner_id,
+         a.ahash AS ha, c.ahash AS hb
+  FROM ab a JOIN cb c ON a.m = c.m AND a.bval = c.bval
+                      AND a.doc_id <> c.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+SELECT anchor_id, partner_id,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cands WHERE bit_count(xor(ha, hb)) <= {MIH_HAM_T}
 """
 
@@ -759,6 +792,7 @@ _DUP_QUALITY_SQL = _dup_quality_sql()
 # -------------------------------------------------- shingle ablation
 
 AB_SHINGLE_NS = (3, 5, 7)
+AB_ANCHOR_TARGET = 160  # expected anchor count at every SF
 
 
 def q_shingle_ablation(
@@ -767,36 +801,61 @@ def q_shingle_ablation(
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Detector yield vs SHINGLE SIZE — the other detector knob next
-    to q_minhash_ablation's signature width: per shingle n in
-    AB_SHINGLE_NS, the banded candidate count, how many candidates
-    verify at the tuned Jaccard cut (on THAT n's shingle sets), and
-    candidate precision in bp. Small shingles inflate candidate mass
-    (common phrases collide); large shingles miss short docs entirely
-    — this curve is how the n=5 default is defended with data.
+    to q_minhash_ablation's signature width — measured on a
+    deterministic id-hash ANCHOR sample (the q_embed_near_dup_sampled
+    contract): per shingle n in AB_SHINGLE_NS, the banded candidate
+    count involving an anchor, how many of those candidates verify at
+    the tuned Jaccard cut (on THAT n's shingle sets), and candidate
+    precision in bp. Small shingles inflate candidate mass (common
+    phrases collide); large shingles miss short docs entirely — this
+    curve is how the n=5 default is defended with data.
 
-    Per n this is the full portable-signature banding (so the oracle
+    WHY anchored (found by this tranche's own 100x staging run): the
+    FULL n=3 banding self-join goes hot-bucket-quadratic at 500k docs
+    — common 3-gram signatures collide into buckets whose pair
+    expansion never finishes (the same failure class the MIH query hit
+    on its 32-bit hash). Anchoring bounds the expansion at |anchor
+    band rows| x bucket size while keeping the estimate unbiased and
+    per-anchor exact; the declared n=5 production detector
+    (q_minhash_dedup) keeps its full-corpus contract.
+
+    Per n this is the portable-signature banding (so the oracle
     reconstructs candidates exactly, the q_minhash_est discipline) plus
     a candidate-bounded string-shingle verify; three single-row
-    aggregates union at the end."""
+    aggregates union at the end. The per-n shingle frame is persisted
+    (feeds the signature fold and both verify sides) — cache_registry
+    owns the lifetime for long-lived sessions."""
     docs = load_split(spark, sf_dir, "documents")
+    k_mod = max(1, docs.count() // AB_ANCHOR_TARGET)
 
     def one(n: int) -> DataFrame:
         sh = D.with_shingles(docs, n=n).select("doc_id", "shingles").filter(
             F.size("shingles") > 0
-        ).persist()  # feeds the signature fold AND both verify sides
+        ).persist()
         if cache_registry is not None:
             cache_registry.append(sh)
         sig = D.with_minhash_signature(sh, portable=True)
-        cands = D.lsh_candidate_pairs(sig)
+        bands = D.banded_keys(sig)
+        abands = bands.filter(
+            hash60(F.col("doc_id").cast("string")) % k_mod == 0
+        ).select("band", "bkey", F.col("doc_id").alias("anchor_id"))
+        cands = (
+            bands.select("band", "bkey", F.col("doc_id").alias("partner_id"))
+            .join(abands, ["band", "bkey"])
+            .filter(F.col("anchor_id") != F.col("partner_id"))
+            .select("anchor_id", "partner_id")
+            .distinct()
+        )
         sa = sh.select(
-            F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            F.col("doc_id").alias("anchor_id"), F.col("shingles").alias("sh_a")
         )
         sb = sh.select(
-            F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            F.col("doc_id").alias("partner_id"),
+            F.col("shingles").alias("sh_b"),
         )
         ver = (
-            cands.join(sa, "id_a")
-            .join(sb, "id_b")
+            cands.join(sa, "anchor_id")
+            .join(sb, "partner_id")
             .select(
                 F.expr(
                     "CAST((10000 * size(array_intersect(sh_a, sh_b)))"
@@ -824,6 +883,13 @@ def q_shingle_ablation(
     return out
 
 
+_AB_ANCHOR_PRED = (
+    f"({hash60_sql('CAST(doc_id AS VARCHAR)')})"
+    f" % GREATEST(1, (SELECT COUNT(*) FROM documents) // {AB_ANCHOR_TARGET})"
+    " = 0"
+)
+
+
 def _shingle_block_sql(n: int) -> str:
     shingles_n = f"list_distinct({_ngrams_sql(_TOKS, n)})"
     return f"""
@@ -849,17 +915,18 @@ bands_k{n} AS (
   FROM sigl_k{n}, range({D.LSH_BANDS}) t(j)
 ),
 cands_k{n} AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands_k{n} a JOIN bands_k{n} b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS anchor_id, c.doc_id AS partner_id
+  FROM (SELECT * FROM bands_k{n} WHERE {_AB_ANCHOR_PRED}) a
+  JOIN bands_k{n} c
+    ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id <> c.doc_id
 ),
 ver_k{n} AS (
   SELECT (10000 * len(list_intersect(sa.s, sb.s)))
            // (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
            AS jaccard_bp
   FROM cands_k{n} c
-  JOIN sh_k{n} sa ON c.doc_a = sa.doc_id
-  JOIN sh_k{n} sb ON c.doc_b = sb.doc_id
+  JOIN sh_k{n} sa ON c.anchor_id = sa.doc_id
+  JOIN sh_k{n} sb ON c.partner_id = sb.doc_id
 )"""
 
 

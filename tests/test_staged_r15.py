@@ -6,8 +6,6 @@ contract and per-query semantic pins."""
 
 from __future__ import annotations
 
-import itertools
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -68,24 +66,36 @@ def test_staging_contract():
 
 
 def test_phash_mih_is_exact_for_the_radius(spark, sf_dir):
-    """The MIH guarantee itself: the banded join finds EXACTLY the
-    pairs a brute-force Hamming scan over the same hashes finds at
-    d <= MIH_HAM_T (pigeonhole over 4 disjoint bands)."""
+    """The MIH guarantee itself: for every sampled anchor, the banded
+    probe finds EXACTLY the partners a brute-force Hamming scan over
+    the same hashes finds at d <= MIH_HAM_T (pigeonhole over 4
+    disjoint bands), with the anchor predicate mirrored bit-for-bit."""
+    from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
+        hash60 as _hash60,
+    )
     from terraform_aws_lambda_kinesis_to_es_spark.plans.corpus_queries import (
         ahash_frame,
     )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r15 import (
+        MIH_ANCHOR_TARGET,
+    )
 
-    hashes = {
-        r["doc_id"]: r["ahash"]
-        for r in ahash_frame(spark, sf_dir).collect()
-    }
+    hf = ahash_frame(spark, sf_dir)
+    hashes = {r["doc_id"]: r["ahash"] for r in hf.collect()}
+    k_mod = max(1, len(hashes) // MIH_ANCHOR_TARGET)
+    anchor_rows = hf.filter(
+        _hash60(F.col("doc_id").cast("string")) % k_mod == 0
+    ).collect()
+    anchors = {r["doc_id"] for r in anchor_rows}
+    assert anchors, "sample predicate must select anchors"
     want = {
         (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
-        for a, b in itertools.combinations(sorted(hashes), 2)
-        if bin(hashes[a] ^ hashes[b]).count("1") <= MIH_HAM_T
+        for a in anchors
+        for b in hashes
+        if a != b and bin(hashes[a] ^ hashes[b]).count("1") <= MIH_HAM_T
     }
     got = {
-        (r["doc_a"], r["doc_b"], r["hamming"])
+        (r["anchor_id"], r["partner_id"], r["hamming"])
         for r in QUERIES["q_phash_mih"](spark, sf_dir).collect()
     }
     assert got == want
@@ -156,6 +166,9 @@ def test_dup_quality_interaction_conservation(spark, sf_dir):
 
 
 def test_shingle_ablation_arithmetic(spark, sf_dir):
+    """Anchored-candidate counts per shingle n: arithmetic consistency
+    plus the knob's reason to exist — small shingles inflate candidate
+    mass even on the anchored sample."""
     rows = {
         r["shingle_n"]: r
         for r in QUERIES["q_shingle_ablation"](spark, sf_dir).collect()
@@ -166,7 +179,6 @@ def test_shingle_ablation_arithmetic(spark, sf_dir):
         assert r["precision_bp"] == 10000 * r["n_verified"] // max(
             r["n_cands"], 1
         )
-    # the knob's reason to exist: small shingles inflate candidate mass
     assert rows[3]["n_cands"] > rows[7]["n_cands"]
 
 
