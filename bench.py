@@ -388,6 +388,14 @@ def main() -> None:
                 ),
                 "canary_factor": canary_factor,
                 "canary_epoch": CANARY_EPOCH,
+                # the contended flag must survive a tail-only capture —
+                # this compact line is exactly the record that remains
+                # when the big payload overflows the window
+                **(
+                    {"canary_contended": True}
+                    if payload.get("canary_contended")
+                    else {}
+                ),
                 "n_queries": len(headline),
                 "n_timed": sum(1 for t in timings.values() if t is not None),
                 "errors": sorted(errors),

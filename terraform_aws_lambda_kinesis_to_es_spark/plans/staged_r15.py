@@ -438,7 +438,11 @@ _KCORE_SQL = (
 # ------------------------------------------------- cluster purity
 
 
-def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dup_cluster_purity(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Language purity per near-dup cluster: for every multi-doc
     cluster the declared CC machinery emits, its size, distinct-lang
     count, the majority language (ties to the lexicographically
@@ -447,13 +451,19 @@ def q_dup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     read a team does BEFORE trusting per-language token budgets on a
     deduped corpus. Reuses near_dup_clusters verbatim (digest collapse
     + LSH + min-label CC); the rollup is one keyed aggregate over
-    cluster x lang plus a window over those bounded rows."""
+    cluster x lang plus a window over those bounded rows. The bounded
+    cluster x lang frame is persisted — both the sizes rollup and the
+    majority-lang window branch from it, and an unpersisted fan-out
+    would re-run the detector + CC closure per branch; cache_registry
+    owns the lifetime for long-lived sessions."""
     docs = load_split(spark, sf_dir, "documents")
     comps = D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
     members = comps.join(docs.select("doc_id", "lang"), "doc_id")
     by_lang = members.groupBy("cluster_id", "lang").agg(
         F.count("*").alias("n_lang")
-    )
+    ).persist()  # detector + CC run once; feeds sizes AND top below
+    if cache_registry is not None:
+        cache_registry.append(by_lang)
     sizes = by_lang.groupBy("cluster_id").agg(
         F.sum("n_lang").alias("n_docs"),
         F.count("*").alias("n_langs"),
@@ -714,7 +724,11 @@ FROM grid
 QUALITY_BAND_BP = 2000  # quality_bp in [0, 10000] -> 6 bands
 
 
-def q_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dup_quality_interaction(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
     """Near-dup membership x quality band cross-tab: per quality band
     (the declared with_quality score, bucketed), how many docs sit in
     at least one verified near-dup pair and the band's dup rate in bp.
@@ -722,10 +736,17 @@ def q_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrates in low-quality strata, quality-filter FIRST and the
     dedup works a smaller corpus; if it is uniform, dedup first so
     quality thresholds see deduplicated mass. Detector reused verbatim
-    (one pair set), quality is row-local arithmetic, the rollup is one
-    keyed aggregate over <= 6 bands."""
+    (ONE pair set — persisted, since both unionAll legs consume it and
+    projection pushdown would otherwise re-run the full LSH detector
+    per leg; cache_registry owns the lifetime for long-lived sessions),
+    quality is row-local arithmetic, the rollup is one keyed aggregate
+    over <= 6 bands."""
     docs = load_split(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    pairs = D.minhash_dedup_pairs(
+        docs, threshold_bp=JACCARD_THRESHOLD_BP
+    ).persist()  # detector runs once; feeds both unionAll legs below
+    if cache_registry is not None:
+        cache_registry.append(pairs)
     dup_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -209,7 +209,7 @@ def test_r13_head_plan_consistent():
     overlap with the round-12 head plan (each name gets exactly one
     promotion window)."""
     from terraform_aws_lambda_kinesis_to_es_spark.plans import (
-        _R12_HEAD_PLAN,
+        _R12_HEAD,
         _R13_HEAD_PLAN,
     )
 
@@ -218,4 +218,4 @@ def test_r13_head_plan_consistent():
     assert set(_R13_HEAD_PLAN[:12]) == set(QUERIES)
     declared = set(entrypoint.queries())
     assert set(_R13_HEAD_PLAN[12:]) <= declared
-    assert not set(_R13_HEAD_PLAN) & set(_R12_HEAD_PLAN)
+    assert not set(_R13_HEAD_PLAN) & set(_R12_HEAD)
