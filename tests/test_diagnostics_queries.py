@@ -53,15 +53,17 @@ def test_staged_query_matches_oracle_sf001(name, spark, duck01):
 
 def test_declaration_contract():
     """Promoted round 11: every tranche name is declared with the
-    identical oracle, and the 12 names head the declared surface
-    (driver check order = declaration order)."""
+    identical oracle. (The head-position claim expired with the
+    round-12 rotation — the r12 window heads the surface now; the
+    standing pattern is to drop the positional assertion once the
+    tranche's verdict window has passed, as every earlier promoted
+    tranche did.)"""
     assert set(QUERIES) == set(ORACLES)
     declared_q = entrypoint.queries()
     declared_o = entrypoint.oracle_sql()
     assert set(QUERIES) <= set(declared_q)
     for name, sql in ORACLES.items():
         assert declared_o[name] == sql
-    assert list(declared_q)[:12] == list(QUERIES)
 
 
 # ------------------------------------------------------ semantic pins
