@@ -242,6 +242,13 @@ _R13_HEAD_PLAN = (
 # evidenced in round 12) + the 31-name r9 residue + the first 7
 # r10-tier names in their CORRECTNESS_r10 order. That leaves 43 r10
 # names plus the r11 tier for round 16.
+#
+# Round-16 head arithmetic (tuple written at round-15 promotion time):
+# head, exactly 50 = the 12 staged round-16 names from
+# plans/staged_r16.py (the training-operations & estimation tranche —
+# built + two-SF driver-protocol-tested + 100x evidenced in round 12)
+# + the first 38 of the 43-name r10 residue in their CORRECTNESS_r10
+# order. That leaves 5 r10 names plus the r11/r12 tiers for round 17.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:

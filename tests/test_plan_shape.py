@@ -144,6 +144,17 @@ _INTENTIONAL_PRODUCT = {
     "q_event_bursts",        # window spine x broadcast(1-row median/total)
     "q_mixture_rebalance",   # lang rollup x broadcast(single-row totals)
     "q_dedup_survivor_bias",  # source rollup x broadcast(single-row totals)
+    # pre-whitelisted staged-r16 shapes (same precedent — all 1-row
+    # totals/threshold attaches except where noted):
+    "q_bin_packing",         # shard rollup x broadcast(1-row token total)
+    "q_shuffle_locality",    # source rollup x broadcast(1-row corpus count)
+    "q_backlog_drain",       # hour spine x broadcast(1-row capacity)
+    "q_source_influence",    # source rollup x broadcast(1-row totals)
+    "q_ips_estimate",        # source rollup x broadcast(1-row harmonic stats)
+    "q_confident_learning",  # corpus x broadcast(1-row class thresholds)
+    "q_representation_parity",  # nation rollup x broadcast(1-row totals)
+    "q_dedup_window_curve",  # ladder spine x broadcast(1-row dup total)
+    "q_curriculum_mix",      # ranked corpus x broadcast(1-row count)
     # pre-whitelisted staged-r15 shapes (same precedent):
     "q_metric_agreement",    # corpus x broadcast(5 query vecs), both metric legs
     "q_t_closeness",         # class rollup x broadcast(|sources| global shares)
