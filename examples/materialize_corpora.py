@@ -131,9 +131,14 @@ def main() -> None:
             spark, "orders", ["o_orderkey"], f"{JOIN_DIR}/orders.parquet"
         )
         os.symlink(f"{SRC}/customer.parquet", f"{JOIN_DIR}/customer.parquet")
+        os.symlink(f"{SRC}/nation.parquet", f"{JOIN_DIR}/nation.parquet")
         print(f"built {JOIN_DIR}", file=sys.stderr)
     else:
         print(f"kept {JOIN_DIR}", file=sys.stderr)
+    # dirs built by the pre-r16 recipe lack the nation dimension
+    # (q_representation_parity's scale run needs it); heal in place
+    if not os.path.exists(f"{JOIN_DIR}/nation.parquet"):
+        os.symlink(f"{SRC}/nation.parquet", f"{JOIN_DIR}/nation.parquet")
 
     # after any (re)materialization: the id-uniqueness sanity check the
     # verify skill mandates before trusting numbers from a corpus

@@ -39,8 +39,8 @@ BIG_DIR = {
     "q_backlog_drain": "/tmp/sf_events100x",
     "q_dedup_window_curve": "/tmp/sf_events100x",
     "q_ab_guardrail": "/tmp/sf_events100x",
-    # orders family (100x orders, 1x customer dimension — FK preserved)
-    "q_representation_parity": "/tmp/sf_orders100x_b",
+    # join family (100x orders, 1x customer/nation dims — FK preserved)
+    "q_representation_parity": "/tmp/sf_join100x",
 }
 
 
