@@ -136,9 +136,15 @@ def main() -> None:
     else:
         print(f"kept {JOIN_DIR}", file=sys.stderr)
     # dirs built by the pre-r16 recipe lack the nation dimension
-    # (q_representation_parity's scale run needs it); heal in place
-    if not os.path.exists(f"{JOIN_DIR}/nation.parquet"):
-        os.symlink(f"{SRC}/nation.parquet", f"{JOIN_DIR}/nation.parquet")
+    # (q_representation_parity's scale run needs it); heal in place.
+    # lexists, not exists: a DANGLING symlink (testdata remounted) must
+    # be replaced, and exists() would report it absent then symlink()
+    # would raise FileExistsError over the stale link.
+    nation_link = f"{JOIN_DIR}/nation.parquet"
+    if os.path.lexists(nation_link) and not os.path.exists(nation_link):
+        os.unlink(nation_link)
+    if not os.path.lexists(nation_link):
+        os.symlink(f"{SRC}/nation.parquet", nation_link)
 
     # after any (re)materialization: the id-uniqueness sanity check the
     # verify skill mandates before trusting numbers from a corpus

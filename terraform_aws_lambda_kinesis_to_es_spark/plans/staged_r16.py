@@ -70,8 +70,11 @@ DIV, cross-multiplied threshold compares, power-of-two ladders built
 from one Python literal) except q_embed_outliers' round(4) fold
 distance, which follows the q_centroid_sim precedent (order-pinned
 folds are bit-identical cross-engine; ranking ties break on vec_id).
-Timestamps only ever enter as DIFFERENCES of unix_micros/epoch_us, so
-the vanilla-session timezone never shifts a value.
+Timestamp micros enter as DIFFERENCES of unix_micros/epoch_us where a
+raw epoch is needed (q_dedup_window_curve), so the vanilla-session
+timezone cancels; q_backlog_drain's absolute hour cells instead rely
+on sources.tables.load()'s session-TZ normalization, exactly like the
+declared q_slo_burn / q_rolling_hour precedent.
 
 Reference citation: the reference engine (lambda/main.py, 174 lines)
 has no training-ops layer; these extend the repo's training-data
@@ -229,7 +232,8 @@ def q_shuffle_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
-    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    # total from the tiny rollup, not a third corpus scan
+    tot = per_src.agg(F.sum("n_docs").cast("bigint").alias("n"))
     return (
         per_src.join(pairs, "source")
         .crossJoin(F.broadcast(tot))
@@ -449,11 +453,15 @@ def q_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/n_s, so the weighted mean collapses to the mean of per-source
     means — the closed form the integer arithmetic computes exactly.
     The effective sample size (Kish, public literature) also closes:
-    ESS = (Σw)²/Σw² = K² / Σ_s (1/n_s) — emitted in milli-units via a
-    1e12-scaled reciprocal sum. Output one row per source (weight in
-    milli) with the corpus-level naive mean, IPS mean, and ESS attached
-    as constants — the reweighting-feasibility read (ESS << n means the
-    target mix is unreachable without new data)."""
+    ESS = (Σw)²/Σw² = K² / Σ_s (1/n_s) = K * harmonic_mean(n_s) —
+    emitted in milli-units via a 1e12-scaled reciprocal sum, computed
+    as K * (the milli harmonic mean) so every intermediate stays int64
+    for K up to ~9,000 sources and n_s up to 1e12 docs per source
+    (the one-shot 1000*K²*1e12 numerator would wrap at K=97). Output
+    one row per source (weight in milli) with the corpus-level naive
+    mean, IPS mean, and ESS attached as constants — the
+    reweighting-feasibility read (ESS << n means the target mix is
+    unreachable without new data)."""
     docs = load_split(spark, sf_dir, "documents")
     q = with_quality(docs).join(docs.select("doc_id", "source"), "doc_id")
     per = q.groupBy("source").agg(
@@ -478,9 +486,10 @@ def q_ips_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(sq DIV n AS BIGINT)").alias("naive_mean_bp"),
         F.expr("CAST(sum_means DIV k AS BIGINT)").alias("ips_mean_bp"),
-        F.expr(f"CAST((1000 * k * k * {ESS_SCALE}) DIV s12 AS BIGINT)").alias(
-            "ess_milli"
-        ),
+        F.expr(
+            f"CAST(k * ((1000 * k * {ESS_SCALE}) DIV greatest(s12, 1))"
+            " AS BIGINT)"
+        ).alias("ess_milli"),
     )
 
 
@@ -507,7 +516,8 @@ SELECT source,
        CAST((1000 * n) // (k * n_docs) AS BIGINT) AS weight_milli,
        CAST(sq // n AS BIGINT) AS naive_mean_bp,
        CAST(sum_means // k AS BIGINT) AS ips_mean_bp,
-       CAST((1000 * k * k * {ESS_SCALE}) // s12 AS BIGINT) AS ess_milli
+       CAST(k * ((1000 * k * {ESS_SCALE}) // GREATEST(s12, 1)) AS BIGINT)
+         AS ess_milli
 FROM per, gstats
 """
 
@@ -824,14 +834,22 @@ def q_dedup_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup and its cumulative window live on the bounded 27-row
     ladder spine."""
     events = load(spark, sf_dir, "events")
+
+    # The house digest discipline (q_duplicate_payloads): every field
+    # coalesced to an explicit NULL sentinel under concat_ws — plain
+    # concat would NULL the whole digest in Spark while DuckDB's ||
+    # skips NULL args (cross-engine divergence), and '' as the
+    # sentinel would collide NULL props with empty props.
+    def _d(col):
+        return F.coalesce(col, F.lit("\x00"))
+
     keyed = events.select(
         F.md5(
-            F.concat(
-                F.col("event_type"),
-                F.lit("|"),
-                F.coalesce(F.col("props"), F.lit("")),
-                F.lit("|"),
-                F.col("user_id").cast("string"),
+            F.concat_ws(
+                "\x1f",
+                _d(F.col("event_type")),
+                _d(F.col("props")),
+                _d(F.col("user_id").cast("string")),
             )
         ).alias("dg"),
         F.unix_micros(F.col("ts")).alias("us"),
@@ -869,8 +887,9 @@ def q_dedup_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_WINDOW_SQL = f"""
 WITH keyed AS (
-  SELECT md5(concat(event_type, '|', COALESCE(props, ''), '|',
-              CAST(user_id AS VARCHAR))) AS dg,
+  SELECT md5(COALESCE(event_type, chr(0)) || chr(31)
+             || COALESCE(props, chr(0)) || chr(31)
+             || COALESCE(CAST(user_id AS VARCHAR), chr(0))) AS dg,
          epoch_us(ts) AS us, event_id
   FROM events
 ),
@@ -925,7 +944,8 @@ def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off", F.coalesce(F.sum("cnt").over(w_spine), F.lit(0)).cast("bigint")
     ).select("quality_bp", "off")
     w_in = Window.partitionBy("quality_bp").orderBy("doc_id")
-    tot = q.agg(F.count("*").cast("bigint").alias("n"))
+    # total from the already-built spine, not another corpus scan
+    tot = grp.agg(F.sum("cnt").cast("bigint").alias("n"))
     ranked = (
         q.join(off, "quality_bp")
         .withColumn("rk", F.col("off") + F.row_number().over(w_in))
@@ -983,6 +1003,11 @@ FROM per JOIN pt USING (phase)
 # ----------------------------------------------------- AB guardrail
 
 AB_VALUE_T = 50.0  # success = value >= threshold (raw data compare: exact)
+# Harmonic-size cap: n_h enters z² through n_a*n_b, the one product of
+# two corpus-scale counts in this file — cap each factor at 2^31 so the
+# product stays <= 2^62 at ANY event volume (the int64 recipe). Beyond
+# two billion samples per arm the z² verdict is saturated anyway.
+AB_HM_CAP = 1 << 31
 
 
 def q_ab_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,12 +1016,14 @@ def q_ab_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     AB_VALUE_T (a raw-data comparison — engine-exact), and the
     two-proportion z² statistic computed entirely on bp-quantized
     shares: z² = dp² * n_h / (p(1-p)) with n_h the harmonic sample
-    size and p the pooled share — flag at z² >= 4 (two sigma). The
-    guardrail read: a flagged cell means the 'arms' differ on a metric
-    the split was supposed to balance — the assignment hash is biased
-    or the metric is user-clustered. All integer; one corpus rollup,
-    no product. Quantize-first keeps every product within int64 at any
-    realistic scale (dp² <= 1e8, n_h <= n/2)."""
+    size (arm counts capped at AB_HM_CAP before the product — see the
+    constant's comment) and p the pooled share — flag at z² >= 4 (two
+    sigma). The guardrail read: a flagged cell means the 'arms' differ
+    on a metric the split was supposed to balance — the assignment
+    hash is biased or the metric is user-clustered. All integer; one
+    corpus rollup, no product. Quantize-first + the harmonic cap keep
+    every product within int64 at ANY scale (dp² <= 1e8, capped
+    n_h <= 2^31, their product <= 2^58)."""
     events = load(spark, sf_dir, "events")
     armed = events.select(
         "event_type",
@@ -1023,7 +1050,8 @@ def q_ab_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AND (10000 * (s_a + s_b)) DIV (n_a + n_b) < 10000 THEN"
         " (((10000 * s_a) DIV n_a - (10000 * s_b) DIV n_b)"
         "  * ((10000 * s_a) DIV n_a - (10000 * s_b) DIV n_b)"
-        "  * ((n_a * n_b) DIV (n_a + n_b)))"
+        f"  * ((least(n_a, {AB_HM_CAP}) * least(n_b, {AB_HM_CAP}))"
+        f"     DIV (least(n_a, {AB_HM_CAP}) + least(n_b, {AB_HM_CAP}))))"
         " DIV (((10000 * (s_a + s_b)) DIV (n_a + n_b))"
         "      * (10000 - (10000 * (s_a + s_b)) DIV (n_a + n_b)))"
         " ELSE 0 END"
@@ -1046,7 +1074,8 @@ def _ab_sql() -> str:
         " AND (10000 * (s_a + s_b)) // (n_a + n_b) < 10000 THEN"
         " (((10000 * s_a) // n_a - (10000 * s_b) // n_b)"
         "  * ((10000 * s_a) // n_a - (10000 * s_b) // n_b)"
-        "  * ((n_a * n_b) // (n_a + n_b)))"
+        f"  * ((LEAST(n_a, {AB_HM_CAP}) * LEAST(n_b, {AB_HM_CAP}))"
+        f"     // (LEAST(n_a, {AB_HM_CAP}) + LEAST(n_b, {AB_HM_CAP}))))"
         " // (((10000 * (s_a + s_b)) // (n_a + n_b))"
         "     * (10000 - (10000 * (s_a + s_b)) // (n_a + n_b)))"
         " ELSE 0 END"

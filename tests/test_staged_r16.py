@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrypoint
 from terraform_aws_lambda_kinesis_to_es_spark.plans.staged_r16 import (
+    AB_HM_CAP,
     AB_VALUE_T,
     CAP_DEN,
     CAP_NUM,
@@ -98,8 +99,12 @@ def test_bin_packing_two_level_rank_equals_one_window(spark, sf_dir):
         for r in QUERIES["q_bin_packing"](spark, sf_dir).collect()
     }
     assert got == want
-    # snake packing balances: every shard within one max-doc of ideal
     assert len(got) == K_SHARDS
+    # snake packing balances: shard token totals spread at most one
+    # max-doc apart (the boustrophedon guarantee on sorted items)
+    max_tok = tok.agg(F.max("n_toks")).collect()[0][0]
+    sums = [s for _, s in got.values()]
+    assert max(sums) - min(sums) <= max_tok
 
 
 def test_shuffle_locality_pair_accounting(spark, sf_dir):
@@ -168,7 +173,8 @@ def test_ips_estimate_closed_forms(spark, sf_dir):
     assert all(r["ips_mean_bp"] == want_ips for r in rows)
     assert all(r["ess_milli"] <= 1000 * n for r in rows)
     s12 = sum(1_000_000_000_000 // r["n_docs"] for r in rows)
-    want_ess = (1000 * k * k * 1_000_000_000_000) // s12
+    # the two-step int64-safe form: K * milli harmonic mean
+    want_ess = k * ((1000 * k * 1_000_000_000_000) // max(s12, 1))
     assert all(r["ess_milli"] == want_ess for r in rows)
 
 
@@ -221,12 +227,11 @@ def test_dedup_window_curve_capture_accounting(spark, sf_dir):
     mass equals events minus distinct payload keys."""
     events = load(spark, sf_dir, "events")
     key = F.md5(
-        F.concat(
-            F.col("event_type"),
-            F.lit("|"),
-            F.coalesce(F.col("props"), F.lit("")),
-            F.lit("|"),
-            F.col("user_id").cast("string"),
+        F.concat_ws(
+            "\x1f",
+            F.coalesce(F.col("event_type"), F.lit("\x00")),
+            F.coalesce(F.col("props"), F.lit("\x00")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("\x00")),
         )
     )
     n_dups_want = events.count() - events.select(key.alias("k")).distinct().count()
@@ -291,7 +296,9 @@ def test_ab_guardrail_recomputes(spark, sf_dir):
         p = (10000 * (s_a + s_b)) // (r["n_a"] + r["n_b"])
         if 0 < p < 10000:
             dp = r["pa_bp"] - r["pb_bp"]
-            nh = (r["n_a"] * r["n_b"]) // (r["n_a"] + r["n_b"])
+            na_c = min(r["n_a"], AB_HM_CAP)
+            nb_c = min(r["n_b"], AB_HM_CAP)
+            nh = (na_c * nb_c) // (na_c + nb_c)
             want = (dp * dp * nh) // (p * (10000 - p))
         else:
             want = 0
