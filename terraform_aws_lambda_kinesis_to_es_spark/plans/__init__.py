@@ -249,6 +249,14 @@ _R13_HEAD_PLAN = (
 # built + two-SF driver-protocol-tested + 100x evidenced in round 12)
 # + the first 38 of the 43-name r10 residue in their CORRECTNESS_r10
 # order. That leaves 5 r10 names plus the r11/r12 tiers for round 17.
+#
+# Round-17 head arithmetic (tuple written at round-16 promotion time):
+# head, exactly 50 = the 12 staged round-17 names from
+# plans/staged_r17.py (the drift & stability monitoring tranche —
+# built + two-SF driver-protocol-tested + 100x evidenced in round 12)
+# + the 5-name r10 residue + the first 33 r11-tier names in their
+# CORRECTNESS_r11 order. That leaves 17 r11 names plus the r12 tier
+# for round 18.
 
 
 def collect_surface() -> tuple[dict[str, QueryFn], dict[str, str]]:

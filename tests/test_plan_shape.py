@@ -144,6 +144,17 @@ _INTENTIONAL_PRODUCT = {
     "q_event_bursts",        # window spine x broadcast(1-row median/total)
     "q_mixture_rebalance",   # lang rollup x broadcast(single-row totals)
     "q_dedup_survivor_bias",  # source rollup x broadcast(single-row totals)
+    # pre-whitelisted staged-r17 shapes (same precedent — the time-
+    # midpoint split and pooled totals are 1-row broadcast attaches):
+    "q_psi_drift",
+    "q_ks_drift",
+    "q_mix_drift_chi2",
+    "q_dispersion_drift",
+    "q_tost_equivalence",
+    "q_schema_drift",
+    "q_cadence_drift",
+    "q_quality_drift_decomp",
+    "q_dup_rate_drift",
     # pre-whitelisted staged-r16 shapes (same precedent — all 1-row
     # totals/threshold attaches except where noted):
     "q_bin_packing",         # shard rollup x broadcast(1-row token total)
