@@ -45,3 +45,23 @@ def perm_hash(h: Column, i: int) -> Column:
 
 def perm_hash_sql(h_expr: str, i: int) -> str:
     return f"(({PERM_A[i]} * (({h_expr}) % {MOD31}) + {PERM_B[i]}) % {MERSENNE61})"
+
+
+def sentinel_digest(*cols: Column) -> Column:
+    """md5 over \\x1f-joined, \\x00-NULL-sentineled string columns — the
+    cross-engine payload-digest discipline (q_duplicate_payloads):
+    concat_ws would silently DROP a NULL field and its separator
+    (DuckDB's || would instead NULL the whole digest) — both a
+    cross-engine divergence and a collision hazard, and '' as the
+    sentinel would collide NULL with empty. One definition so every
+    digest caller (batch queries, staged tranches, oracles via
+    :func:`sentinel_digest_sql`) stays byte-identical."""
+    return F.md5(
+        F.concat_ws("\x1f", *[F.coalesce(c, F.lit("\x00")) for c in cols])
+    )
+
+
+def sentinel_digest_sql(*exprs: str) -> str:
+    """The DuckDB expression mirroring :func:`sentinel_digest`."""
+    joined = " || chr(31) || ".join(f"COALESCE({e}, chr(0))" for e in exprs)
+    return f"md5({joined})"

@@ -90,6 +90,8 @@ from pyspark.sql import functions as F
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     hash60,
     hash60_sql,
+    sentinel_digest,
+    sentinel_digest_sql,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
 from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
@@ -834,23 +836,11 @@ def q_dedup_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup and its cumulative window live on the bounded 27-row
     ladder spine."""
     events = load(spark, sf_dir, "events")
-
-    # The house digest discipline (q_duplicate_payloads): every field
-    # coalesced to an explicit NULL sentinel under concat_ws — plain
-    # concat would NULL the whole digest in Spark while DuckDB's ||
-    # skips NULL args (cross-engine divergence), and '' as the
-    # sentinel would collide NULL props with empty props.
-    def _d(col):
-        return F.coalesce(col, F.lit("\x00"))
-
     keyed = events.select(
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                _d(F.col("event_type")),
-                _d(F.col("props")),
-                _d(F.col("user_id").cast("string")),
-            )
+        sentinel_digest(
+            F.col("event_type"),
+            F.col("props"),
+            F.col("user_id").cast("string"),
         ).alias("dg"),
         F.unix_micros(F.col("ts")).alias("us"),
         "event_id",
@@ -887,9 +877,7 @@ def q_dedup_window_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_WINDOW_SQL = f"""
 WITH keyed AS (
-  SELECT md5(COALESCE(event_type, chr(0)) || chr(31)
-             || COALESCE(props, chr(0)) || chr(31)
-             || COALESCE(CAST(user_id AS VARCHAR), chr(0))) AS dg,
+  SELECT {sentinel_digest_sql("event_type", "props", "CAST(user_id AS VARCHAR)")} AS dg,
          epoch_us(ts) AS us, event_id
   FROM events
 ),

@@ -86,6 +86,8 @@ from pyspark.sql import functions as F
 from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     hash60,
     hash60_sql,
+    sentinel_digest,
+    sentinel_digest_sql,
 )
 from terraform_aws_lambda_kinesis_to_es_spark.operators import similarity as S
 from terraform_aws_lambda_kinesis_to_es_spark.plans.similarity_queries import (
@@ -103,6 +105,11 @@ from terraform_aws_lambda_kinesis_to_es_spark.plans.text_queries import (
 from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load, load_split
 
 # ------------------------------------------------------ shared pieces
+
+# ONE payload-digest definition for every digest-keyed query here (the
+# staged_r16 q_dedup_window_curve key; helper keeps all copies
+# byte-identical cross-engine)
+_DG = sentinel_digest_sql("event_type", "props", "CAST(user_id AS VARCHAR)")
 
 # The time-midpoint split: both engines compute epoch micros (Spark
 # unix_micros, DuckDB epoch_us), so the `us < mid` comparison is exact
@@ -268,7 +275,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     value ladder, in bp — entirely integer (shares are bp-quantized
     BEFORE the gap; the quantize-first recipe), so unlike the PSI
     scalar this one is exactly reproducible at any scale. Ties on the
-    argmax bucket break to the smallest bucket."""
+    argmax bucket break to the smallest bucket. Types present in only
+    one half (a KS over an empty side is undefined — ANSI Spark would
+    throw on the zero denominator where DuckDB NULLs) are excluded,
+    like q_cadence_drift; q_mix_drift_chi2 reports one-sided types."""
     e = _halved_events(spark, sf_dir)
     cells = (
         e.withColumn(
@@ -299,6 +309,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "event_type",
         )
+        .filter((F.col("t_old") > 0) & (F.col("t_new") > 0))
         .withColumn(
             "gap_bp",
             F.expr(
@@ -350,7 +361,7 @@ gapped AS (
            AS gap_bp,
          MAX(abs((10000 * cum_old) // t_old - (10000 * cum_new) // t_new))
            OVER (PARTITION BY event_type) AS ks_bp
-  FROM cum
+  FROM cum WHERE t_old > 0 AND t_new > 0
 )
 SELECT event_type,
        CAST(MAX(t_old) AS BIGINT) AS n_old,
@@ -369,7 +380,9 @@ def q_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     half in bp and a chi²-style contribution
     dp² · 1000 / (p_old + p_new) in milli-units (bp-quantized shares
     FIRST — the q_chi2_independence recipe, int64 at any volume).
-    The mix-shift alarm: a type whose traffic share moved."""
+    The mix-shift alarm: a type whose traffic share moved. An empty
+    half (degenerate single-instant corpus) yields zero shares via
+    the greatest(t, 1) guard instead of an ANSI divide-by-zero."""
     e = _halved_events(spark, sf_dir)
     per = e.groupBy("event_type").agg(
         F.sum(F.when(F.col("is_old"), 1).otherwise(0))
@@ -387,23 +400,23 @@ def q_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "c_old",
         "c_new",
-        F.expr("CAST((10000 * c_old) DIV t_old AS BIGINT)").alias(
+        F.expr("CAST((10000 * c_old) DIV greatest(t_old, 1) AS BIGINT)").alias(
             "share_old_bp"
         ),
-        F.expr("CAST((10000 * c_new) DIV t_new AS BIGINT)").alias(
+        F.expr("CAST((10000 * c_new) DIV greatest(t_new, 1) AS BIGINT)").alias(
             "share_new_bp"
         ),
         F.expr(
-            "CAST(((10000 * c_new) DIV t_new - (10000 * c_old) DIV t_old)"
+            "CAST(((10000 * c_new) DIV greatest(t_new, 1) - (10000 * c_old) DIV greatest(t_old, 1))"
             " AS BIGINT)"
         ).alias("delta_bp"),
         F.expr(
-            "CAST(CASE WHEN (10000 * c_old) DIV t_old"
-            " + (10000 * c_new) DIV t_new > 0 THEN"
-            " (((10000 * c_new) DIV t_new - (10000 * c_old) DIV t_old)"
-            "  * ((10000 * c_new) DIV t_new - (10000 * c_old) DIV t_old)"
+            "CAST(CASE WHEN (10000 * c_old) DIV greatest(t_old, 1)"
+            " + (10000 * c_new) DIV greatest(t_new, 1) > 0 THEN"
+            " (((10000 * c_new) DIV greatest(t_new, 1) - (10000 * c_old) DIV greatest(t_old, 1))"
+            "  * ((10000 * c_new) DIV greatest(t_new, 1) - (10000 * c_old) DIV greatest(t_old, 1))"
             "  * 1000)"
-            " DIV ((10000 * c_old) DIV t_old + (10000 * c_new) DIV t_new)"
+            " DIV ((10000 * c_old) DIV greatest(t_old, 1) + (10000 * c_new) DIV greatest(t_new, 1))"
             " ELSE 0 END AS BIGINT)"
         ).alias("chi2_milli"),
     )
@@ -421,16 +434,16 @@ tot AS (SELECT SUM(c_old) AS t_old, SUM(c_new) AS t_new FROM per)
 SELECT event_type,
        CAST(c_old AS BIGINT) AS c_old,
        CAST(c_new AS BIGINT) AS c_new,
-       CAST((10000 * c_old) // t_old AS BIGINT) AS share_old_bp,
-       CAST((10000 * c_new) // t_new AS BIGINT) AS share_new_bp,
-       CAST((10000 * c_new) // t_new - (10000 * c_old) // t_old AS BIGINT)
+       CAST((10000 * c_old) // GREATEST(t_old, 1) AS BIGINT) AS share_old_bp,
+       CAST((10000 * c_new) // GREATEST(t_new, 1) AS BIGINT) AS share_new_bp,
+       CAST((10000 * c_new) // GREATEST(t_new, 1) - (10000 * c_old) // GREATEST(t_old, 1) AS BIGINT)
          AS delta_bp,
-       CAST(CASE WHEN (10000 * c_old) // t_old
-                      + (10000 * c_new) // t_new > 0 THEN
-              (((10000 * c_new) // t_new - (10000 * c_old) // t_old)
-               * ((10000 * c_new) // t_new - (10000 * c_old) // t_old)
+       CAST(CASE WHEN (10000 * c_old) // GREATEST(t_old, 1)
+                      + (10000 * c_new) // GREATEST(t_new, 1) > 0 THEN
+              (((10000 * c_new) // GREATEST(t_new, 1) - (10000 * c_old) // GREATEST(t_old, 1))
+               * ((10000 * c_new) // GREATEST(t_new, 1) - (10000 * c_old) // GREATEST(t_old, 1))
                * 1000)
-              // ((10000 * c_old) // t_old + (10000 * c_new) // t_new)
+              // ((10000 * c_old) // GREATEST(t_old, 1) + (10000 * c_new) // GREATEST(t_new, 1))
             ELSE 0 END AS BIGINT) AS chi2_milli
 FROM per, tot
 """
@@ -488,7 +501,12 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("lag").cast("bigint").alias("lag"),
             (F.col("nd") - F.col("lag")).cast("bigint").alias("n_pairs"),
-            F.round(F.col("num") / F.col("den"), 4).alias("acf_r"),
+            # a constant series has den = 0 and an undefined ACF: emit
+            # NULL (matching the oracle's CASE) — ANSI Spark would
+            # otherwise throw DIVIDE_BY_ZERO even on doubles
+            F.when(
+                F.col("den") != 0.0, F.round(F.col("num") / F.col("den"), 4)
+            ).alias("acf_r"),
         )
     )
 
@@ -523,7 +541,7 @@ parts AS (
 )
 SELECT CAST(lag AS BIGINT) AS lag,
        CAST(nd - lag AS BIGINT) AS n_pairs,
-       round(num / den, 4) AS acf_r
+       CASE WHEN den <> 0 THEN round(num / den, 4) END AS acf_r
 FROM parts WHERE nd > lag
 """
 
@@ -631,11 +649,16 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves: equivalent when the ±2σ interval around the mean difference
     sits inside ±5% of the pooled mean. The standard error comes from
     the BETWEEN-BLOCK variance of 32 hash-block means per half (the
-    q_stopping_rule spine trick — all arithmetic on the 32-row spine,
-    int64-safe at any volume for values up to ~$21k in cents), and the
-    acceptance is compared in SQUARED form — (M - |d|)² ≥ 4·(se²_o +
-    se²_n) — so no sqrt crosses the engines. Block means are
-    milli-cents; d and M are too.
+    q_stopping_rule spine trick, computed on CENTERED block means —
+    dm = m - mean; k·Σdm² - (Σdm)² equals k·Σm² - (Σm)² EXACTLY in
+    integer arithmetic (translation invariance, no floors involved),
+    but the intermediates are bounded by the block-mean DEVIATION
+    rather than the mean: int64-safe while block means stay within
+    ~$950 of the half mean, at ANY absolute price level — the
+    uncentered form would wrap once the mean itself neared $950), and
+    the acceptance is compared in SQUARED form — (M - |d|)² ≥
+    4·(se²_o + se²_n) — so no sqrt crosses the engines. Block means
+    are milli-cents; d and M are too.
 
     The release gate read: 'the new window's mean is statistically the
     same' asserted positively (a failed t-test is NOT equivalence)."""
@@ -658,19 +681,25 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("m", F.expr("CAST((1000 * s_b) DIV n_b AS BIGINT)"))
     )
-    halves = blocks.groupBy("event_type", "is_old").agg(
-        F.count("*").cast("bigint").alias("k"),
+    totals = blocks.groupBy("event_type", "is_old").agg(
         F.sum("n_b").cast("bigint").alias("n"),
         F.sum("s_b").cast("bigint").alias("s"),
-        F.sum("m").cast("bigint").alias("sm"),
-        F.sum(F.expr("m * m")).cast("bigint").alias("sm2"),
-    ).withColumn(
-        "mean_milli", F.expr("CAST((1000 * s) DIV n AS BIGINT)")
+    ).withColumn("mean_milli", F.expr("CAST((1000 * s) DIV n AS BIGINT)"))
+    centered = blocks.join(
+        totals.select("event_type", "is_old", "mean_milli"),
+        ["event_type", "is_old"],
+    ).withColumn("dm", F.expr("m - mean_milli"))
+    halves = centered.groupBy("event_type", "is_old").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.max("mean_milli").cast("bigint").alias("mean_milli"),
+        F.sum("dm").cast("bigint").alias("sdm"),
+        F.sum(F.expr("dm * dm")).cast("bigint").alias("sdm2"),
     ).withColumn(
         "se2",
         F.expr(
             "CAST(CASE WHEN k >= 2 THEN"
-            " (k * sm2 - sm * sm) DIV (k * k * (k - 1))"
+            " (k * sdm2 - sdm * sdm) DIV (k * k * (k - 1))"
             " ELSE 0 END AS BIGINT)"
         ),
     )
@@ -729,15 +758,24 @@ blocks AS (
          (1000 * SUM(v_c)) // COUNT(*) AS m
   FROM e GROUP BY 1, 2, 3
 ),
+totals AS (
+  SELECT event_type, is_old, SUM(n_b) AS n, SUM(s_b) AS s,
+         (1000 * SUM(s_b)) // SUM(n_b) AS mean_milli
+  FROM blocks GROUP BY 1, 2
+),
+centered AS (
+  SELECT b.event_type, b.is_old, b.n_b, t.mean_milli,
+         b.m - t.mean_milli AS dm
+  FROM blocks b JOIN totals t USING (event_type, is_old)
+),
 halves AS (
-  SELECT event_type, is_old, COUNT(*) AS k, SUM(n_b) AS n, SUM(s_b) AS s,
-         SUM(m) AS sm, SUM(m * m) AS sm2,
-         (1000 * SUM(s_b)) // SUM(n_b) AS mean_milli,
+  SELECT event_type, is_old, COUNT(*) AS k, SUM(n_b) AS n,
+         MAX(mean_milli) AS mean_milli,
          CASE WHEN COUNT(*) >= 2 THEN
-           (COUNT(*) * SUM(m * m) - SUM(m) * SUM(m))
+           (COUNT(*) * SUM(dm * dm) - SUM(dm) * SUM(dm))
              // (COUNT(*) * COUNT(*) * (COUNT(*) - 1))
          ELSE 0 END AS se2
-  FROM blocks GROUP BY 1, 2
+  FROM centered GROUP BY 1, 2
 ),
 j AS (
   SELECT o.event_type, o.n AS n_old, n2.n AS n_new,
@@ -777,13 +815,10 @@ def q_novel_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     keyed = events.select(
         F.col("ts").cast("date").cast("string").alias("day"),
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.coalesce(F.col("event_type"), F.lit("\x00")),
-                F.coalesce(F.col("props"), F.lit("\x00")),
-                F.coalesce(F.col("user_id").cast("string"), F.lit("\x00")),
-            )
+        sentinel_digest(
+            F.col("event_type"),
+            F.col("props"),
+            F.col("user_id").cast("string"),
         ).alias("dg"),
     )
     firsts = keyed.groupBy("dg").agg(F.min("day").alias("first_day"))
@@ -808,12 +843,10 @@ def q_novel_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NOVEL_SQL = """
+_NOVEL_SQL = f"""
 WITH keyed AS (
   SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-         md5(COALESCE(event_type, chr(0)) || chr(31)
-             || COALESCE(props, chr(0)) || chr(31)
-             || COALESCE(CAST(user_id AS VARCHAR), chr(0))) AS dg
+         {_DG} AS dg
   FROM events
 ),
 firsts AS (SELECT dg, MIN(day) AS first_day FROM keyed GROUP BY 1),
@@ -855,6 +888,12 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the stable case."""
     e = _halved_events(spark, sf_dir)
     halves = e.groupBy("is_old").agg(F.count("*").cast("bigint").alias("t"))
+    # Union of filtered legs, MEASURED against the one-pass
+    # explode(concat(real keys, conditional arrays)) alternative at
+    # 100x: union 12.7 s vs one-pass 24.6 s — the injected legs read
+    # three cheap columns and skip the JSON parse entirely, while the
+    # per-row conditional-array concat costs more than the extra
+    # columnar scans. Both are linear; the union is the faster plan.
     real = e.select(
         "is_old",
         F.explode(
@@ -1285,13 +1324,10 @@ def q_dup_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     keyed = events.select(
         F.col("ts").cast("date").cast("string").alias("day"),
-        F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.coalesce(F.col("event_type"), F.lit("\x00")),
-                F.coalesce(F.col("props"), F.lit("\x00")),
-                F.coalesce(F.col("user_id").cast("string"), F.lit("\x00")),
-            )
+        sentinel_digest(
+            F.col("event_type"),
+            F.col("props"),
+            F.col("user_id").cast("string"),
         ).alias("dg"),
     )
     daily = keyed.groupBy("day").agg(
@@ -1332,12 +1368,10 @@ def q_dup_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_DRIFT_SQL = """
+_DUP_DRIFT_SQL = f"""
 WITH keyed AS (
   SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-         md5(COALESCE(event_type, chr(0)) || chr(31)
-             || COALESCE(props, chr(0)) || chr(31)
-             || COALESCE(CAST(user_id AS VARCHAR), chr(0))) AS dg
+         {_DG} AS dg
   FROM events
 ),
 daily AS (
