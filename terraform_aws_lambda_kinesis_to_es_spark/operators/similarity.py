@@ -135,6 +135,83 @@ def probe_masks(radius: int = 2) -> list[int]:
     return masks
 
 
+def _lsh_probe_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    radius: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    keep_own_flag: bool = False,
+) -> DataFrame:
+    """Shared multi-probe LSH scored stage: every (query, candidate)
+    whose bucket lies within Hamming ``radius`` of the query's bucket,
+    with the exact cosine — RAW rows, no rank. ``keep_own_flag`` adds
+    ``own`` (candidate sits in the query's OWN bucket, i.e. the mask-0
+    probe): a corpus vector lives in exactly one bucket and probe masks
+    are distinct, so each (query, neighbor) appears at most once and the
+    radius-0 scored set is exactly the radius-r set filtered to ``own``
+    — one bucket join serves both probe settings (q_ann_recall)."""
+    masks = probe_masks(radius)
+    cb = with_bucket(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cnrm"),
+        "bucket",
+    )
+    qb = with_bucket(queries, vec_col)
+    probes = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qnrm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col("bucket").bitwiseXOR(F.lit(m)).cast("int").alias("bucket"),
+                        F.lit(m == 0).alias("own"),
+                    )
+                    for m in masks
+                ]
+            )
+        ).alias("pb"),
+    ).select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.col("pb.bucket").alias("bucket"),
+        *([F.col("pb.own").alias("own")] if keep_own_flag else []),
+    )
+    return (
+        cb.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            cosine_hoisted(F.col("cv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")),
+        )
+    )
+
+
+def _rank_scored_cosine(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k per query over a cosine-scored candidate frame — the shared
+    rank/round/select tail of the LSH ANN family (ties to lowest
+    neighbor id, the house determinism rule)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("sim"), 4).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def knn_lsh_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,48 +228,8 @@ def knn_lsh_multiprobe(
     query (37 of 256 at radius 2), each corpus vector sits in exactly one
     bucket, so candidate cost stays a tunable fraction of the corpus —
     never a cross product."""
-    from pyspark.sql import Window
-
-    cb = with_bucket(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cnrm"),
-        "bucket",
-    )
-    qb = with_bucket(queries, vec_col)
-    probes = qb.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qnrm"),
-        F.explode(
-            F.array(
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(m)).cast("int")
-                    for m in probe_masks(radius)
-                ]
-            )
-        ).alias("bucket"),
-    )
-    scored = (
-        cb.join(F.broadcast(probes), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            cosine_hoisted(F.col("cv"), F.col("qv"), F.col("cnrm"), F.col("qnrm")),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("sim"), 4).alias("sim"),
-            F.col("rank").cast("bigint").alias("rank"),
-        )
+    return _rank_scored_cosine(
+        _lsh_probe_scored(corpus, queries, radius, id_col, vec_col), k
     )
 
 
@@ -1025,6 +1062,7 @@ def _ivfpq_adc(
     n_probes: int = N_IVF_PROBES,
     index: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    keep_probe_rank: bool = False,
 ) -> DataFrame:
     """The shared IVF+PQ candidate-scoring stage: probe the query's
     n_probes nearest inverted lists, ADC-score every candidate's codes —
@@ -1039,7 +1077,14 @@ def _ivfpq_adc(
     load_ivfpq_index) — then ``corpus`` may be None and is not read at
     all. Either ``corpus`` or BOTH artifacts must be supplied; validated
     here at the API boundary so a miswired caller fails with a clear
-    message instead of deep inside ivfpq_index (r6 ADVICE)."""
+    message instead of deep inside ivfpq_index (r6 ADVICE).
+
+    ``keep_probe_rank`` additionally emits ``probe_rank`` — the 1-based
+    rank of the candidate's inverted list in its query's probe order. A
+    candidate's adist does not depend on n_probes, so the scored frame
+    at width W filtered to ``probe_rank <= w`` IS the scored frame at
+    any narrower width w — one build + one ADC pass serves a whole
+    probe-width sweep (q_ann_probe_curve) instead of one per width."""
     from pyspark.sql import Window
 
     if corpus is None and (index is None or codebook is None):
@@ -1066,25 +1111,35 @@ def _ivfpq_adc(
         .agg(_ordered_fold(F.collect_list(F.struct("m", "d"))).alias("qdist"))
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probes)
-        .select("query_id", "list_id")
+        .select("query_id", "list_id", *(["_pr"] if keep_probe_rank else []))
     )
+    pr_cols = ["_pr"] if keep_probe_rank else []
     cand = (
         index.join(F.broadcast(probes), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", F.explode("codes").alias("mc")
+            "query_id", "neighbor_id", F.explode("codes").alias("mc"), *pr_cols
         )
         .select(
             "query_id",
             "neighbor_id",
             F.col("mc.m").alias("m"),
             F.col("mc.code").alias("code"),
+            *pr_cols,
         )
+    )
+    # a neighbor lives in exactly one inverted list, so _pr is constant
+    # within the (query, neighbor) group — min() just collapses it
+    pr_agg = (
+        [F.min("_pr").cast("int").alias("probe_rank")] if keep_probe_rank else []
     )
     return (
         cand.join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(_ordered_fold(F.collect_list(F.struct("m", "d"))).alias("adist"))
+        .agg(
+            _ordered_fold(F.collect_list(F.struct("m", "d"))).alias("adist"),
+            *pr_agg,
+        )
     )
 
 

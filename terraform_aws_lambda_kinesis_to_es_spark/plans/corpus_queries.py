@@ -921,6 +921,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion anywhere (novelty needs per-gram source COUNTS, not the
     source pairs)."""
     docs = load_split(spark, sf_dir, "documents")
+    # NOT persisted (r12 optimization measured it): the exploded-distinct
+    # frame feeds 2 consumers, but caching the wide (source, gram) rows
+    # costs more than recomputing the fused explode (2.55 s -> 3.45 s
+    # with persist at sf0.1) — the cache barrier blocks whole-stage
+    # fusion into the two aggregates
     sg = (
         D.with_shingles(docs)
         .select("source", F.explode("shingles").alias("g"))

@@ -289,6 +289,9 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         SNM_KEY_CHARS,
     )
+    # NOT persisted (r12 optimization measured it): the frame feeds both
+    # join legs, but caching the shingle-array payload costs more than
+    # recomputing it (1.09 s -> 1.61 s with persist at sf0.1)
     sh = (
         D.with_shingles(docs)
         .select("doc_id", key.alias("k"), "shingles")

@@ -81,7 +81,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode + self-equi-join on the shingle — one keyed shuffle, never a
     cross product), similarity verified on the full distinct-shingle sets."""
     docs = load_split(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs)
+    # persisted (r12 optimization): feeds the candidate explode AND both
+    # verify sides — the house staged-materialization rule (see
+    # minhash_dedup_pairs); without it the tokenize+ngram pass runs 3x
+    shingled = D.with_shingles(docs).persist()
     ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
     pairs = D.pairs_within_buckets(ex, ["g"], "doc_id")
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -548,7 +551,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    sh_all = D.with_shingles(docs).select("doc_id", "shingles")
+    # persisted (r12 optimization): feeds the signature chain AND both
+    # verify sides (sa/sb) — 3 consumers, house staged-materialization rule
+    sh_all = D.with_shingles(docs).select("doc_id", "shingles").persist()
     # empty shingle sets (< 5-token docs) are excluded BEFORE signatures,
     # exactly as minhash_dedup_pairs does: they all share the sentinel
     # MinHash signature, so they band-collide into candidates, and the

@@ -245,7 +245,9 @@ def q_band_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument), a min-band rollup keyed on the pair, and the standard
     candidate-bounded verify join."""
     docs = load_split(spark, sf_dir, "documents")
-    sh = D.with_shingles(docs).select("doc_id", "shingles")
+    # persisted (r12 optimization): feeds the signature/banding chain AND
+    # the verify join below — 2 consumers, house staged-materialization rule
+    sh = D.with_shingles(docs).select("doc_id", "shingles").persist()
     sig = D.with_minhash_signature(
         sh.filter(F.size("shingles") > 0), portable=True
     )
@@ -470,16 +472,25 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # The survivor-id frames are PERSISTED (r12 optimization, guide §5):
+    # each is a tiny ids-only relation with two consumers (its count leg
+    # below + the next stage's join), and without the cache the one
+    # action that materializes the four-way totals product re-derives
+    # the s1 digest groupBy 3x and the s2 normalize+groupBy 2x — Spark
+    # does not share common subtrees across join branches. The docs
+    # union itself stays UNCACHED by measurement (comment above).
     s1 = (
         docs.groupBy(hash60(F.col("text")).alias("dg"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .persist()
     )
     s1docs = s1.join(docs, "doc_id")
     s2 = (
         s1docs.groupBy(hash60(F.expr(_NORM_EXPR)).alias("ng"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .persist()
     )
     s2docs = s2.join(docs, "doc_id")
     pairs = D.minhash_dedup_pairs(s2docs, threshold_bp=JACCARD_THRESHOLD_BP)

@@ -121,15 +121,21 @@ def q_index_probe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % SD_EDIT_MOD == 0) & (F.col("doc_id") % SD_DROP_MOD != 0)
     ).withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
 
+    # Persisted (r12 optimization — the minhash_dedup_pairs staged-
+    # materialization rule): each shingle frame feeds BOTH its banding
+    # leg and its verify side, and re-tokenizing is the dominant map
+    # cost. Only (id, long-array) rows are cached.
     v1_sh = (
         D.with_hashed_shingles(docs)
         .filter(F.size("sh_hashes") > 0)
         .select("doc_id", "sh_hashes")
+        .persist()
     )
     v2_sh = (
         D.with_hashed_shingles(probe)
         .filter(F.size("sh_hashes") > 0)
         .select("doc_id", "sh_hashes")
+        .persist()
     )
     b1 = D.banded_keys(
         D.with_minhash_signature(v1_sh, shingle_col="sh_hashes", prehashed=True)

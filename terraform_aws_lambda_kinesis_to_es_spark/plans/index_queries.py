@@ -178,35 +178,53 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     earns its cost. Output is id-set arithmetic (counts, integer bp),
     reproducible cross-engine although both rankings order by floats.
 
-    Scale: each width's leg is the probe-pruned index join
-    (S._ivfpq_adc — knn_ivfpq's shared stage); the exact truth leg is
-    the bounded-panel x one-corpus-scan form (knn_bruteforce_l2 —
-    q_ann_recall's VERDICT-r5-approved shape, railed). Widths are a
-    3-row constant dimension."""
+    Scale: ONE probe-pruned index join at the WIDEST width
+    (S._ivfpq_adc at max(PROBE_WIDTHS) with keep_probe_rank — a
+    candidate's adist does not depend on n_probes, and the candidate
+    set at width w is exactly the widest set filtered to
+    probe_rank <= w), persisted and fanned out to the per-width legs
+    through a 3-row broadcast widths dimension — the r12-optimization
+    restructure of the original one-full-detector-per-width form
+    (which re-built the index and re-scored ADC once per width, and
+    re-derived all of it a second time for the candidate-count leg:
+    6 detector builds; plan 3140 -> ~600 lines, measured ~4x at
+    sf0.1). The exact truth leg is the bounded-panel x one-corpus-scan
+    form (knn_bruteforce_l2 — q_ann_recall's VERDICT-r5-approved
+    shape, railed), persisted for its two consumers (hit semi-join +
+    n_true total). Cache lifecycle: both frames are candidate-/panel-
+    bounded; bench/driver sessions clearCache() between queries."""
     from pyspark.sql import Window as W
 
     vecs = _vec(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
-    truth = S.knn_bruteforce_l2(vecs, queries, k=TOP_K).select(
-        "query_id", "neighbor_id"
+    truth = (
+        S.knn_bruteforce_l2(vecs, queries, k=TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
-    rank_w = W.partitionBy("query_id").orderBy(
+    summed = S._ivfpq_adc(
+        vecs, queries, n_probes=max(PROBE_WIDTHS), keep_probe_rank=True
+    ).persist()
+    widths = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(w).cast("bigint") for w in PROBE_WIDTHS])
+        ).alias("n_probes")
+    )
+    rank_w = W.partitionBy("n_probes", "query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id")
     )
-    legs = []
-    for w in PROBE_WIDTHS:
-        summed = S._ivfpq_adc(vecs, queries, n_probes=w)
-        legs.append(
-            summed.withColumn("rank", F.row_number().over(rank_w)).select(
-                F.lit(w).cast("bigint").alias("n_probes"),
-                "query_id",
-                "neighbor_id",
-                (F.col("rank") <= TOP_K).alias("in_topk"),
-            )
+    cands = (
+        summed.join(
+            F.broadcast(widths), F.col("probe_rank") <= F.col("n_probes")
         )
-    cands = legs[0]
-    for leg in legs[1:]:
-        cands = cands.unionByName(leg)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .select(
+            "n_probes",
+            "query_id",
+            "neighbor_id",
+            (F.col("rank") <= TOP_K).alias("in_topk"),
+        )
+    )
     hits = (
         cands.filter("in_topk")
         .join(truth, ["query_id", "neighbor_id"], "left_semi")

@@ -127,11 +127,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-parallel, zero corpus shuffle (knn_bruteforce's contract) —
     so no re-contracting was needed; the corpus-squared audits that DID
     need bounding are q_lsh_eval / q_dup_method_agreement (see
-    dedup_queries.TRUTH_SAMPLE_TARGET)."""
+    dedup_queries.TRUTH_SAMPLE_TARGET).
+
+    r12 optimization (guide §2.4/§5): the truth frame feeds THREE
+    consumers (both hit semi-joins + n_true) — persisted, so the
+    bruteforce scan runs once, not 3x. The two detector legs share ONE
+    bucket join: the radius-0 candidate set is exactly the multi-probe
+    scored set filtered to the query's own bucket
+    (S._lsh_probe_scored's ``own`` flag — each corpus vector sits in
+    one bucket, probe masks are distinct), so the single-bucket leg
+    re-ranks a filter of the persisted scored frame instead of
+    re-joining the corpus. Both frames are panel-/candidate-bounded;
+    bench/driver sessions clearCache() between queries."""
     vecs = _vec(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
-    exact = S.knn_bruteforce(vecs, queries, k=TOP_K).select(
-        "query_id", "neighbor_id"
+    exact = (
+        S.knn_bruteforce(vecs, queries, k=TOP_K)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
 
     def hits_of(approx: DataFrame, name: str) -> DataFrame:
@@ -142,11 +155,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias(name))
         )
 
-    h_bucket = hits_of(S.knn_lsh(vecs, queries, k=TOP_K), "n_hit_bucket")
-    h_probe = hits_of(
-        S.knn_lsh_multiprobe(vecs, queries, k=TOP_K, radius=ANN_PROBE_RADIUS),
-        "n_hit_probe",
+    scored = S._lsh_probe_scored(
+        vecs, queries, radius=ANN_PROBE_RADIUS, keep_own_flag=True
+    ).persist()
+    h_bucket = hits_of(
+        S._rank_scored_cosine(scored.filter("own"), k=TOP_K), "n_hit_bucket"
     )
+    h_probe = hits_of(S._rank_scored_cosine(scored, k=TOP_K), "n_hit_probe")
     n_true = exact.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_true")
     )
