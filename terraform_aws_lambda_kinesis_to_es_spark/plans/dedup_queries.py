@@ -229,9 +229,16 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if k_mod > 1:
         share = share.filter(hash60(F.col("id_a").cast("string")) % k_mod == 0)
-    truth = D.verify_pairs_jaccard(
-        share, shingled, threshold_bp=JACCARD_THRESHOLD_BP
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    # truth and cands are each read TWICE below (the hits join + their
+    # own count leg) — persisted (r12 optimization), else the prefix-
+    # filter verify pipeline and the banding shuffle both run twice
+    # (Spark shares no common subtrees across join branches). Both are
+    # candidate-bounded pair frames.
+    truth = (
+        D.verify_pairs_jaccard(share, shingled, threshold_bp=JACCARD_THRESHOLD_BP)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .persist()
+    )
     sig = D.with_minhash_signature(
         shingled.filter(F.size("shingles") > 0).select("doc_id", "shingles"),
         portable=True,
@@ -239,6 +246,7 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.lsh_candidate_pairs(sig)
     if k_mod > 1:
         cands = cands.filter(hash60(F.col("id_a").cast("string")) % k_mod == 0)
+    cands = cands.persist()
     hits = cands.join(truth, ["id_a", "id_b"])
     nt = truth.agg(F.count("*").alias("n_true_pairs"))
     nc = cands.agg(F.count("*").alias("n_lsh_candidates"))
@@ -674,6 +682,10 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("id_a", "id_b")
+        # persisted (r12 optimization): truth feeds the overlap semi-join
+        # AND its count leg — without the cache the prefix-filter +
+        # exact-verify pipeline runs twice
+        .persist()
     )
     sim = D.with_simhash(docs).select("doc_id", "simhash")
     detected = D.simhash_near_pairs(sim).select("id_a", "id_b")
@@ -681,6 +693,8 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         detected = detected.filter(
             hash60(F.col("id_a").cast("string")) % k_mod == 0
         )
+    # same two-consumer shape as truth (overlap semi-join + count leg)
+    detected = detected.persist()
     both = truth.join(detected, ["id_a", "id_b"], "left_semi")
     counts = (
         truth.agg(F.count("*").alias("n_truth"))
