@@ -429,11 +429,51 @@ def assign_exhaustive(
             "sim"
         ),
     )
+    # The row_number window is KEPT here (measured r12): the max_by
+    # aggregate form timed flat-to-slightly-slower locally (min 2.66 s
+    # window vs 2.98 s aggregate for q_semdedup at sf0.1, 7 interleaved
+    # runs), and this operator is the RAILED exhaustive baseline — it
+    # never runs at corpus scale by contract, so the aggregate form's
+    # scale advantage (map-side collapse before the exchange) cannot pay
+    # here. The declared scale path (assign_bucketed_seeds) uses
+    # _argmax_assignment.
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cluster").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, "nrm", "cluster")
+    )
+
+
+def _argmax_assignment(scored: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector argmax over a (id, vec, nrm, cluster, sim) scored frame:
+    highest sim, ties to the LOWEST cluster id. A max_by keyed aggregate,
+    not a row_number window: every scored row for one vector comes from
+    the same map task (the seed side is broadcast), so the partial
+    aggregate collapses to one row per vector BEFORE the exchange —
+    the window form shuffled and sorted the full n x k scored stream.
+    Selection-identical to `row_number over (order by sim desc, cluster
+    asc) = 1`: max_by's struct ordering puts NaN above all doubles
+    exactly like the descending sort, and (sim, -cluster) breaks float
+    ties to the lowest cluster; (sim, cluster) keys are unique within a
+    vector (one row per seed), so the pick is total."""
+    best = F.max_by(
+        F.struct(
+            F.col(vec_col).alias("_v"),
+            F.col("nrm").alias("_nrm"),
+            F.col("cluster").alias("_cluster"),
+        ),
+        F.struct(F.col("sim").alias("s"), (-F.col("cluster")).alias("nc")),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(best.alias("_best"))
+        .select(
+            id_col,
+            F.col("_best._v").alias(vec_col),
+            F.col("_best._nrm").alias("nrm"),
+            F.col("_best._cluster").alias("cluster"),
+        )
     )
 
 
@@ -539,7 +579,16 @@ def assign_bucketed_seeds(
     clearCache pass ``cache_registry`` (a list): the persisted frame is
     appended to it, and the caller unpersists after its terminal action —
     ``for f in reg: f.unpersist()`` (VERDICT r4 #8)."""
-    vb = with_bucket(vecs, vec_col).withColumn("nrm", norm(F.col(vec_col)))
+    # The bucketed corpus feeds TWO consumers (the seeded-bucket scoring
+    # join and the orphan fallback's anti-join) — persist it so the scan
+    # plus the 8 hyperplane dot-product folds and the norm run once per
+    # vector, not twice (r12 optimization; same lifecycle note as the
+    # seed frame below).
+    vb = (
+        with_bucket(vecs, vec_col)
+        .withColumn("nrm", norm(F.col(vec_col)))
+        .persist()
+    )
     # The seed/codebook side is tiny relative to the corpus but feeds
     # THREE consumers (bucket join, seeded-bucket set, orphan fallback):
     # persist it so the seed subtree — often a filter over the corpus
@@ -553,6 +602,7 @@ def assign_bucketed_seeds(
         .persist()
     )
     if cache_registry is not None:
+        cache_registry.append(vb)
         cache_registry.append(sb)
     scored = vb.join(F.broadcast(sb), "bucket").select(
         id_col,
@@ -563,12 +613,7 @@ def assign_bucketed_seeds(
             "sim"
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cluster").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "nrm", "cluster")
-    )
+    assigned = _argmax_assignment(scored, id_col, vec_col)
     # fallback: vectors in seedless buckets score all seeds (rare when
     # seeds outnumber buckets; exhaustive over the broadcast codebook)
     orphans = vb.join(
@@ -584,11 +629,7 @@ def assign_bucketed_seeds(
             "sim"
         ),
     )
-    orphan_assigned = (
-        orphan_scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "nrm", "cluster")
-    )
+    orphan_assigned = _argmax_assignment(orphan_scored, id_col, vec_col)
     return assigned.unionByName(orphan_assigned)
 
 

@@ -72,9 +72,12 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def with_quality(docs: DataFrame) -> DataFrame:
+def with_quality(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Append the integer-bp quality columns to a documents frame (the
-    reusable core of q_quality; also feeds q_importance_sample)."""
+    reusable core of q_quality; also feeds q_importance_sample).
+    ``extra_cols`` names input columns carried through the final select —
+    composers (q_clean_corpus) use it to keep the whole row map-side
+    instead of joining the quality columns back on doc_id."""
     toks = tokens(F.col("text"))
     d = (
         docs.withColumn("n_tokens", F.size(toks).cast("bigint"))
@@ -113,7 +116,13 @@ def with_quality(docs: DataFrame) -> DataFrame:
         ),
     )
     return d.select(
-        "doc_id", "n_chars_calc", "n_tokens", "stop_ratio_bp", "punct_ratio_bp", "quality_bp"
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "stop_ratio_bp",
+        "punct_ratio_bp",
+        "quality_bp",
+        *extra_cols,
     )
 
 

@@ -136,11 +136,25 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         JACCARD_THRESHOLD_BP,
     )
 
-    docs = load_split(spark, sf_dir, "documents")
-    qual = text_queries.q_quality(spark, sf_dir).select(
-        "doc_id", "n_tokens", "quality_bp"
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+        predicted_lang,
+        tokens,
     )
-    lang = text_queries.q_langid(spark, sf_dir)
+
+    docs = load_split(spark, sf_dir, "documents")
+    # Quality and langid are MAP-ONLY projections over the same rows, so
+    # compose them in ONE pass instead of joining q_quality/q_langid back
+    # on doc_id (r12 optimization: doc_id is unique, so the 1:1 inner
+    # joins were value-identical to this projection — they just shuffled
+    # the corpus twice to reassemble rows that never left the map task).
+    # The expressions are q_quality's / q_langid's own (with_quality +
+    # predicted_lang), not copies.
+    scored = text_queries.with_quality(
+        docs.withColumn(
+            "pred_lang", predicted_lang(tokens(F.lower(F.col("text"))))
+        ),
+        extra_cols=("source", "pred_lang"),
+    )
     comps = D.near_dup_clusters(docs, threshold_bp=JACCARD_THRESHOLD_BP)
     dropped_near = comps.filter(F.col("cluster_id") < F.col("doc_id")).select(
         "doc_id"
@@ -155,10 +169,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return (
-        docs.select("doc_id", "source")
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
-        .filter(
+        scored.filter(
             (F.col("quality_bp") >= QUALITY_MIN_BP)
             & (F.col("pred_lang") == CLEAN_LANG)
         )

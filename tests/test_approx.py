@@ -198,11 +198,15 @@ def test_bucketed_seed_cache_registry_releases_cache(spark, sf_dir):
     reg: list = []
     out = S.assign_bucketed_seeds(vecs, seeds, cache_registry=reg)
     assert out.count() == vecs.count()
-    assert len(reg) == 1
-    assert reg[0].storageLevel.useMemory  # persisted while in use
+    # two persisted frames since r12: the bucketed corpus (vb — feeds the
+    # scoring join AND the orphan anti-join) and the seed frame (sb)
+    assert len(reg) == 2
+    for f in reg:
+        assert f.storageLevel.useMemory  # persisted while in use
     for f in reg:
         f.unpersist(blocking=True)
-    assert not reg[0].storageLevel.useMemory
+    for f in reg:
+        assert not f.storageLevel.useMemory
 
 
 def test_pq_adc_recall_against_exact_l2(spark, sf_dir):
