@@ -422,11 +422,23 @@ def q_lsh_tuning(
     tradeoff on the live corpus instead of assuming the textbook curve,
     which is how band/row gets re-picked when corpus similarity drifts.
 
-    Scale shape: the signature fold runs ONCE (persisted frame reused by
-    all three configs); each config adds one banded keyed shuffle whose
-    volume is bounded by candidates, and the exact verify joins shingle
-    sets only onto candidate pairs. The exact leg is candidate-bounded
-    — never corpus^2."""
+    Scale shape (r12 optimization, guide §2.4 — remove shuffles
+    outright): the three configs are NESTED — with b*r = 64 fixed, a
+    (16, 4) band j collides iff (32, 2) bands 2j and 2j+1 BOTH collide
+    (bkey is the '_'-joined decimal minhash values, so concat equality
+    IS componentwise equality), and an (8, 8) band j collides iff the
+    four finest bands 4j..4j+3 all do. So ONE banding pass at the
+    finest config, aggregated into a per-pair 32-bit band-collision
+    bitmask, derives every config's candidate set exactly: config
+    (b, r) with k = r/2 finest bands per coarse band holds the pair iff
+    the mask has k consecutive set bits at some k-aligned offset — a
+    constant-folded bit test. The exact-Jaccard verify likewise runs
+    ONCE over the finest (superset) candidate frame, and each config's
+    n_true is the bit-test-filtered count (verified ∩ candidates(b, r)
+    == verify(candidates(b, r)) because the sets nest). The signature
+    fold runs once (persisted), the banding shuffle runs once (was 3x),
+    the verify joins run once (was 3x); every frame after the banding
+    shuffle is candidate-bounded — never corpus^2."""
     docs = load_split(spark, sf_dir, "documents")
     sh = D.with_shingles(docs).select("doc_id", "shingles")
     sig = D.with_minhash_signature(
@@ -434,52 +446,114 @@ def q_lsh_tuning(
     ).persist()
     if cache_registry is not None:
         cache_registry.append(sig)
-    legs = []
-    for bands, rows in LSH_CONFIGS:
-        band_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.concat_ws(
-                        "_", *[F.col("mh")[j * rows + r] for r in range(rows)]
-                    ).alias("bkey"),
-                )
-                for j in range(bands)
-            ]
-        )
-        exploded = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
-            "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-        )
-        # persisted: the candidate subtree (banding shuffle + pair
-        # expansion + distinct) feeds BOTH the volume count and the
-        # verify leg — without it each config runs its dominant shuffle
-        # twice (6 shuffles where 3 suffice)
-        cands = D.pairs_within_buckets(exploded, ["band", "bkey"], "doc_id").persist()
-        if cache_registry is not None:
-            cache_registry.append(cands)
-        verified = D.verify_pairs_jaccard(
-            cands,
-            sig.select("doc_id", "shingles"),
-            threshold_bp=JACCARD_THRESHOLD_BP,
-        )
-        legs.append(
-            cands.agg(F.count("*").cast("bigint").alias("n_candidates")).crossJoin(
-                F.broadcast(verified.agg(F.count("*").cast("bigint").alias("n_true")))
-            ).select(
-                F.lit(bands).cast("bigint").alias("bands"),
-                F.lit(rows).cast("bigint").alias("rows_per_band"),
-                "n_candidates",
-                "n_true",
+    f_bands, f_rows = LSH_CONFIGS[0]  # finest config: most bands, fewest rows
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col("mh")[j * f_rows + r] for r in range(f_rows)]
+                ).alias("bkey"),
+            )
+            for j in range(f_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    # One keyed shuffle + in-bucket pair expansion (the pairs_within_buckets
+    # shape, band kept): each doc has exactly one bkey per band, so a
+    # (id_a, id_b, band) row is emitted at most once — the bit_or needs no
+    # pre-distinct. The mask aggregate is candidate-bounded.
+    grouped = exploded.groupBy("band", "bkey").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
+    pair_bands = (
+        grouped.filter(F.size("ids") > 1)
+        .select(
+            "band",
+            F.explode(
                 F.expr(
-                    "CAST(CASE WHEN n_candidates = 0 THEN 0"
-                    " ELSE (10000 * n_true) DIV n_candidates END AS BIGINT)"
-                ).alias("precision_bp"),
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "band")
+    )
+    # persisted: the masked pair frame feeds BOTH the candidate-count agg
+    # and the verify leg (Spark shares no common subtrees across branches)
+    masked = pair_bands.groupBy("id_a", "id_b").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), band))").alias("bmask")
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(masked)
+
+    def _in_config(bands: int, rows: int) -> F.Column:
+        # pair is a (bands, rows) candidate iff some k-aligned run of k
+        # consecutive finest-band bits is fully set (k = rows / f_rows)
+        k = rows // f_rows
+        m = F.col("bmask")
+        for s in range(1, k):
+            m = m.bitwiseAND(F.expr(f"shiftright(bmask, {s})"))
+        aligned = sum(1 << (j * k) for j in range(bands))
+        return m.bitwiseAND(F.lit(aligned)) != 0
+
+    cand_counts = masked.agg(
+        *[
+            F.coalesce(F.sum(_in_config(b, r).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias(f"c_{r}")
+            for b, r in LSH_CONFIGS
+        ]
+    )
+    # exact verify ONCE over the superset frame, keeping the mask; the
+    # filter is verify_pairs_jaccard's cross-multiplied threshold test
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    truth_masks = (
+        masked.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.expr(
+                f"{10000 + JACCARD_THRESHOLD_BP} * size(array_intersect(sh_a, sh_b))"
+                f" >= {JACCARD_THRESHOLD_BP} * (size(sh_a) + size(sh_b))"
             )
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+        .select("bmask")
+    )
+    true_counts = truth_masks.agg(
+        *[
+            F.coalesce(F.sum(_in_config(b, r).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias(f"t_{r}")
+            for b, r in LSH_CONFIGS
+        ]
+    )
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.col(f"c_{r}").alias("n_candidates"),
+                F.col(f"t_{r}").alias("n_true"),
+            )
+            for b, r in LSH_CONFIGS
+        ]
+    )
+    return (
+        cand_counts.crossJoin(F.broadcast(true_counts))
+        .select(F.explode(legs).alias("leg"))
+        .select("leg.bands", "leg.rows_per_band", "leg.n_candidates", "leg.n_true")
+        .withColumn(
+            "precision_bp",
+            F.expr(
+                "CAST(CASE WHEN n_candidates = 0 THEN 0"
+                " ELSE (10000 * n_true) DIV n_candidates END AS BIGINT)"
+            ),
+        )
+    )
 
 
 # --------------------------------------------------------------- time decay
