@@ -205,8 +205,9 @@ def prefix_filtered_pairs(
     t*max <= 10000*min): partners with ``size_cap_bp * y.sz >
     10000 * x.sz`` are pruned inside the bucket before pair expansion.
 
-    Cost: three extra LINEAR exchanges of the exploded shingle list
-    (df count, df join-back, per-doc rank) buy the quadratic collapse.
+    Cost: two extra LINEAR exchanges of the exploded shingle list
+    (per-gram df window, per-doc rank window) buy the quadratic
+    collapse.
     At true 100 TB hot buckets should flip the final expansion to a
     probe⋈index join so AQE skew-split applies; locally the grouped
     higher-order expansion keeps the house single-collect shape.
@@ -216,8 +217,15 @@ def prefix_filtered_pairs(
         F.explode(set_col).alias("g"),
         F.size(set_col).alias("sz"),
     )
-    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
-    ranked = ex.join(dfreq, "g").withColumn(
+    # df via a count window over the gram partition (r12, guide §2.4):
+    # the former groupBy("g")+join-back re-derived AND re-shuffled the
+    # exploded gram list (the explode ran twice, with two g-keyed
+    # exchanges where one suffices). Shingle sets are distinct per doc,
+    # so the partition row count IS the per-gram document frequency —
+    # value-identical to the aggregate+join form.
+    ranked = ex.withColumn(
+        "df", F.expr("count(*) OVER (PARTITION BY g)")
+    ).withColumn(
         "rn",
         F.expr("row_number() OVER (PARTITION BY _id ORDER BY df, g)"),
     )

@@ -253,6 +253,73 @@ def test_prefix_filter_query_equality_unfiltered(spark, sf_dir):
     shingled.unpersist()
 
 
+def test_prefix_filter_window_df_equals_joinback_df(spark, sf_dir):
+    """r12 optimization pin: prefix_filtered_pairs computes per-gram
+    document frequency with a count window over the gram partition
+    (one exchange) instead of the former groupBy+join-back (two). The
+    candidate pair set must be IDENTICAL to the join-back form — the
+    completeness proof depends on df, so any drift here silently voids
+    the superset guarantee."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.sources.tables import load_split as ls
+
+    docs = ls(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs).persist()
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.prefix_filtered_pairs(
+            shingled, overlap_bp=6666, size_cap_bp=5000
+        ).collect()
+    }
+    # join-back reference implementation (the pre-r12 form), inline
+    ex = shingled.select(
+        F.col("doc_id").alias("_id"),
+        F.explode("shingles").alias("g"),
+        F.size("shingles").alias("sz"),
+    )
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = ex.join(dfreq, "g").withColumn(
+        "rn", F.expr("row_number() OVER (PARTITION BY _id ORDER BY df, g)")
+    )
+    flagged = ranked.withColumn(
+        "in_pref",
+        F.expr("rn <= sz - ((CAST(6666 AS BIGINT) * sz + 9999) DIV 10000) + 1"),
+    ).filter(F.col("df") > 1)
+    grouped = flagged.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("sz").alias("s"),
+                    F.col("_id").alias("i"),
+                    F.col("in_pref").alias("p"),
+                )
+            )
+        ).alias("ms")
+    )
+    ref = {
+        (r.id_a, r.id_b)
+        for r in grouped.filter(F.size("ms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, k) -> CASE WHEN x.p THEN"
+                    " transform(filter(slice(ms, k + 2, size(ms)),"
+                    "                  y -> 5000 * y.s <= 10000 * x.s),"
+                    " y -> struct(least(x.i, y.i) AS id_a, greatest(x.i, y.i) AS id_b))"
+                    " ELSE CAST(array() AS array<struct<id_a: bigint, id_b: bigint>>) END))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.id_a"), F.col("pr.id_b"))
+        .distinct()
+        .collect()
+    }
+    shingled.unpersist()
+    assert got == ref and got
+
+
 def test_prefix_filter_collapses_boilerplate_hot_buckets(spark):
     """The regime prefix filtering exists for: a boilerplate sentence
     shared by EVERY doc makes each of its shingles an n-sized hot bucket,
