@@ -29,6 +29,9 @@ from terraform_aws_lambda_kinesis_to_es_spark.functions.hashing import (
     PERM_B,
     hash60,
 )
+from terraform_aws_lambda_kinesis_to_es_spark.functions.litarrays import (
+    const_long_array,
+)
 from terraform_aws_lambda_kinesis_to_es_spark.operators import index_store
 from terraform_aws_lambda_kinesis_to_es_spark.operators.text import tokens, word_ngrams
 
@@ -113,8 +116,11 @@ def with_minhash_signature(
         hashed = F.transform(
             F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(MOD31))
         )
-    a_arr = F.array(*[F.lit(a).cast("long") for a in PERM_A])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in PERM_B])
+    # single array-Literal nodes, not CreateArray(64 literals) — the wide
+    # constant subtrees dominate driver planning on every detector query
+    # (see functions.litarrays; values bit-identical)
+    a_arr = const_long_array(PERM_A)
+    b_arr = const_long_array(PERM_B)
     init = F.array_repeat(F.lit(MERSENNE61).cast("long"), N_PERM)
 
     def merge(acc: Column, h: Column) -> Column:
@@ -688,7 +694,8 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokens are hashed once into an array, then each bit's +/-1 weight sum
     folds over that array. Zero shuffle — the scan is the only stage."""
     hashed = F.transform(tokens(F.lower(F.col(text_col))), lambda t: hash60(t))
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    # single array-Literal node (see functions.litarrays — planning cost)
+    pow2 = const_long_array(1 << i for i in range(SIMHASH_BITS))
     init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
 
     # Single fold over the hashed tokens (one md5 per token): each element

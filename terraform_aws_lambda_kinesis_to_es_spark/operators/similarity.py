@@ -26,6 +26,10 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from terraform_aws_lambda_kinesis_to_es_spark.functions.litarrays import (
+    const_double_array,
+)
+
 EMBED_DIM = 64
 N_HYPERPLANES = 8
 
@@ -101,7 +105,10 @@ def dot_const(a: Column, vec: list[float]) -> Column:
     interpreted eval (the hazard documented on :func:`dot`); with 8
     hyperplanes per row it dominated every bucketed path — with_bucket
     over 2 k vecs went ~6 s -> sub-second after switching to the fold."""
-    parr = F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    # single array-Literal node, not CreateArray(64 literals): the wide
+    # constant subtree cost ~1.1-1.9 s of driver PLANNING per with_bucket
+    # (8 folds) at any data size — see functions.litarrays
+    parr = const_double_array(float(x) for x in vec)
     return F.aggregate(
         F.zip_with(a, parr, lambda x, p: x * p),
         F.lit(0.0),
