@@ -84,7 +84,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted (r12 optimization): feeds the candidate explode AND both
     # verify sides — the house staged-materialization rule (see
     # minhash_dedup_pairs); without it the tokenize+ngram pass runs 3x
-    shingled = D.with_shingles(docs).persist()
+    shingled = D.with_shingles(docs).select("doc_id", "shingles").persist()
     ex = shingled.select("doc_id", F.explode("shingles").alias("g"))
     pairs = D.pairs_within_buckets(ex, ["g"], "doc_id")
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -119,7 +119,7 @@ def q_exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost tracks prefix-bucket candidates (output-shaped on Zipfian
     corpora; see PERF.md round-5)."""
     docs = load_split(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs).persist()
+    shingled = D.with_shingles(docs).select("doc_id", "shingles").persist()
     cand = D.prefix_filtered_pairs(
         shingled,
         overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
@@ -164,7 +164,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     points; docs with no shingles (< 5 tokens) carry no candidates by
     construction."""
     docs = load_split(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs).persist()
+    shingled = D.with_shingles(docs).select("doc_id", "shingles").persist()
     pairs = D.prefix_filtered_pairs(shingled, overlap_bp=CONTAIN_MIN_BP)
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -221,7 +221,7 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver SF, where K = 1)."""
     docs = load_split(spark, sf_dir, "documents")
     k_mod = _truth_sample_mod(docs)
-    shingled = D.with_shingles(docs).persist()
+    shingled = D.with_shingles(docs).select("doc_id", "shingles").persist()
     share = D.prefix_filtered_pairs(
         shingled,
         overlap_bp=20000 * JACCARD_THRESHOLD_BP // (10000 + JACCARD_THRESHOLD_BP),
@@ -655,7 +655,7 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF)."""
     docs = load_split(spark, sf_dir, "documents")
     k_mod = _truth_sample_mod(docs)
-    shingled = D.with_shingles(docs).persist()
+    shingled = D.with_shingles(docs).select("doc_id", "shingles").persist()
     # exact prefix-filter candidates (see q_lsh_eval for the overlap /
     # length-cap derivation) — supersets every J_floor >= t pair while
     # hot stop-shingle buckets stay linear
