@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -226,6 +227,31 @@ HEADLINE = (
 )
 
 
+def _reset_session_state(spark) -> None:
+    """Per-run isolation (guide §1.4, r13 measurement fix — disclosed in
+    OPTIMIZATION_r13.md): ``clearCache()`` drops catalog-tracked cached
+    relations, but ``localCheckpoint()`` blocks (the connected-components
+    iterations inside the dedup family) are plain persisted RDDs the SQL
+    catalog does not know about. Across 80 queries x 3 runs they pile up
+    in the block manager, squeeze the unified memory region, and inflate
+    LATE bench entries ~2x vs the same query in a fresh session
+    (q_band_yield read 5.7 s at bench position 71 and 1.75 s in a fresh
+    subset run of the same commit). Unpersisting them between timed runs
+    removes debris from PREVIOUS queries only — each run still computes
+    everything from the parquet inputs; nothing is carried forward. The
+    gc.collect() drops Python-side plan references so the JVM
+    ContextCleaner can release their shuffle state too."""
+    import gc
+
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001 — cleanup must never break the bench
+        pass
+    gc.collect()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -278,7 +304,7 @@ def main() -> None:
         # full cost, including any eager plan-construction job.
         singles: list[float] = []
         for _ in range(n_runs):
-            spark.catalog.clearCache()
+            _reset_session_state(spark)
             try:
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)
@@ -326,10 +352,23 @@ def main() -> None:
     else:
         mid = len(ratios) // 2
         canary_factor = round((ratios[mid - 1] + ratios[mid]) / 2, 3)
+    # The committed artifact must be self-describing about WHICH tree it
+    # measured (round-12 advice: the artifact of record predated the final
+    # commit and nothing in the JSON said so). Best-effort — a missing git
+    # binary or a non-repo checkout must never break the bench.
+    try:
+        git_rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        git_rev = None
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        **({"git_rev": git_rev} if git_rev else {}),
         "queries": timings,
         "queries_min": mins,
         "value_min": round(
@@ -374,6 +413,27 @@ def main() -> None:
                 fh.write("\n")
         except OSError as exc:
             print(f"side artifact not written ({exc})", file=sys.stderr)
+    # VERDICT r12 #1/#3: the driver keeps only a ~2000-char stdout TAIL,
+    # and the big payload above is the huge FIRST line — so the driver's
+    # per-query comparison channel (PERF_rN.json) came back empty
+    # (n_common: 0) even though both bench runs succeeded. Emit ONE
+    # compact per-query-MIN line (2-decimal values, ~1.3 KB for 80
+    # queries) immediately before the final summary so the tail window
+    # always carries the per-query ground truth.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_min",
+                "queries": {
+                    n: (round(v, 2) if v is not None else None)
+                    for n, v in mins.items()
+                },
+                "canary_factor": canary_factor,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            separators=(",", ":"),
+        )
+    )
     # VERDICT r8 #2: the big JSON above can overflow a log-tail capture
     # window (BENCH_r08's driver artifact kept only the last ~44 per-query
     # entries and parsed as null). Emit ONE final compact line so ANY
@@ -382,6 +442,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_summary",
+                **({"git_rev": git_rev} if git_rev else {}),
                 "total_s": total,
                 "min_total_s": round(
                     sum(t for t in mins.values() if t is not None), 3

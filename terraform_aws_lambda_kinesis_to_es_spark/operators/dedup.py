@@ -270,19 +270,38 @@ def prefix_filtered_pairs(
     return pairs.distinct()
 
 
-def banded_keys(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def banded_keys(
+    sig_df: DataFrame, id_col: str = "doc_id", *, legacy_str: bool = False
+) -> DataFrame:
     """Explode a 64-perm signature into its (id, band, bkey) LSH bucket
     rows (LSH_BANDS bands x LSH_ROWS rows per band) — the row-local
     banding shared by the batch pipeline (lsh_candidate_pairs) and the
-    persisted-index path (save/probe_lsh_index)."""
+    persisted-index path (save/probe_lsh_index).
+
+    ``bkey`` is a single 64-bit xxhash64 over the band's LSH_ROWS
+    signature slots (r13, guide §2.3 — shuffle fewer bytes): the former
+    '_'-joined decimal string weighed ~40 bytes per banded row where the
+    long weighs 8, and the (band, bkey) exchange under every detector
+    query carries LSH_BANDS rows per doc. Bucket co-membership is
+    unchanged up to xxhash64 collisions between DIFFERENT slot tuples in
+    the SAME band (~k²/2⁶⁵ for k distinct signatures — vanishing, and
+    the exact-Jaccard verify step downstream is unaffected by spurious
+    candidates). ``legacy_str=True`` reproduces the pre-r13 string form
+    so indexes saved before the format bump keep probing/extending
+    correctly (their committed buckets artifact embeds string keys;
+    see probe_lsh_index/extend_lsh_index, which sniff the artifact
+    schema)."""
+    if legacy_str:
+        key = lambda j: F.concat_ws(  # noqa: E731
+            "_", *[F.col("mh")[j * LSH_ROWS + r] for r in range(LSH_ROWS)]
+        )
+    else:
+        key = lambda j: F.xxhash64(  # noqa: E731
+            *[F.col("mh")[j * LSH_ROWS + r] for r in range(LSH_ROWS)]
+        )
     bands = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col("mh")[j * LSH_ROWS + r] for r in range(LSH_ROWS)]
-                ).alias("bkey"),
-            )
+            F.struct(F.lit(j).alias("band"), key(j).alias("bkey"))
             for j in range(LSH_BANDS)
         ]
     )
@@ -645,6 +664,14 @@ def connected_components(
         )
         .persist()
     )
+    # Measured and REJECTED (r13): fusing the init-label materialization
+    # into the first propagation job (init as a lazy persist, one fewer
+    # localCheckpoint barrier — the clique-shaped fast path would close
+    # in one checkpoint job + one cached probe) read FLAT-TO-SLOWER in
+    # an 8-round interleaved A/B on q_dup_clusters at sf0.1/local[32]:
+    # fused min/med 3.84/4.74 s vs this form's 3.68/4.31 s (values
+    # identical, 477 rows). The saved barrier is cheaper than the fused
+    # job's worse stage overlap; keep the checkpointed init.
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("nbr"))
@@ -978,13 +1005,20 @@ def extend_lsh_index(
     cadence into the ingest scheduler, or re-append after)."""
     spark = df.sparkSession
     info = lsh_index_info(spark, path)
+    # Appended bucket rows must match the committed artifact's key
+    # format: indexes saved before the r13 bkey format bump hold STRING
+    # keys (see banded_keys) — mixing long and string files in one
+    # artifact would corrupt every probe. One parquet footer read.
+    legacy_keys = (
+        dict(spark.read.parquet(info["buckets"]).dtypes).get("bkey") == "string"
+    )
     shingled = _shingle_frame(df, text_col, id_col).persist()
     try:
         shingled.write.mode("append").parquet(info["shingles"])
         sig = with_minhash_signature(shingled, shingle_col="sh_hashes", prehashed=True)
-        banded_keys(sig, id_col).write.partitionBy("band").mode("append").parquet(
-            info["buckets"]
-        )
+        banded_keys(sig, id_col, legacy_str=legacy_keys).write.partitionBy(
+            "band"
+        ).mode("append").parquet(info["buckets"])
     finally:
         shingled.unpersist()
 
@@ -1102,7 +1136,11 @@ def probe_lsh_index(
         .persist()
     )
     new_sig = with_minhash_signature(new_sh, shingle_col="sh_hashes", prehashed=True)
-    nb = banded_keys(new_sig, id_col).persist()
+    # Probe keys must match the loaded index's key format: pre-r13
+    # indexes carry STRING bkeys (see banded_keys' format note) — a
+    # long-keyed probe against them would silently match nothing.
+    legacy_keys = dict(buckets.dtypes).get("bkey") == "string"
+    nb = banded_keys(new_sig, id_col, legacy_str=legacy_keys).persist()
     if cache_registry is not None:
         cache_registry.extend((new_sh, nb))
 

@@ -240,7 +240,7 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sig = D.with_minhash_signature(
-        shingled.filter(F.size("shingles") > 0).select("doc_id", "shingles"),
+        shingled.filter(F.size("shingles") > 0),
         portable=True,
     )
     cands = D.lsh_candidate_pairs(sig)

@@ -159,22 +159,27 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped_near = comps.filter(F.col("cluster_id") < F.col("doc_id")).select(
         "doc_id"
     )
-    exact_keep = docs.groupBy(F.md5("text").alias("k")).agg(
-        F.min("doc_id").alias("keep_id")
-    )
-    dropped_exact = (
-        docs.select("doc_id", F.md5("text").alias("k"))
-        .join(exact_keep, "k")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id")
-    )
+    # The exact-dup anti-join leg (its own full-corpus md5 groupBy + a
+    # membership join + a second anti-join) is PROVABLY redundant here
+    # and was removed (r13 optimization, guide §2.4 — the digest
+    # collapse already runs inside near_dup_clusters):
+    # * a non-min exact dup with >= shingle_n (5) tokens has an
+    #   ELIGIBLE text, so it appears in near_dup_clusters' membership
+    #   with cluster_id <= rep_id = min(group) < doc_id — dropped_near
+    #   already drops it (identical texts share the token count, so
+    #   eligibility is group-uniform);
+    # * a doc with < 5 tokens cannot pass the quality floor above:
+    #   quality_bp <= (least(4,100)*100*5 + 10000*3 + 10000*2) DIV 10
+    #   = 5200 < QUALITY_MIN_BP (6000), so the only exact dups the
+    #   near-dup leg misses are filtered out before the anti-join.
+    # (Both bounds pinned by
+    # tests/test_components.py::test_clean_corpus_exact_leg_redundant.)
     return (
         scored.filter(
             (F.col("quality_bp") >= QUALITY_MIN_BP)
             & (F.col("pred_lang") == CLEAN_LANG)
         )
         .join(dropped_near, "doc_id", "left_anti")
-        .join(dropped_exact, "doc_id", "left_anti")
         .select("doc_id", "source", "n_tokens", "quality_bp")
     )
 

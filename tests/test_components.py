@@ -1052,3 +1052,164 @@ def test_count_files_adapter_contract(spark, tmp_path):
     hfs = index_store.HadoopIndexFS(spark, f"file://{root}")
     assert hfs.count_files("art-000001") == 4
     assert hfs.count_files("absent-dir") == 0
+
+
+def test_clean_corpus_exact_leg_redundant(spark, tmp_path):
+    """r13 optimization pin: q_clean_corpus no longer runs its own
+    exact-dup anti-join leg (full-corpus md5 groupBy + membership join +
+    anti-join). The removal is sound because (a) a non-min exact dup
+    with an ELIGIBLE text (>= 5 tokens) is already dropped by the
+    near-dup leg (identical texts share a digest group inside
+    near_dup_clusters, so cluster_id <= rep_id < doc_id), and (b) a doc
+    with < 5 tokens cannot reach QUALITY_MIN_BP — bound:
+    (least(4,100)*100*5 + 10000*3 + 10000*2) DIV 10 = 5200 < 6000.
+    This test pins BOTH bounds on an adversarial corpus (short exact
+    dups, long exact dups, near dups, all-stopword shorties) and
+    asserts the committed query equals the pre-r13 two-anti-join form
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.plans import text_queries
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.dedup_queries import (
+        JACCARD_THRESHOLD_BP,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.plans.training_queries import (
+        CLEAN_LANG,
+        QUALITY_MIN_BP,
+        q_clean_corpus,
+    )
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+    from terraform_aws_lambda_kinesis_to_es_spark.operators.text import (
+        predicted_lang,
+        tokens,
+    )
+
+    good = (
+        "the cat is a friend of the dog and the bird is to the left "
+        "of the tree and the sun is a lamp of the sky and all is well"
+    )
+    near = good + " extra tail words here"
+    rows = [
+        # exact-dup clique of ELIGIBLE text: 11/12 must drop (near leg)
+        (10, good, "en", "srcA"),
+        (11, good, "en", "srcA"),
+        (12, good, "en", "srcB"),
+        # near-dup of the clique: shares most 5-gram shingles
+        (30, near, "en", "srcA"),
+        # exact dups of a SHORT text (< 5 tokens): invisible to the
+        # near-dup leg, must be excluded by the quality floor alone
+        (20, "the a of and", "en", "srcA"),
+        (21, "the a of and", "en", "srcA"),
+        (22, "tiny", "en", "srcA"),
+        # passes quality but not the language gate
+        (40, "der hund und die katze und der vogel und das haus und "
+             "der baum und die sonne und das licht und der tag nicht", "de", "srcA"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {tuple(r) for r in q_clean_corpus(spark, d).collect()}
+
+    # pre-r13 reference: the same query WITH the exact-dup anti-join leg
+    ref_docs = load_split(spark, d, "documents")
+    scored = text_queries.with_quality(
+        ref_docs.withColumn(
+            "pred_lang", predicted_lang(tokens(F.lower(F.col("text"))))
+        ),
+        extra_cols=("source", "pred_lang"),
+    )
+    comps = D.near_dup_clusters(ref_docs, threshold_bp=JACCARD_THRESHOLD_BP)
+    dropped_near = comps.filter(F.col("cluster_id") < F.col("doc_id")).select(
+        "doc_id"
+    )
+    exact_keep = ref_docs.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    dropped_exact = (
+        ref_docs.select("doc_id", F.md5("text").alias("k"))
+        .join(exact_keep, "k")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    ref = {
+        tuple(r)
+        for r in scored.filter(
+            (F.col("quality_bp") >= QUALITY_MIN_BP)
+            & (F.col("pred_lang") == CLEAN_LANG)
+        )
+        .join(dropped_near, "doc_id", "left_anti")
+        .join(dropped_exact, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tokens", "quality_bp")
+        .collect()
+    }
+    assert got == ref
+    # the short exact dups never surface in either form
+    assert not {t[0] for t in got} & {20, 21, 22}
+    # bound (b): NO doc under 5 tokens can reach the quality floor —
+    # pin the arithmetic at its worst case (all-stopword, zero punct)
+    short_max = (
+        text_queries.with_quality(ref_docs)
+        .filter(F.size(tokens(F.col("text"))) < 5)
+        .agg(F.max("quality_bp"))
+        .collect()[0][0]
+    )
+    assert short_max is not None and short_max < QUALITY_MIN_BP
+    assert (4 * 500 + 10000 * 3 + 10000 * 2) // 10 < QUALITY_MIN_BP
+
+
+def test_lsh_index_legacy_string_bkey_still_serves(spark, sf_dir, tmp_path):
+    """r13 bkey-format-bump compat pin: indexes saved BEFORE the bump
+    embed '_'-joined decimal STRING bucket keys; new code keys buckets
+    with a 64-bit xxhash64. probe_lsh_index and extend_lsh_index sniff
+    the committed artifact's schema and band the batch side with the
+    matching legacy form — a long-keyed probe against a string-keyed
+    index would silently match nothing, and a long-keyed append would
+    corrupt the artifact. Probe results over a legacy index must equal
+    the full-batch detector, before AND after an extend."""
+    from pyspark.sql import functions as F
+
+    from terraform_aws_lambda_kinesis_to_es_spark.operators import dedup as D
+
+    docs = load_split(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "lsh_legacy")
+    D.save_lsh_index(old, path)
+    info = D.lsh_index_info(spark, path)
+    # rewrite the committed buckets artifact in the pre-r13 string-key
+    # format (same signatures, legacy banding) to simulate an old index
+    sh = spark.read.parquet(info["shingles"])
+    sig = D.with_minhash_signature(sh, shingle_col="sh_hashes", prehashed=True)
+    D.banded_keys(sig, legacy_str=True).write.partitionBy("band").mode(
+        "overwrite"
+    ).parquet(info["buckets"])
+
+    buckets, shingles = D.load_lsh_index(spark, path)
+    assert dict(buckets.dtypes)["bkey"] == "string"
+
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in D.minhash_dedup_pairs(docs).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert want, "fixture must exercise cross-batch near-dups"
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in D.probe_lsh_index(buckets, shingles, new).collect()
+    }
+    assert got == want
+
+    # extend must append STRING keys (format sniffed from the artifact);
+    # a re-probe over the reloaded index still serves the same pairs
+    D.extend_lsh_index(new, path)
+    b2, s2 = D.load_lsh_index(spark, path)
+    assert dict(b2.dtypes)["bkey"] == "string"
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in D.probe_lsh_index(b2, s2, new).collect()
+    }
+    assert got2 == want
